@@ -1,0 +1,15 @@
+"""welldedup — PySpark-native near-duplicate detection & clustering.
+
+From-scratch generalization of EdinburghGenomics/well_duplicates'
+localized proximity-clustering (sequence-prefix comparison within
+spatial neighborhoods) into MinHash-LSH, SimHash, and winnowing
+substring dedup over a `code_files(repo, path, commit, lang, content)`
+table, with verification, connected-components clustering, checkpoints
+and per-partition metrics.  See SURVEY.md for the design blueprint.
+"""
+
+from .config import DEFAULT, DedupConfig
+from .pipeline import PipelineResult, run_pipeline
+
+__all__ = ["DedupConfig", "DEFAULT", "run_pipeline", "PipelineResult"]
+__version__ = "0.1.0"

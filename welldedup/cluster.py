@@ -1,0 +1,118 @@
+"""Connected components by iterative min-label propagation
+(SURVEY.md §2 rows C1–C3).
+
+Reference analog: `test_well_clusters` — the reference groups mutually
+duplicate wells into clusters.  The scalable analog is connected
+components over the verified duplicate-pair edge set, with the cluster
+label = MIN doc_id of the component (order-free, hence deterministic
+across partitionings and cluster sizes).
+
+Loop shape per round (SURVEY.md §2 C2):
+    candidates = edges ⋈ labels        (neighbor's current label)
+    new_label  = min(own label, min over neighbors)
+    converged when no label changed.
+
+Scale mechanics:
+- `localCheckpoint(eager=True)` every round truncates lineage —
+  without it the plan doubles per round and the driver dies on plan
+  explosion long before the data is big.
+- convergence is O(diameter) rounds; duplicate clusters are dense
+  (near-cliques plus star edges from the exact stage) so diameter is
+  small.  `cc_max_rounds` caps pathological chains; the loop raises if
+  it hits the cap without converging rather than returning wrong
+  labels.
+- edges are symmetrized once (union both directions) so each round is
+  one join + one groupBy-min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+
+class ConvergenceError(RuntimeError):
+    pass
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """nodes(doc_id) + edges(id_a, id_b) → clusters(doc_id, cluster_id).
+
+    Every node appears in the output; isolated nodes label themselves.
+    """
+    max_rounds = max_rounds or (cfg.cc_max_rounds if cfg else 50)
+
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # dedupe once: repeated edges multiply every round's join output
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # step 1 — neighbor min: for each edge (src→dst), dst learns
+        # src's current label; keep the min over self ∪ neighbors.
+        neighbor = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        stepped = labels.join(neighbor, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_label"),
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+            ).alias("mid_label"),
+        )
+        # step 2 — path halving (pointer jump): label ← label's label.
+        # Labels are always doc_ids, so the lookup table is `stepped`
+        # itself; this turns O(diameter) convergence into O(log d).
+        parents = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("mid_label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.mid_label == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("mid_label"), F.coalesce("p_label", F.col("mid_label"))
+                ).alias("cluster_id"),
+                "old_label",
+            )
+            .withColumn(
+                "chg", (F.col("cluster_id") < F.col("old_label")).cast("long")
+            )
+            .drop("old_label")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            return labels
+    raise ConvergenceError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def cluster_representatives(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """C3 — one representative row per cluster (the min-id member),
+    via a ranking window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,105 @@
+"""Pinned pipeline configuration.
+
+The reference (EdinburghGenomics/well_duplicates) pins its comparison
+semantics via CLI flags: sample size, cycle range (sequence-prefix
+length), neighbor ring levels, and allowed mismatches.  The analog here
+is a frozen dataclass pinning the shingle/signature config; recall and
+cluster-assignment comparisons are only meaningful "at identical
+shingle/signature config" (BASELINE.json:6,14), so every stage derives
+determinism from this object and its `config_hash()`.
+
+Pinned defaults follow FIXTURES.md §4: k=5 token shingles, n_hashes=128,
+bands=16, rows=8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+# Mersenne prime 2^61 - 1: modulus for the universal hash family used by
+# MinHash.  Shingle hashes are reduced to 32 bits before (a*x + b) mod p
+# so the product stays < 2^63 and never overflows uint64 in numpy.
+MERSENNE_P = (1 << 61) - 1
+
+# Token pattern: identifiers, numbers, or single punctuation — a cheap
+# code lexer that is stable across Spark (Java regex) and Python (re).
+TOKEN_PATTERN = r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]"
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Every knob that affects dedup output.  Changing any field changes
+    `config_hash()`, which invalidates downstream checkpoints (the
+    resume gate in io.py compares manifest hashes)."""
+
+    # --- tokenization / shingling (prep.py, signatures.py)
+    shingle_k: int = 5            # tokens per shingle
+    lowercase: bool = True        # normalization applied before tokenize
+    min_content_len: int = 1      # P1 validity filter (bytes)
+    max_content_len: int = 10_000_000
+
+    # --- MinHash (signatures.py)
+    n_hashes: int = 128
+    minhash_seed: int = 42
+
+    # --- LSH banding (lsh.py): n_hashes = bands * rows_per_band
+    bands: int = 16
+    rows_per_band: int = 8
+    # complementary bandings over the same signature: (bands, rows)
+    # pairs.  The pinned 16×8 banding alone catches J≈0.7 pairs with
+    # only ~60% probability (S-curve too far right for the ≥0.99 recall
+    # target); adding 32×4 lifts catch probability at J=0.7 to ~0.9998
+    # at the cost of 2× band-shuffle volume, which the est_prefilter in
+    # verify.py absorbs.  Each (b, r) needs b*r <= n_hashes.
+    extra_bandings: tuple = ((32, 4),)
+
+    # --- SimHash (signatures.py / lsh.py)
+    simhash_bits: int = 64
+    simhash_chunks: int = 4       # pigeonhole: <= chunks-1 bit flips per chunk band
+    simhash_max_hamming: int = 3
+
+    # --- substring / winnowing (substr.py)
+    winnow_k: int = 50            # chars per fingerprint window (content-defined)
+    winnow_window: int = 100      # winnowing guarantee window
+    substr_min_len: int = 2048    # vendored-copy detector threshold (chars)
+
+    # --- candidate generation skew control (lsh.py)
+    max_bucket: int = 64          # buckets larger than this are capped
+    drop_bucket_over: int = 4096  # degenerate buckets are dropped (recorded)
+    salt_partitions: int = 0      # 0 = rely on AQE; >0 adds explicit salt
+
+    # --- verification thresholds (verify.py)
+    jaccard_threshold: float = 0.7
+    est_prefilter: float = 0.35   # discard pairs whose minhash estimate is far below
+    edit_sim_threshold: float = 0.8
+    edit_max_chars: int = 4000    # levenshtein cost guard: compare prefixes
+    verify_exact_jaccard: bool = True
+
+    # --- connected components (cluster.py)
+    cc_max_rounds: int = 50
+
+    # --- execution
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 2048
+
+    methods: tuple = ("minhash",)  # subset of {"minhash","simhash","substr"}
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.n_hashes:
+            raise ValueError(
+                f"bands({self.bands}) * rows_per_band({self.rows_per_band}) "
+                f"must equal n_hashes({self.n_hashes})"
+            )
+        for b, r in self.extra_bandings:
+            if b * r > self.n_hashes:
+                raise ValueError(f"extra banding {b}x{r} exceeds n_hashes")
+
+    def config_hash(self) -> str:
+        """Stable hash of all semantic knobs — keys checkpoint manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,280 @@
+"""Deterministic planted-duplicate corpus (FIXTURES.md §1).
+
+The analog of the reference's coordinate-level golden targets: a
+synthetic `code_files` table with KNOWN duplicate structure, so tests
+can assert dup-pair recall >= 0.99 and exact cluster assignments
+(BASELINE.json:2,6,14) the way `test_count_duplicates` /
+`test_well_clusters` assert exact counts against planted geometry.
+
+Everything is seeded (numpy PCG64, seed param, default 42); no
+wall-clock, no external data.  Group plan per FIXTURES.md:
+  60% singletons, 15% exact-clone groups (2–5), 15% near-clone groups
+  (2–4, token-edit rates 1/5/10%), 5% vendored-substring pairs,
+  5% adversarial skew (near-empty + shared boilerplate header).
+
+Also exports a tiny pure-Python oracle (`py_tokenize`, `py_shingles`,
+`py_jaccard`) mirroring prep.py's Catalyst semantics, used by unit
+tests as the independent 10-line oracle (SURVEY.md §5.2-3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import TOKEN_PATTERN, DedupConfig
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+LANGS = ["python", "java", "c", "js", "go"]
+LANG_P = [0.3, 0.2, 0.2, 0.2, 0.1]
+EXTS = {"python": "py", "java": "java", "c": "c", "js": "js", "go": "go"}
+
+_LINE_TEMPLATES = [
+    "def {a}({b}, {c}):",
+    "    {a} = {b} + {c} * {d}",
+    "    if {a} > {b}: return {c}",
+    "    for {a} in range({b}): {c} += {a}",
+    "    while {a} < {b}: {a} = {a} + 1",
+    "    {a}.append({b}[{c}])",
+    "    return {a}({b}, key=lambda {c}: {c}.{d})",
+    "class {a}:",
+    "    self.{a} = {b}",
+    "    with open({a}) as {b}: {c} = {b}.read()",
+    "    try: {a} = int({b})",
+    "    except ValueError: {a} = {b}",
+    "    print('{a}', {b}, {c})",
+    "    {a} = [{b} for {b} in {c} if {b} != {d}]",
+    "    assert {a} == {b}, '{c}'",
+    "    {a} = {{'{b}': {c}, '{d}': {a}}}",
+    "# {a} handles {b} via {c}",
+    "    raise RuntimeError('{a} {b}')",
+    "    {a}, {b} = {b}, {a}",
+    "    yield {a}[{b}:{c}]",
+]
+
+_IDENT_POOL = [
+    "count", "index", "buffer", "result", "value", "items", "node", "queue",
+    "total", "offset", "chunk", "token", "stream", "cursor", "record", "batch",
+    "width", "height", "score", "label", "parent", "child", "cache", "state",
+    "length", "weight", "matrix", "vector", "handle", "config", "params", "data",
+]
+
+BOILERPLATE = (
+    "# Licensed under the Apache License, Version 2.0 (the 'License');\n"
+    "# you may not use this file except in compliance with the License.\n"
+    "# You may obtain a copy of the License at http://www.apache.org/licenses/\n"
+    "# Unless required by applicable law or agreed to in writing, software\n"
+    "# distributed under the License is distributed on an 'AS IS' BASIS.\n"
+)
+
+
+# ---------------------------------------------------------------- py oracle
+
+def py_normalize(content: str, cfg: DedupConfig) -> str:
+    c = content.lower() if cfg.lowercase else content
+    return re.sub(r"\s+", " ", c)
+
+
+def py_tokenize(content: str, cfg: DedupConfig) -> list[str]:
+    return _TOKEN_RE.findall(py_normalize(content, cfg))
+
+
+def py_shingle_strings(content: str, cfg: DedupConfig) -> set[str]:
+    """Shingle *strings* (pre-hash) — enough for exact Jaccard truth."""
+    toks = py_tokenize(content, cfg)
+    k = cfg.shingle_k
+    if len(toks) < k:
+        return {"\x1f".join(toks)}
+    return {"\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard(a: str, b: str, cfg: DedupConfig) -> float:
+    sa, sb = py_shingle_strings(a, cfg), py_shingle_strings(b, cfg)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------- generator
+
+@dataclass
+class Corpus:
+    rows: list[dict] = field(default_factory=list)        # code_files rows
+    truth_pairs: list[dict] = field(default_factory=list)  # natural-key pairs
+    truth_groups: list[list[str]] = field(default_factory=list)  # keys per cluster
+
+    def key(self, i: int) -> str:
+        r = self.rows[i]
+        return f"{r['repo']}|{r['path']}|{r['commit']}"
+
+
+def _gen_content(rng: np.random.Generator, n_lines: int) -> str:
+    """Template-based synthetic source.  Each doc gets its own suffix
+    on identifiers and random numeric literals sprinkled in, so two
+    independently generated docs never share long verbatim runs
+    (otherwise template reuse creates accidental vendored-substring
+    pairs that corrupt the planted truth)."""
+    tag = int(rng.integers(0, 10**9))
+    idents = [f"{w}_{tag % 997}" for w in rng.choice(_IDENT_POOL, size=8, replace=False)]
+    lines = []
+    for _ in range(n_lines):
+        t = _LINE_TEMPLATES[rng.integers(0, len(_LINE_TEMPLATES))]
+        a, b, c, d = (idents[j] for j in rng.integers(0, 8, size=4))
+        lines.append(t.format(a=a, b=b, c=c, d=d))
+        if rng.random() < 0.3:
+            lines.append(f"    {a} = {int(rng.integers(0, 10**6))}")
+    return "\n".join(lines) + "\n"
+
+
+def _mutate(rng: np.random.Generator, content: str, rate: float) -> str:
+    """Token-level edits at ~`rate`: rename identifiers, drop/insert lines."""
+    lines = content.split("\n")
+    out = []
+    pool = _IDENT_POOL
+    for ln in lines:
+        r = rng.random()
+        if r < rate * 0.3:
+            continue  # delete line
+        if r < rate * 0.6:
+            out.append(ln)
+            idents = rng.choice(pool, size=4)
+            out.append(
+                "    %s = %s(%s, %s)" % tuple(idents)
+            )  # insert line
+            continue
+        if r < rate:
+            # rename one identifier occurrence
+            words = re.findall(r"[a-z_]+", ln)
+            if words:
+                w = words[rng.integers(0, len(words))]
+                ln = ln.replace(w, str(rng.choice(pool)), 1)
+        out.append(ln)
+    return "\n".join(out)
+
+
+def make_corpus(
+    n_docs: int = 500, seed: int = 42, cfg: DedupConfig | None = None
+) -> Corpus:
+    """Build the planted corpus.  Returns rows + truth keyed by the
+    natural key string 'repo|path|commit' (tests map to doc_id after
+    prep, since doc_id = xxhash64 lives JVM-side)."""
+    cfg = cfg or DedupConfig()
+    rng = np.random.Generator(np.random.PCG64(seed))
+    corpus = Corpus()
+    serial = 0
+
+    def add_row(content: str) -> int:
+        nonlocal serial
+        i = serial
+        serial += 1
+        repo = f"org{i % 7}/repo{i % 53}"
+        lang = LANGS[rng.choice(len(LANGS), p=LANG_P)]
+        path = f"src/dir{i % 11}/file{i}.{EXTS[lang]}"
+        commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()[:12]
+        corpus.rows.append(
+            dict(repo=repo, path=path, commit=commit, lang=lang, content=content)
+        )
+        return len(corpus.rows) - 1
+
+    n_exact = int(n_docs * 0.15)
+    n_near = int(n_docs * 0.15)
+    n_vendor = int(n_docs * 0.05)
+    n_skew = int(n_docs * 0.05)
+    n_single = n_docs - n_exact - n_near - n_vendor - n_skew
+
+    # singletons
+    for _ in range(n_single):
+        add_row(_gen_content(rng, int(rng.integers(20, 401))))
+
+    # exact-clone groups
+    made = 0
+    while made < n_exact:
+        size = int(rng.integers(2, 6))
+        size = min(size, n_exact - made) if n_exact - made >= 2 else n_exact - made
+        if size < 2:
+            content = _gen_content(rng, int(rng.integers(20, 401)))
+            add_row(content)
+            made += 1
+            continue
+        content = _gen_content(rng, int(rng.integers(20, 401)))
+        idxs = [add_row(content) for _ in range(size)]
+        made += size
+        corpus.truth_groups.append([corpus.key(i) for i in idxs])
+        for x in range(len(idxs)):
+            for y in range(x + 1, len(idxs)):
+                corpus.truth_pairs.append(
+                    dict(
+                        key_a=corpus.key(idxs[x]), key_b=corpus.key(idxs[y]),
+                        kind="exact", true_jaccard=1.0,
+                    )
+                )
+
+    # near-clone groups at token-edit rates {1%, 5%, 10%}
+    made = 0
+    rates = [0.01, 0.05, 0.10]
+    while made < n_near:
+        size = int(rng.integers(2, 5))
+        if n_near - made < 2:
+            add_row(_gen_content(rng, int(rng.integers(20, 401))))
+            made += 1
+            continue
+        size = min(size, n_near - made)
+        base = _gen_content(rng, int(rng.integers(60, 401)))
+        rate = rates[int(rng.integers(0, 3))]
+        contents = [base] + [_mutate(rng, base, rate) for _ in range(size - 1)]
+        idxs = [add_row(c) for c in contents]
+        made += size
+        corpus.truth_groups.append([corpus.key(i) for i in idxs])
+        for x in range(len(idxs)):
+            for y in range(x + 1, len(idxs)):
+                tj = py_jaccard(contents[x], contents[y], cfg)
+                corpus.truth_pairs.append(
+                    dict(
+                        key_a=corpus.key(idxs[x]), key_b=corpus.key(idxs[y]),
+                        kind=f"near{int(rate*100)}", true_jaccard=tj,
+                    )
+                )
+
+    # vendored-substring pairs: B embeds a big verbatim slice of A
+    for _ in range(max(n_vendor // 2, 0)):
+        a = _gen_content(rng, int(rng.integers(120, 301)))
+        filler = _gen_content(rng, int(rng.integers(300, 501)))
+        slice_ = a[: max(cfg.substr_min_len, 2048)]
+        cut = len(filler) // 2
+        b = filler[:cut] + "\n" + slice_ + "\n" + filler[cut:]
+        ia, ib = add_row(a), add_row(b)
+        corpus.truth_pairs.append(
+            dict(
+                key_a=corpus.key(ia), key_b=corpus.key(ib),
+                kind="vendored", true_jaccard=py_jaccard(a, b, cfg),
+            )
+        )
+
+    # adversarial skew: near-empty files + shared boilerplate header
+    for j in range(n_skew):
+        if j % 3 == 0:
+            add_row("\n" if j % 2 else "x = 1\n")
+        else:
+            add_row(BOILERPLATE + _gen_content(rng, int(rng.integers(3, 8))))
+
+    # vendored pairs add rows two at a time — top up to exactly n_docs
+    while len(corpus.rows) < n_docs:
+        add_row(_gen_content(rng, int(rng.integers(20, 401))))
+
+    return corpus
+
+
+def corpus_to_pandas(corpus: Corpus):
+    import pandas as pd
+
+    code_files = pd.DataFrame(corpus.rows)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    truth_pairs = pd.DataFrame(
+        corpus.truth_pairs, columns=["key_a", "key_b", "kind", "true_jaccard"]
+    )
+    return code_files, truth_pairs

@@ -1,0 +1,163 @@
+"""LSH banding + candidate-pair generation (SURVEY.md §2 rows S7, J1, J2).
+
+Reference analog: the precomputed targets file that tells the reference
+WHICH wells are neighbors (ring levels 1..L) so it never compares all
+pairs.  Here the neighborhood structure is *computed*: docs sharing an
+LSH band hash (MinHash) or a SimHash chunk are "neighbors"; everything
+else is never compared.  Banding is pure Catalyst — no UDFs.
+
+Skew is the defining scale problem of this join (BASELINE.json:6
+"salting and AQE handling banded-bucket skew"):  boilerplate/empty
+files collapse millions of docs into one (band_id, band_hash) bucket,
+and a naive self-join emits O(m²) pairs.  Strategy (SURVEY.md §4):
+
+1. never raw-self-join: aggregate each bucket to a sorted, CAPPED doc
+   list (`max_bucket`), then explode pairs — bounds pair fan-out to
+   O(cap²) per bucket;
+2. buckets larger than `drop_bucket_over` are dropped *with a metrics
+   record* (never silently) — such buckets are degenerate boilerplate
+   whose pairs the verification stage would reject anyway;
+3. AQE skew-join handles residual imbalance in downstream joins.
+
+The doc list per bucket is SORTED before capping, so the surviving
+pair set is deterministic across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+
+def _banding_specs(cfg: DedupConfig) -> list[tuple[int, int, int]]:
+    """All (global_band_id, slice_start_1based, slice_len) for the
+    primary banding plus each complementary banding.  Global ids are
+    offset per banding (0, 100, 200, …) so keyspaces never collide."""
+    specs = [(i, i * cfg.rows_per_band + 1, cfg.rows_per_band) for i in range(cfg.bands)]
+    offset = 100
+    for b, r in cfg.extra_bandings:
+        specs += [(offset + i, i * r + 1, r) for i in range(b)]
+        offset += 100
+    return specs
+
+
+def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures(doc_id, minhash) → buckets(band_id, band_hash, doc_id).
+
+    Each signature splits into `bands` slices of `rows_per_band`
+    hashes (plus the complementary bandings); each slice hashes to 64
+    bits with the global band id as an extra hashed column, so equal
+    row-slices in different bands never collide.  The banding plan is
+    static config → unrolled to a literal struct array, pure Catalyst,
+    fully codegen'd; one posexplode, no UDF.
+    """
+    entries = [
+        F.struct(
+            F.lit(gid).alias("band_id"),
+            F.xxhash64(
+                F.lit(gid),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("minhash", start, ln), lambda x: x.cast("string")
+                    ),
+                ),
+            ).alias("band_hash"),
+        )
+        for gid, start, ln in _banding_specs(cfg)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*entries)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_hash")
+
+
+def simhash_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """SimHash chunk bands (S8 candidate path): split the 64-bit
+    signature into `simhash_chunks` equal chunks; by pigeonhole, two
+    signatures within `simhash_chunks - 1` Hamming bits share at least
+    one identical chunk.  Emits the same (band_id, band_hash, doc_id)
+    shape so the pair machinery below is reused verbatim.
+
+    band_id is offset by 1000 to keep the keyspace disjoint from
+    MinHash bands when both methods run.
+    """
+    n = cfg.simhash_chunks
+    width = cfg.simhash_bits // n
+    mask = (1 << width) - 1
+    # n is a small static config value → unroll to a literal array
+    # (shiftrightunsigned needs a Python int shift, not a Column)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+            for i in range(n)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.posexplode(chunks).alias("band_id", "band_hash")
+    ).withColumn("band_id", F.col("band_id") + F.lit(1000))
+
+
+def candidate_pairs_from_buckets(
+    buckets: DataFrame, cfg: DedupConfig, src: str
+) -> DataFrame:
+    """buckets → candidate_pairs(id_a, id_b, src), id_a < id_b, distinct.
+
+    The J2 "bounded pair-emit": groupBy bucket → sorted capped doc list
+    → explode index pairs.  One shuffle on (band_id, band_hash) — the
+    aggregation is partial+final (map-side combine), and the pair
+    explosion happens post-aggregation so no bucket ever materializes
+    more than cap·(cap-1)/2 pairs.
+    """
+    ids_col = F.sort_array(F.collect_list("doc_id"))
+    grouped = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(ids_col.alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    kept = grouped.filter(F.col("n") <= cfg.drop_bucket_over).withColumn(
+        "ids", F.slice("ids", 1, cfg.max_bucket)
+    )
+    # explode (i, j) index pairs from the sorted unique list
+    pairs = (
+        kept.select(F.col("ids"))
+        .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .withColumn("src", F.lit(src))
+    )
+    return pairs
+
+
+def dropped_bucket_stats(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Metrics record for degenerate buckets (never drop silently —
+    SURVEY.md §4).  Returns (band_id, band_hash, n) of dropped buckets."""
+    return (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cfg.drop_bucket_over)
+    )
+
+
+def exact_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate edges by content sha256 — the cheap stage that
+    runs before any signature work.
+
+    Emits STAR edges (group-min ↔ each other member), not all pairs:
+    sha equality needs no per-pair verification, and connectivity for
+    the CC stage only needs n-1 edges per group — a group of 100k
+    identical boilerplate files yields 10^5 edges, not 5·10^9.  One
+    shuffle: min(doc_id) is computed by a window over the sha key.
+    """
+    w = Window.partitionBy("content_sha256")
+    return (
+        docs.select("doc_id", "content_sha256")
+        .withColumn("id_a", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"), F.lit("exact").alias("src"))
+    )

@@ -1,0 +1,83 @@
+"""Per-partition lineage & metrics (SURVEY.md §1.2 `metrics` table;
+BASELINE.json:6 "per-partition lineage and metrics").
+
+Two mechanisms, used together:
+
+- `observe()` — zero-cost aggregate counters attached to a stage's
+  plan (rows in/out, null counts); collected from the driver after the
+  action runs.  This is the hot-path mechanism: it adds no shuffle and
+  no Python.
+- `partition_stats()` — an explicit per-partition row-count profile
+  via `spark_partition_id()`, used when a stage checkpoint lands so
+  skew is visible in the metrics table (which partitions are fat is
+  exactly what you need to debug banded-bucket skew at scale).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "stage string, part_id int, rows_in long, rows_out long, wall_ms long, run_id string"
+)
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def observe_stage(df: DataFrame, stage: str) -> tuple[DataFrame, Observation]:
+    obs = Observation(stage)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+
+def partition_stats(df: DataFrame, stage: str, run_id: str) -> DataFrame:
+    """Row-count per physical partition for the lineage table."""
+    return (
+        df.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("part_id"),
+            F.lit(None).cast("long").alias("rows_in"),
+            F.col("rows_out"),
+            F.lit(None).cast("long").alias("wall_ms"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+
+
+class StageTimer:
+    """Wall-clock + row metrics collector for pipeline stages."""
+
+    def __init__(self, run_id: str | None = None):
+        self.run_id = run_id or new_run_id()
+        self.records: list[dict] = []
+
+    def record(self, stage: str, rows_in: int | None, rows_out: int | None, wall_ms: int):
+        self.records.append(
+            dict(
+                stage=stage,
+                part_id=-1,
+                rows_in=rows_in,
+                rows_out=rows_out,
+                wall_ms=wall_ms,
+                run_id=self.run_id,
+            )
+        )
+
+    def time_stage(self, stage: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        self.record(stage, None, None, int((time.monotonic() - t0) * 1000))
+        return out
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        if not self.records:
+            return spark.createDataFrame([], METRICS_SCHEMA)
+        return spark.createDataFrame(self.records, METRICS_SCHEMA)

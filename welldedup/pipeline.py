@@ -1,0 +1,175 @@
+"""End-to-end dedup pipeline: prep → signatures → buckets → pairs →
+verify → cluster → report (SURVEY.md §3.4).
+
+Each stage checkpoints through `StageStore` (manifest-gated resume) and
+records wall-clock + per-partition row metrics.  The stage list and
+data shapes mirror the reference's dataflow A1–A7 (SURVEY.md §2.1)
+re-expressed as Spark jobs; stage boundaries are exactly the shuffle
+boundaries, so the checkpoints double as shuffle-materialization
+points for mid-stage resume.
+
+Can also run fully in-memory (store=None) for tests and entry().
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cluster as cc
+from . import lsh, prep, signatures, substr, verify
+from .config import DedupConfig
+from .io import StageStore
+from .metrics import StageTimer, partition_stats
+
+DOCS_COLS = [
+    "doc_id", "repo", "path", "commit", "lang",
+    "content_sha256", "n_bytes", "n_tokens",
+]
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    signatures: DataFrame
+    candidate_pairs: DataFrame
+    verified_pairs: DataFrame
+    clusters: DataFrame
+    metrics: DataFrame
+    stage_seconds: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    code_files: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+    force: bool = False,
+) -> PipelineResult:
+    cfg = cfg or DedupConfig()
+    # the caller may hand us a foreign SparkSession (driver contract) —
+    # make sure executors can unpickle our UDF closures
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    timer = StageTimer()
+    seconds: dict[str, float] = {}
+    metrics_parts: list[DataFrame] = []
+
+    def stage(name: str, build, partition_by=None) -> DataFrame:
+        t0 = time.monotonic()
+        if store is not None:
+            out = store.run_stage(name, spark, build, partition_by=partition_by, force=force)
+        else:
+            # in-memory mode: materialize each stage boundary anyway —
+            # downstream stages (especially the iterative CC loop)
+            # must never re-trigger upstream UDF stages per action.
+            out = build().localCheckpoint(eager=True)
+        seconds[name] = time.monotonic() - t0
+        timer.record(name, None, None, int(seconds[name] * 1000))
+        return out
+
+    # --- prep: docs table (narrow, no content/tokens) + a working df
+    # `prepared` keeps tokens/content in memory for the signature stage;
+    # the checkpointed `docs` is the narrow schema.
+    prepared = prep.prepare_docs(code_files, cfg)
+    docs = stage("docs", lambda: prepared.select(*DOCS_COLS))
+
+    # --- signatures (minhash + simhash [+ shingles for exact verify])
+    def build_sigs():
+        return signatures.add_signatures(prepared, cfg)
+
+    sigs = stage("signatures", build_sigs)
+
+    # --- candidate pairs: exact (sha star edges) + per enabled method
+    def build_pairs():
+        parts = [lsh.exact_dup_pairs(docs)]
+        if "minhash" in cfg.methods:
+            b = lsh.band_buckets(sigs, cfg)
+            parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash"))
+        if "simhash" in cfg.methods:
+            sb = lsh.simhash_buckets(sigs, cfg)
+            parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash"))
+        if "substr" in cfg.methods:
+            parts.append(substr.substr_candidate_pairs(prepared, cfg))
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        # U1: a pair found by several methods keeps ONE row, choosing
+        # the strongest evidence (exact and substr are verified by
+        # construction; minhash/simhash must pass the verify stage) —
+        # deterministic regardless of union order.
+        prio = (
+            F.when(F.col("src") == "exact", 0)
+            .when(F.col("src") == "substr", 1)
+            .when(F.col("src") == "minhash", 2)
+            .otherwise(3)
+        )
+        return (
+            allp.withColumn("prio", prio)
+            .groupBy("id_a", "id_b")
+            .agg(F.min(F.struct("prio", "src")).alias("best"))
+            .select("id_a", "id_b", F.col("best.src").alias("src"))
+        )
+
+    pairs = stage("candidate_pairs", build_pairs)
+
+    # --- verification (exact pairs skip similarity checks by definition)
+    def build_verified():
+        # exact pairs: sha256 equality IS the verification.
+        # substr pairs: verified by shared-fingerprint count at emit
+        # time (substr.fp_shared_threshold) — whole-doc jaccard/edit
+        # checks would wrongly reject a 2kB slice inside a 50kB file.
+        by_construction = pairs.filter(F.col("src").isin("exact", "substr")).select(
+            "id_a", "id_b", "src",
+            F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+            F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+            F.lit(None).cast("double").alias("edit_sim"),
+            F.lit(True).alias("dup"),
+        )
+        near = pairs.filter(~F.col("src").isin("exact", "substr"))
+        verified = verify.verify_pairs(near, sigs, prepared, cfg)
+        return verified.unionByName(by_construction)
+
+    verified = stage("verified_pairs", build_verified)
+
+    # --- clustering
+    def build_clusters():
+        edges = verified.filter("dup").select("id_a", "id_b")
+        return cc.connected_components(docs.select("doc_id"), edges, cfg)
+
+    clusters = stage("clusters", build_clusters)
+
+    # --- metrics table (stage wall-times + per-partition lineage)
+    for name, df in [("docs", docs), ("candidate_pairs", pairs), ("clusters", clusters)]:
+        metrics_parts.append(partition_stats(df, name, timer.run_id))
+    metrics = timer.to_df(spark)
+    for mp in metrics_parts:
+        metrics = metrics.unionByName(mp)
+    if store is not None:
+        metrics = store.write("metrics", metrics)
+
+    return PipelineResult(
+        docs=docs,
+        signatures=sigs,
+        candidate_pairs=pairs,
+        verified_pairs=verified,
+        clusters=clusters,
+        metrics=metrics,
+        stage_seconds=seconds,
+    )
+
+
+def cluster_report(result: PipelineResult) -> DataFrame:
+    """A7 analog — summary stats: cluster-size histogram + dup rate."""
+    sizes = result.clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

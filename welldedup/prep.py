@@ -1,0 +1,99 @@
+"""Document preparation: validity filter, hashing, ids, tokenization.
+
+Reference analog (SURVEY.md §2.1): A3 (decode) + A4 (validity filter)
+— the reference decodes a fixed-length sequence prefix per well and
+skips wells failing the chastity filter.  Here the "decode" is a
+columnar parquet/Iceberg scan and the prefix analog is the token
+stream; everything below is pure Catalyst (zero Python UDFs), so it
+stays inside whole-stage codegen and the scan only reads the columns
+each stage selects.
+
+Scale notes:
+- `doc_id` is `xxhash64(repo, path, commit)` — content-independent,
+  deterministic across cluster sizes, retries and resumes (never
+  `monotonically_increasing_id`, which depends on partitioning).
+- sha256 is computed ONCE here and carried as the per-row invariant
+  (BASELINE.json:15 "content sha256 equality").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import TOKEN_PATTERN, DedupConfig
+
+# Columns of the canonical input table (BASELINE.json input_hint).
+CODE_FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def with_doc_id(df: DataFrame) -> DataFrame:
+    """P3 — stable 64-bit id from the natural key (repo, path, commit)."""
+    return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+
+
+def with_sha256(df: DataFrame, col: str = "content") -> DataFrame:
+    """P2 — the per-row invariant column (BASELINE.json:15)."""
+    return df.withColumn("content_sha256", F.sha2(F.col(col), 256))
+
+
+def validity_filter(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """P1 — drop rows the pipeline cannot meaningfully sign (analog of
+    the reference's chastity/N filter A4)."""
+    n = F.length("content")
+    return df.filter(
+        F.col("content").isNotNull()
+        & (n >= cfg.min_content_len)
+        & (n <= cfg.max_content_len)
+    )
+
+
+def normalize_expr(col: str, cfg: DedupConfig):
+    """P4 — config-pinned normalization (part of the 'identical
+    shingle/signature config' contract)."""
+    c = F.col(col)
+    if cfg.lowercase:
+        c = F.lower(c)
+    # collapse runs of whitespace so formatting-only edits don't change
+    # the token stream
+    return F.regexp_replace(c, r"\s+", " ")
+
+
+def tokenize_expr(col: str, cfg: DedupConfig):
+    """P5 — code-ish tokens via a single JVM-side regexp extraction."""
+    return F.regexp_extract_all(normalize_expr(col, cfg), F.lit(TOKEN_PATTERN), 0)
+
+
+def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """code_files(repo,path,commit,lang,content) → docs table
+    (SURVEY.md §1.2): doc_id, natural key, sha256, sizes, tokens.
+
+    `tokens` is carried to the signature stage then dropped; checkpoint
+    writers select the narrow schema.
+    """
+    df = validity_filter(code_files, cfg)
+    df = with_doc_id(df)
+    df = with_sha256(df)
+    df = df.withColumn("n_bytes", F.length("content").cast("long"))
+    df = df.withColumn("tokens", tokenize_expr("content", cfg))
+    df = df.withColumn("n_tokens", F.size("tokens").cast("long"))
+    return df
+
+
+def shingles_expr(tokens_col: str, cfg: DedupConfig):
+    """k-shingle hashes (S5) in pure Catalyst: for each window start i,
+    hash the '\\x1f'-joined k tokens with xxhash64; distinct to form
+    the shingle *set*.  Docs shorter than k tokens hash their whole
+    token stream as a single shingle (so short files still sign).
+
+    This is JVM-side and codegen'd — the pandas-UDF path is only needed
+    afterwards for the MinHash matrix min (signatures.py).
+    """
+    t = F.col(tokens_col)
+    k = cfg.shingle_k
+    short = F.array(F.xxhash64(F.concat_ws("\x1f", t)))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(t, i + 1, k))),
+    )
+    return F.array_distinct(F.when(F.size(t) < k, short).otherwise(windows))

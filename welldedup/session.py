@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+One place to pin the execution config that the whole engine assumes:
+AQE on (runtime skew-join splitting + partition coalescing — SURVEY.md
+§4), Arrow transport for every pandas UDF, UTC timezone (so DuckDB
+oracle comparisons are stable), and shuffle partitions sized to cores
+rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "welldedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → os.cpu_count()
+        inner = master[master.index("[") + 1 : master.index("]")] if "[" in master else "*"
+        shuffle_partitions = os.cpu_count() if inner == "*" else max(int(inner), 1)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("WELLDEDUP_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # executors must be able to import welldedup to unpickle UDFs,
+    # regardless of the driver's cwd (the --py-files path)
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,50 @@
+"""Ship the welldedup package to executors (the --py-files path).
+
+Production runs use ``spark-submit --py-files welldedup.zip main.py``
+(BASELINE.json:14); when the engine is embedded as a library (tests,
+the driver contract in __spark_entry__.py), the executors' Python
+workers still need to import `welldedup` to unpickle UDF closures.
+`ensure_shipped(spark)` builds the same zip spark-submit would take
+and registers it via ``sparkContext.addPyFile`` — idempotent per
+session, atomic on disk (write-to-temp + os.replace) so concurrent
+drivers can't observe a half-written zip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_FLAG = "_welldedup_pyfiles_shipped"
+
+
+def build_package_zip(dest_dir: str | None = None) -> str:
+    """Zip the installed welldedup package so `import welldedup` works
+    from the zip root (the layout --py-files expects)."""
+    import welldedup
+
+    pkg_dir = os.path.dirname(os.path.abspath(welldedup.__file__))
+    version = getattr(welldedup, "__version__", "0")
+    dest_dir = dest_dir or tempfile.gettempdir()
+    dest = os.path.join(dest_dir, f"welldedup-{version}.zip")
+    if os.path.exists(dest):
+        return dest
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=dest_dir)
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name in sorted(os.listdir(pkg_dir)):
+            if name.endswith(".py"):
+                zf.write(os.path.join(pkg_dir, name), f"welldedup/{name}")
+    os.replace(tmp, dest)
+    return dest
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make `welldedup` importable on every executor Python worker."""
+    if getattr(spark, _SHIPPED_FLAG, False):
+        return
+    spark.sparkContext.addPyFile(build_package_zip())
+    setattr(spark, _SHIPPED_FLAG, True)

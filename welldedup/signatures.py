@@ -1,0 +1,154 @@
+"""MinHash + SimHash signatures (SURVEY.md §2 rows S5/S6/S8).
+
+Reference analog: the fixed-length sequence prefix the reference
+compares between neighboring wells.  Here the comparable "prefix" is a
+MinHash signature over the document's k-token-shingle set (plus a
+64-bit SimHash), computed by ONE vectorized pandas UDF per batch —
+Arrow in, numpy matrix ops, Arrow out.  No per-row Python work beyond
+ragged-array bookkeeping (BASELINE.json:15 bans row-at-a-time UDFs).
+
+Vectorization strategy: a whole Arrow batch of shingle arrays is
+flattened to one uint64 vector with row offsets; the universal-hash
+family is applied as an (n_hashes × total_shingles) broadcasted matrix
+in chunks, then `np.minimum.reduceat` folds per-row minima — so the
+cost per batch is a handful of numpy kernels regardless of row count.
+
+Hash family: multiply-add over Z_2^64 — h_i(x) = a_i * x + b_i with
+a_i odd, arithmetic wrapping mod 2^64.  Each h_i is a BIJECTION on
+64-bit space (odd multiplier), i.e. a cheap keyed permutation — exactly
+what MinHash wants — and it costs one mul + one add per element in
+numpy, ~10× faster than a mod-p family (the `%` was the measured
+hot spot).  Estimator quality is validated empirically by the Chernoff
+property test in tests/.  Seeds derive from cfg.minhash_seed via PCG64
+→ signatures are bit-identical across cluster sizes, resumes, retries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DedupConfig
+from .prep import shingles_expr
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("minhash", T.ArrayType(T.LongType(), containsNull=False)),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors: a odd uint64 (so each
+    h_i is a bijection on Z_2^64), b uniform uint64."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_matrix(
+    flat: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray,
+    chunk: int = 16,
+) -> np.ndarray:
+    """MinHash for a ragged batch.
+
+    flat: uint64[total_shingles]  — all rows' shingles concatenated
+    offsets: int64[n_rows]        — start index of each row in `flat`
+    returns int64[n_rows, n_hashes]
+
+    h_i(x) = a_i*x + b_i wrapping mod 2^64 (bijection, no `%`); chunked
+    over hash functions so the (chunk × total) temp matrix stays small.
+    """
+    n_hashes = a.shape[0]
+    n_rows = offsets.shape[0]
+    out = np.empty((n_rows, n_hashes), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for lo in range(0, n_hashes, chunk):
+            hi = min(lo + chunk, n_hashes)
+            m = a[lo:hi, None] * flat[None, :] + b[lo:hi, None]
+            out[:, lo:hi] = np.minimum.reduceat(m, offsets, axis=1).T
+    return out.view(np.int64)
+
+
+def simhash_vector(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row: majority vote over each feature bit.
+    returns int64[n_rows].
+
+    Bit unpack via np.unpackbits (little-endian bit order matches the
+    uint64 byte layout), per-row bit counts via one int64 reduceat —
+    no (total × 64) int32 temporaries."""
+    n_rows = offsets.shape[0]
+    total = flat.shape[0]
+    bits = np.unpackbits(
+        flat.view(np.uint8).reshape(total, 8), axis=1, bitorder="little"
+    )  # (total, 64) uint8
+    ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)  # (n_rows, 64)
+    seg_len = np.diff(np.append(offsets, total))[:, None]
+    packed = (((2 * ones) > seg_len).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return packed.view(np.int64)
+
+
+def _flatten(shingle_series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged list column → (flat uint64 vector, row offsets).  Empty
+    rows get a single sentinel 0 shingle so reduceat stays aligned."""
+    arrs = [
+        np.asarray(v, dtype=np.int64) if v is not None and len(v) else _EMPTY
+        for v in shingle_series
+    ]
+    lengths = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    flat = (
+        np.concatenate(arrs).view(np.uint64)
+        if arrs
+        else np.zeros(0, dtype=np.uint64)
+    )
+    return flat, offsets
+
+
+_EMPTY = np.zeros(1, dtype=np.int64)
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """pandas UDF: array<long> shingles → struct(minhash array<long>,
+    simhash long).  Coefficients are captured once per executor."""
+    a, b = hash_family(cfg.n_hashes, cfg.minhash_seed)
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def signature_udf(shingles: pd.Series) -> pd.DataFrame:
+        if len(shingles) == 0:
+            return pd.DataFrame({"minhash": [], "simhash": []})
+        flat, offsets = _flatten(shingles)
+        mh = minhash_matrix(flat, offsets, a, b)
+        sh = simhash_vector(flat, offsets)
+        return pd.DataFrame({"minhash": list(mh), "simhash": sh})
+
+    return signature_udf
+
+
+def add_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs (with `tokens`) → signatures table
+    (doc_id, minhash array<long>, simhash long, shingles array<long>).
+
+    Shingling (S5) runs JVM-side in pure Catalyst (prep.shingles_expr);
+    only the matrix-min / bit-majority folds cross into Python, as one
+    Arrow batch per 2048 rows.  `shingles` is retained because exact
+    Jaccard verification (V2) consumes it; pipeline.py drops it when
+    cfg.verify_exact_jaccard is off.
+    """
+    sig = make_signature_udf(cfg)
+    out = docs.withColumn("shingles", shingles_expr("tokens", cfg))
+    out = out.withColumn("sig", sig(F.col("shingles")))
+    return out.select(
+        "doc_id",
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.simhash").alias("simhash"),
+        "shingles",
+    )

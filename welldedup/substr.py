@@ -1,0 +1,123 @@
+"""Substring / vendored-copy detection via winnowing fingerprints
+(SURVEY.md §2 row S9).
+
+Third method named by BASELINE.json:6,14 ("suffix-array substring
+dedup").  A literal distributed suffix array is the wrong tool on
+Spark — it needs the whole corpus co-resident per comparison.  The
+scalable reduction (SURVEY.md §2.2 S9) is *winnowing* (Schleimer,
+Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+Fingerprinting", SIGMOD 2003): select a deterministic, content-local
+subset of k-char rolling-hash fingerprints per document, then find
+docs sharing many fingerprints with the SAME groupBy-join machinery as
+LSH bands.  Two docs sharing a verbatim substring of length >=
+(winnow_window + winnow_k - 1) are GUARANTEED to share a fingerprint;
+a vendored slice of `substr_min_len` chars shares ~L/w of them, so a
+shared-count threshold verifies the pair without ever materializing
+content pairs.
+
+The fingerprint computation is one vectorized pandas UDF per batch:
+rolling polynomial hashes via numpy sliding_window_view + int64 matmul
+(terms stay < 2^45, no overflow), winnow selection via a windowed min.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DedupConfig
+
+_M1 = (1 << 31) - 1
+_M2 = (1 << 29) - 3
+_B = 257
+
+
+def _pow_vec(k: int, mod: int) -> np.ndarray:
+    p = np.empty(k, dtype=np.int64)
+    v = 1
+    for i in range(k - 1, -1, -1):
+        p[i] = v
+        v = (v * _B) % mod
+    return p
+
+
+def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
+    """Winnowed fingerprint set (unique int64) of one document."""
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = data.shape[0]
+    if n < k:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        grams = data.astype(np.int64)
+        h = (grams @ _pow_vec(n, _M1)[-n:]) % _M1
+        return np.array([int(h)], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.int64)
+    h1 = (win @ _pow_vec(k, _M1)) % _M1
+    h2 = (win @ _pow_vec(k, _M2)) % _M2
+    h = (h1 << np.int64(29)) | h2
+    if h.shape[0] <= w:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)
+
+
+def make_winnow_udf(cfg: DedupConfig):
+    k, w = cfg.winnow_k, cfg.winnow_window
+
+    @F.pandas_udf(T.ArrayType(T.LongType(), containsNull=False))
+    def winnow_udf(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda s: winnow_fingerprints(s if s is not None else "", k, w)
+        )
+
+    return winnow_udf
+
+
+def fp_shared_threshold(cfg: DedupConfig) -> int:
+    """Minimum shared-fingerprint count implied by a verbatim overlap of
+    `substr_min_len` chars.  Winnowing guarantees one selected
+    fingerprint per window fully inside the shared region; interior
+    windows select identical fingerprints in both docs, giving at least
+    floor((L - k - w) / w) distinct shared selections.  Halved for
+    slack against unicode re-encoding edge effects; floor 2 so a single
+    coincidental gram never pairs two docs."""
+    L, k, w = cfg.substr_min_len, cfg.winnow_k, cfg.winnow_window
+    return max(2, (L - k - w) // (2 * w))
+
+
+def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs(doc_id, content) → pairs(id_a, id_b, src='substr') whose
+    shared-fingerprint count clears `fp_shared_threshold` — i.e. the
+    pair is *verified by construction* to share ~substr_min_len chars.
+
+    Dataflow: winnow UDF → posexplode fingerprints → groupBy(fp) with
+    the same cap/drop discipline as LSH buckets (a boilerplate header
+    shared by 10^6 files is a degenerate fingerprint) → pair emit →
+    groupBy(pair) count filter.  Shuffles: one on fp, one on the pair
+    key.  Skew note: fingerprints of ubiquitous boilerplate are capped
+    at `max_bucket` docs, mirroring lsh.candidate_pairs_from_buckets.
+    """
+    udf = make_winnow_udf(cfg)
+    fps = docs.select("doc_id", F.explode(udf("content")).alias("fp"))
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over))
+        .withColumn("ids", F.slice("ids", 1, cfg.max_bucket))
+    )
+    pair_counts = (
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fp"))
+    )
+    return (
+        pair_counts.filter(F.col("shared_fp") >= fp_shared_threshold(cfg))
+        .select("id_a", "id_b", F.lit("substr").alias("src"))
+    )

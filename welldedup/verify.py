@@ -1,0 +1,119 @@
+"""Candidate-pair verification (SURVEY.md §2 rows V1–V4, J3).
+
+Reference analog: step A5 — the reference calls a neighbor a duplicate
+iff its sequence prefix matches the center's within an allowed mismatch
+count.  The generalized predicate (BASELINE.json:6) is
+``dup := jaccard >= θ  OR  edit_sim >= τ`` with a cheap MinHash
+estimate prefilter so the expensive checks only touch plausible pairs.
+
+All three similarity checks are pure Catalyst (zip_with/aggregate,
+array_intersect/union, built-in levenshtein with threshold) — zero
+Python in the verification hot path.
+
+Join strategy: candidate pairs join `signatures` twice on doc_id (both
+sides large → shuffled hash / sort-merge under AQE); the content join
+for the edit check happens only on the thin post-prefilter pair set and
+projects a bounded prefix (`edit_max_chars`) so the O(n·m) levenshtein
+cost is capped per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+
+def jaccard_est_expr(sig_a: str, sig_b: str, n_hashes: int):
+    """V1 — fraction of equal MinHash positions, pure Catalyst."""
+    eq = F.zip_with(F.col(sig_a), F.col(sig_b), lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / n_hashes
+    )
+
+
+def exact_jaccard_expr(sh_a: str, sh_b: str):
+    """V2 — |A∩B| / |A∪B| on shingle sets."""
+    inter = F.size(F.array_intersect(F.col(sh_a), F.col(sh_b))).cast("double")
+    union = F.size(F.array_union(F.col(sh_a), F.col(sh_b))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def edit_sim_expr(a: str, b: str, cfg: DedupConfig):
+    """V3 — normalized Levenshtein similarity on bounded content
+    prefixes.  Uses the threshold form of the builtin (returns -1 when
+    distance exceeds the bound) so the JVM can early-exit: the bound is
+    the largest distance that could still clear `edit_sim_threshold`.
+    """
+    pa = F.substring(F.col(a), 1, cfg.edit_max_chars)
+    pb = F.substring(F.col(b), 1, cfg.edit_max_chars)
+    max_len = F.greatest(F.length(pa), F.length(pb))
+    bound = int(cfg.edit_max_chars * (1.0 - cfg.edit_sim_threshold)) + 1
+    d = F.levenshtein(pa, pb, bound)
+    return F.when(max_len == 0, F.lit(1.0)).otherwise(
+        F.when(d < 0, F.lit(0.0)).otherwise(1.0 - d.cast("double") / max_len)
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """candidate_pairs → verified_pairs
+    (id_a, id_b, src, jaccard_est, jaccard, edit_sim, dup).
+
+    Staged cheapest-first:
+      1. attach signatures (2 joins on doc_id), compute jaccard_est;
+      2. prefilter est >= cfg.est_prefilter (discards LSH false
+         positives before touching shingle arrays or content);
+      3. exact jaccard on shingles (carried in `signatures`);
+      4. edit check ONLY for pairs that failed jaccard but could pass
+         edit_sim — content joined late, on the smallest possible set;
+      5. dup := jaccard >= θ OR edit_sim >= τ.
+    """
+    keep_shingles = cfg.verify_exact_jaccard
+    sig_cols = ["doc_id", "minhash"] + (["shingles"] if keep_shingles else [])
+    sig = signatures.select(*sig_cols)
+
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+        *([F.col("shingles").alias("sh_a")] if keep_shingles else []),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+        *([F.col("shingles").alias("sh_b")] if keep_shingles else []),
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    j = j.withColumn("jaccard_est", jaccard_est_expr("mh_a", "mh_b", cfg.n_hashes))
+    j = j.filter(F.col("jaccard_est") >= cfg.est_prefilter)
+
+    if keep_shingles:
+        j = j.withColumn("jaccard", exact_jaccard_expr("sh_a", "sh_b"))
+    else:
+        j = j.withColumn("jaccard", F.col("jaccard_est"))
+    j = j.select("id_a", "id_b", "src", "jaccard_est", "jaccard")
+
+    # edit check: only pairs not already accepted by jaccard
+    need_edit = j.filter(F.col("jaccard") < cfg.jaccard_threshold)
+    ca = docs.select(F.col("doc_id").alias("id_a"), F.col("content").alias("c_a"))
+    cb = docs.select(F.col("doc_id").alias("id_b"), F.col("content").alias("c_b"))
+    edited = (
+        need_edit.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("edit_sim", edit_sim_expr("c_a", "c_b", cfg))
+        .select("id_a", "id_b", "src", "jaccard_est", "jaccard", "edit_sim")
+    )
+    accepted = j.filter(F.col("jaccard") >= cfg.jaccard_threshold).withColumn(
+        "edit_sim", F.lit(None).cast("double")
+    )
+    out = accepted.unionByName(edited)
+    return out.withColumn(
+        "dup",
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | (F.coalesce(F.col("edit_sim"), F.lit(0.0)) >= cfg.edit_sim_threshold),
+    )
