@@ -1,0 +1,72 @@
+"""C1–C3 tests on handcrafted graphs (FIXTURES.md §3 cc_graphs):
+chain, star, two components, self-loop, duplicate edges, empty edges."""
+
+import pytest
+
+from welldedup.cluster import connected_components, cluster_representatives
+from welldedup.config import DedupConfig
+
+CFG = DedupConfig()
+
+
+def _run(spark, n_nodes, edges):
+    nodes = spark.range(0, n_nodes).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        e = e.filter("id_a < 0")  # empty edge set with schema
+    out = connected_components(nodes, e, CFG)
+    return {r.doc_id: r.cluster_id for r in out.collect()}
+
+
+def test_chain(spark):
+    labels = _run(spark, 8, [(i, i + 1) for i in range(7)])
+    assert all(v == 0 for v in labels.values())
+
+
+def test_star(spark):
+    labels = _run(spark, 6, [(5, i) for i in range(5)])
+    assert all(v == 0 for v in labels.values())
+
+
+def test_two_components_and_isolated(spark):
+    labels = _run(spark, 7, [(0, 1), (1, 2), (4, 5)])
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[4] == labels[5] == 4
+    assert labels[3] == 3 and labels[6] == 6
+
+
+def test_self_loop_and_duplicate_edges(spark):
+    labels = _run(spark, 4, [(1, 1), (2, 3), (2, 3), (3, 2)])
+    assert labels[1] == 1
+    assert labels[2] == labels[3] == 2
+    assert labels[0] == 0
+
+
+def test_empty_edges(spark):
+    labels = _run(spark, 5, [])
+    assert labels == {i: i for i in range(5)}
+
+
+def test_representatives(spark):
+    nodes = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    clusters = connected_components(nodes, edges, CFG)
+    docs = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(4)], "doc_id long, path string"
+    )
+    reps = cluster_representatives(clusters, docs)
+    got = sorted((r.cluster_id, r.doc_id) for r in reps.collect())
+    assert got == [(0, 0), (2, 2)]
+
+
+def test_convergence_cap_raises(spark):
+    from welldedup.cluster import ConvergenceError
+
+    nodes = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(nodes, edges, max_rounds=1)

@@ -1,0 +1,109 @@
+"""Planted-corpus end-to-end: the analog of the reference's
+test_count_duplicates / test_well_clusters (BASELINE.json:6) — exact
+assertions against planted ground truth, plus the sha256 per-row
+invariant and checkpoint-resume determinism."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup import run_pipeline
+from welldedup.config import DedupConfig
+from welldedup.fixtures import corpus_to_pandas
+from welldedup.io import StageStore
+
+CFG = DedupConfig(methods=("minhash", "simhash", "substr"))
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus300):
+    cf, _ = corpus_to_pandas(corpus300)
+    return run_pipeline(spark, spark.createDataFrame(cf), CFG)
+
+
+@pytest.fixture(scope="module")
+def key2id(result):
+    return {
+        f"{r.repo}|{r.path}|{r['commit']}": r.doc_id for r in result.docs.collect()
+    }
+
+
+def test_every_doc_is_labeled(result, corpus300):
+    assert result.clusters.count() == len(corpus300.rows)
+    assert result.clusters.select("doc_id").distinct().count() == len(corpus300.rows)
+
+
+def test_dup_pair_recall(result, corpus300, key2id):
+    """Recall >= 0.99 on planted truth pairs that the pinned config
+    declares duplicates: exact clones, vendored substrings, and near
+    clones with true shingle-Jaccard >= threshold (BASELINE.md)."""
+    _, truth = corpus_to_pandas(corpus300)
+    labels = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    den = rec = 0
+    for t in truth.itertuples():
+        if not (
+            t.kind in ("exact", "vendored") or t.true_jaccard >= CFG.jaccard_threshold
+        ):
+            continue
+        den += 1
+        rec += labels[key2id[t.key_a]] == labels[key2id[t.key_b]]
+    assert den > 50, "fixture must plant enough true pairs"
+    assert rec / den >= 0.99, f"recall {rec}/{den}"
+
+
+def test_cluster_labels_are_component_min_ids(result):
+    joined = result.clusters.alias("c")
+    mins = joined.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
+    bad = mins.filter(F.col("cluster_id") != F.col("m")).count()
+    assert bad == 0
+
+
+def test_exact_groups_clustered_exactly(result, corpus300, key2id):
+    """Exact-clone groups land in one cluster whose id is the member
+    min doc_id — the test_well_clusters analog."""
+    labels = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    for keys in corpus300.truth_groups:
+        ids = [key2id[k] for k in keys]
+        got = {labels[i] for i in ids}
+        assert len(got) == 1, f"group split: {keys}"
+
+
+def test_sha256_invariant_in_equals_out(spark, result, corpus300):
+    """BASELINE.json:15 — per-row content sha256 equality between the
+    pipeline input and the checkpointed docs table."""
+    import hashlib
+
+    cf, _ = corpus_to_pandas(corpus300)
+    expected = {
+        (r.repo, r.path, r.commit): hashlib.sha256(r.content.encode()).hexdigest()
+        for r in cf.itertuples()
+    }
+    for r in result.docs.select("repo", "path", "commit", "content_sha256").collect():
+        assert expected[(r.repo, r.path, r["commit"])] == r.content_sha256
+
+
+def test_no_dup_edge_without_evidence(result):
+    """Every verified dup pair carries evidence: jaccard >= θ, or
+    edit_sim >= τ, or src in (exact, substr)."""
+    bad = result.verified_pairs.filter("dup").filter(
+        ~(
+            (F.col("jaccard") >= CFG.jaccard_threshold)
+            | (F.coalesce(F.col("edit_sim"), F.lit(0.0)) >= CFG.edit_sim_threshold)
+            | F.col("src").isin("exact", "substr")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_resume_reproduces_labels(spark, corpus300):
+    cf, _ = corpus_to_pandas(corpus300)
+    df = spark.createDataFrame(cf)
+    store = StageStore(root=tempfile.mkdtemp(), config_hash=CFG.config_hash())
+    r1 = run_pipeline(spark, df, CFG, store=store)
+    l1 = sorted((r.doc_id, r.cluster_id) for r in r1.clusters.collect())
+    r2 = run_pipeline(spark, df, CFG, store=store)
+    l2 = sorted((r.doc_id, r.cluster_id) for r in r2.clusters.collect())
+    assert l1 == l2
+    # all stages skipped on resume → fast; docs stage must hit manifest
+    assert store.is_complete("docs") and store.is_complete("clusters")

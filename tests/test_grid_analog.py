@@ -1,0 +1,104 @@
+"""Grid analog of the reference's well-duplicate tests (FIXTURES.md §3
+`grid_analog`; reference semantics per SURVEY.md §0.1 [U]).
+
+The reference samples wells on a patterned flow-cell grid and counts,
+per neighbor ring level, how many neighbors' sequence prefixes match
+the center (test_count_duplicates), then groups mutually-duplicate
+wells (test_well_clusters).  Analog: an 8×8 grid of docs; for chosen
+seed wells we plant near-identical content in ring-1 neighbors and
+unrelated content elsewhere, then assert the per-level duplicate
+counts and the cluster groupings exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from welldedup import run_pipeline
+from welldedup.config import DedupConfig
+
+CFG = DedupConfig(methods=("minhash",))
+
+GRID = 8
+SEEDS = [(1, 1), (4, 5), (6, 2)]  # ring-1 neighborhoods don't overlap
+
+
+def _ring1(i, j):
+    return [
+        (i + di, j + dj)
+        for di, dj in [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if 0 <= i + di < GRID and 0 <= j + dj < GRID
+    ]
+
+
+def _grid_corpus():
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = {
+        s: "\n".join(
+            f"def fn_{s[0]}{s[1]}_{k}(x): return x + {int(rng.integers(0, 9))}"
+            for k in range(60)
+        )
+        for s in SEEDS
+    }
+    rows = []
+    dup_wells = {}  # (i,j) -> seed it duplicates
+    for s in SEEDS:
+        dup_wells[s] = s
+        for nb in _ring1(*s):
+            dup_wells[nb] = s
+    for i in range(GRID):
+        for j in range(GRID):
+            if (i, j) in dup_wells:
+                s = dup_wells[(i, j)]
+                content = base[s]
+                if (i, j) != s:  # neighbor: one-line mutation (~98% similar)
+                    content = content.replace("fn_%d%d_0" % s, f"fn_mut_{i}{j}", 1)
+            else:
+                content = "\n".join(
+                    f"val_{i}{j}_{k} = {int(rng.integers(0, 10**6))}" for k in range(40)
+                )
+            rows.append(
+                dict(
+                    repo="grid", path=f"well_{i}_{j}.py", commit="c0",
+                    lang="python", content=content,
+                )
+            )
+    return pd.DataFrame(rows), dup_wells
+
+
+@pytest.fixture(scope="module")
+def grid_result(spark):
+    cf, dup_wells = _grid_corpus()
+    res = run_pipeline(spark, spark.createDataFrame(cf), CFG)
+    path2id = {r.path: r.doc_id for r in res.docs.collect()}
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    return dup_wells, path2id, labels
+
+
+def test_count_duplicates_per_level(grid_result):
+    """Level-1 duplicate count per seed equals the planted ring size
+    (the reference's per-level tally, exact)."""
+    dup_wells, path2id, labels = grid_result
+    for s in SEEDS:
+        center = labels[path2id[f"well_{s[0]}_{s[1]}.py"]]
+        n_dup_level1 = sum(
+            labels[path2id[f"well_{i}_{j}.py"]] == center for (i, j) in _ring1(*s)
+        )
+        assert n_dup_level1 == len(_ring1(*s)), f"seed {s}"
+
+
+def test_well_clusters(grid_result):
+    """Each seed's neighborhood is exactly one cluster; non-planted
+    wells are singletons."""
+    dup_wells, path2id, labels = grid_result
+    for s in SEEDS:
+        group = [path2id[f"well_{i}_{j}.py"] for (i, j) in [s] + _ring1(*s)]
+        assert len({labels[d] for d in group}) == 1
+        assert min(group) == labels[group[0]]
+    singles = [
+        path2id[f"well_{i}_{j}.py"]
+        for i in range(GRID)
+        for j in range(GRID)
+        if (i, j) not in dup_wells
+    ]
+    for d in singles:
+        assert labels[d] == d

@@ -1,0 +1,86 @@
+"""S7/J1/J2 tests: banding shape & determinism, capped pair emission,
+degenerate-bucket drop accounting, exact-dup star edges."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from welldedup import lsh, prep
+from welldedup.config import DedupConfig
+from welldedup.signatures import add_signatures
+
+CFG = DedupConfig()
+
+
+def _sigs(spark, contents):
+    rows = [
+        dict(repo="r", path=f"p{i}.py", commit="c", lang="py", content=c)
+        for i, c in enumerate(contents)
+    ]
+    prepared = prep.prepare_docs(spark.createDataFrame(pd.DataFrame(rows)), CFG)
+    return add_signatures(prepared, CFG)
+
+
+def test_band_count_per_doc(spark):
+    sigs = _sigs(spark, ["some content here for banding " * 5])
+    b = lsh.band_buckets(sigs, CFG)
+    expected = CFG.bands + sum(bb for bb, _ in CFG.extra_bandings)
+    assert b.count() == expected
+    # band ids are namespaced per banding
+    ids = sorted(r.band_id for r in b.select("band_id").collect())
+    assert ids == list(range(16)) + list(range(100, 132))
+
+
+def test_identical_docs_share_every_bucket(spark):
+    sigs = _sigs(spark, ["same text " * 20, "same text " * 20])
+    b = lsh.band_buckets(sigs, CFG)
+    n_buckets_shared = (
+        b.groupBy("band_id", "band_hash").count().filter("count = 2").count()
+    )
+    assert n_buckets_shared == CFG.bands + sum(bb for bb, _ in CFG.extra_bandings)
+
+
+def test_candidate_pairs_capped_and_deterministic(spark):
+    # 10 identical docs in one bucket with max_bucket=4 → pairs only
+    # among the 4 smallest doc_ids → C(4,2)=6 pairs
+    cfg = DedupConfig(max_bucket=4)
+    buckets = spark.createDataFrame(
+        [(0, 42, i) for i in range(10)], "band_id int, band_hash long, doc_id long"
+    )
+    pairs = lsh.candidate_pairs_from_buckets(buckets, cfg, "minhash").collect()
+    assert len(pairs) == 6
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert {r.id_a for r in pairs} | {r.id_b for r in pairs} == {0, 1, 2, 3}
+
+
+def test_degenerate_bucket_dropped_and_reported(spark):
+    cfg = DedupConfig(drop_bucket_over=5)
+    rows = [(0, 42, i) for i in range(10)] + [(1, 7, 100), (1, 7, 101)]
+    buckets = spark.createDataFrame(
+        rows, "band_id int, band_hash long, doc_id long"
+    )
+    pairs = lsh.candidate_pairs_from_buckets(buckets, cfg, "minhash").collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(100, 101)]
+    dropped = lsh.dropped_bucket_stats(buckets, cfg).collect()
+    assert len(dropped) == 1 and dropped[0].n == 10
+
+
+def test_exact_dup_star_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "h1"), (5, "h1"), (3, "h1"), (7, "h2"), (9, "h3"), (11, "h3")],
+        "doc_id long, content_sha256 string",
+    )
+    pairs = sorted(
+        (r.id_a, r.id_b) for r in lsh.exact_dup_pairs(docs).collect()
+    )
+    assert pairs == [(1, 3), (1, 5), (9, 11)]
+
+
+def test_simhash_buckets_pigeonhole(spark):
+    # two simhashes differing in 2 bits (< chunks) share >= 1 chunk
+    s = spark.createDataFrame(
+        [(1, 0x0123456789ABCDEF), (2, 0x0123456789ABCDEF ^ 0b11)],
+        "doc_id long, simhash long",
+    )
+    b = lsh.simhash_buckets(s, CFG)
+    shared = b.groupBy("band_id", "band_hash").count().filter("count = 2").count()
+    assert shared >= 1

@@ -1,0 +1,74 @@
+"""P1–P5 unit tests: tokenizer parity with the Python oracle, sha256
+invariant, doc_id stability, validity filter."""
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from welldedup import prep
+from welldedup.config import DedupConfig
+from welldedup.fixtures import py_shingle_strings, py_tokenize
+
+CFG = DedupConfig()
+
+SAMPLES = [
+    "def foo(a, b):\n    return a + b\n",
+    "x=1;y=2\nz   =  x*y  # comment",
+    "π = 3.14\nünïcode_name = 'ok'",
+    "",
+    "ONE",
+    "a b c d e f g h i j",
+]
+
+
+def _df(spark, contents):
+    rows = [
+        dict(repo="r", path=f"p{i}.py", commit="c", lang="python", content=c)
+        for i, c in enumerate(contents)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_tokenize_matches_python_oracle(spark):
+    df = _df(spark, SAMPLES).withColumn("tokens", prep.tokenize_expr("content", CFG))
+    got = {r.path: list(r.tokens) for r in df.select("path", "tokens").collect()}
+    for i, c in enumerate(SAMPLES):
+        assert got[f"p{i}.py"] == py_tokenize(c, CFG), c
+
+
+def test_shingle_count_matches_oracle(spark):
+    df = _df(spark, SAMPLES).withColumn("tokens", prep.tokenize_expr("content", CFG))
+    df = df.withColumn("sh", prep.shingles_expr("tokens", CFG))
+    got = {r.path: r.n for r in df.select("path", F.size("sh").alias("n")).collect()}
+    for i, c in enumerate(SAMPLES):
+        assert got[f"p{i}.py"] == len(py_shingle_strings(c, CFG)), c
+
+
+def test_sha256_invariant(spark):
+    df = prep.with_sha256(_df(spark, SAMPLES))
+    for r in df.select("content", "content_sha256").collect():
+        assert r.content_sha256 == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_doc_id_stable_and_content_independent(spark):
+    a = prep.with_doc_id(_df(spark, SAMPLES)).select("path", "doc_id").collect()
+    b = prep.with_doc_id(
+        _df(spark, [c + " changed" for c in SAMPLES])
+    ).select("path", "doc_id").collect()
+    assert sorted((r.path, r.doc_id) for r in a) == sorted(
+        (r.path, r.doc_id) for r in b
+    )
+
+
+def test_validity_filter(spark):
+    rows = [
+        dict(repo="r", path="ok.py", commit="c", lang="py", content="x = 1"),
+        dict(repo="r", path="empty.py", commit="c", lang="py", content=""),
+        dict(repo="r", path="null.py", commit="c", lang="py", content=None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "repo string, path string, commit string, lang string, content string"
+    )
+    kept = prep.validity_filter(df, CFG).select("path").collect()
+    assert [r.path for r in kept] == ["ok.py"]

@@ -1,0 +1,126 @@
+"""S5/S6/S8 tests: MinHash Chernoff property, SimHash monotonicity,
+vectorized-kernel correctness against tiny Python loops."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup import prep
+from welldedup.config import DedupConfig
+from welldedup.fixtures import py_jaccard
+from welldedup.signatures import (
+    add_signatures,
+    hash_family,
+    minhash_matrix,
+    simhash_vector,
+)
+
+CFG = DedupConfig()
+
+
+def test_minhash_matrix_matches_naive_loop():
+    rng = np.random.Generator(np.random.PCG64(1))
+    a, b = hash_family(16, seed=9)
+    rows = [rng.integers(0, 2**63, size=n, dtype=np.uint64) for n in (1, 5, 40)]
+    flat = np.concatenate(rows)
+    offsets = np.array([0, 1, 6], dtype=np.int64)
+    got = minhash_matrix(flat, offsets, a, b)
+    with np.errstate(over="ignore"):
+        for i, row in enumerate(rows):
+            for j in range(16):
+                expect = np.uint64(
+                    min((a[j] * x + b[j]) & np.uint64(0xFFFFFFFFFFFFFFFF) for x in row)
+                )
+                assert np.uint64(got[i, j]) == expect
+
+
+def test_simhash_vector_matches_naive_loop():
+    rng = np.random.Generator(np.random.PCG64(2))
+    rows = [rng.integers(0, 2**63, size=n, dtype=np.uint64) for n in (1, 7, 33)]
+    flat = np.concatenate(rows)
+    offsets = np.array([0, 1, 8], dtype=np.int64)
+    got = simhash_vector(flat, offsets)
+    for i, row in enumerate(rows):
+        expect = 0
+        for j in range(64):
+            ones = sum((int(x) >> j) & 1 for x in row)
+            if 2 * ones > len(row):
+                expect |= 1 << j
+        assert np.uint64(got[i]) == np.uint64(expect)
+
+
+def test_minhash_jaccard_estimate_chernoff():
+    """Over seeded random set pairs with known true Jaccard, the
+    signature estimate stays within a 4-sigma binomial bound for
+    n_hashes=128 — validates the multiply-shift family empirically."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    a, b = hash_family(CFG.n_hashes, CFG.minhash_seed)
+    for _ in range(40):
+        n_shared = int(rng.integers(10, 400))
+        n_a = int(rng.integers(0, 200))
+        n_b = int(rng.integers(0, 200))
+        shared = rng.integers(0, 2**63, size=n_shared, dtype=np.uint64)
+        only_a = rng.integers(0, 2**63, size=n_a, dtype=np.uint64)
+        only_b = rng.integers(0, 2**63, size=n_b, dtype=np.uint64)
+        sa = np.unique(np.concatenate([shared, only_a]))
+        sb = np.unique(np.concatenate([shared, only_b]))
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        flat = np.concatenate([sa, sb])
+        offsets = np.array([0, len(sa)], dtype=np.int64)
+        sig = minhash_matrix(flat, offsets, a, b)
+        est = float((sig[0] == sig[1]).mean())
+        sigma = np.sqrt(true_j * (1 - true_j) / CFG.n_hashes) or 0.05
+        assert abs(est - true_j) <= 4 * sigma + 0.02, (true_j, est)
+
+
+def test_simhash_hamming_tracks_similarity():
+    """More similar shingle sets → smaller SimHash Hamming distance
+    (monotone in expectation; assert on a clear-cut pair)."""
+    rng = np.random.Generator(np.random.PCG64(4))
+    base = rng.integers(0, 2**63, size=300, dtype=np.uint64)
+    near = np.concatenate([base[:285], rng.integers(0, 2**63, size=15, dtype=np.uint64)])
+    far = rng.integers(0, 2**63, size=300, dtype=np.uint64)
+    flat = np.concatenate([base, near, far])
+    offsets = np.array([0, 300, 600], dtype=np.int64)
+    s = simhash_vector(flat, offsets).view(np.uint64)
+    d_near = bin(int(s[0]) ^ int(s[1])).count("1")
+    d_far = bin(int(s[0]) ^ int(s[2])).count("1")
+    assert d_near < d_far
+    assert d_near <= 10
+
+
+_BASE = "\n".join(f"def line_{k}(a, b): return a + b * {k}" for k in range(30))
+
+
+@pytest.fixture(scope="module")
+def signed(spark):
+    rows = [
+        dict(repo="r", path=f"p{i}.py", commit="c", lang="py", content=c)
+        for i, c in enumerate(
+            [
+                _BASE,
+                _BASE,                                          # exact dup of 0
+                _BASE.replace("line_7", "mutated_7"),           # near dup (1/30 lines)
+                "completely different content with other words entirely",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    prepared = prep.prepare_docs(df, CFG)
+    sig = add_signatures(prepared, CFG)
+    return {r.path: r for r in sig.join(prepared.select("doc_id", "path"), "doc_id").collect()}
+
+
+def test_signatures_deterministic_and_equal_for_equal_content(signed):
+    assert list(signed["p0.py"].minhash) == list(signed["p1.py"].minhash)
+    assert signed["p0.py"].simhash == signed["p1.py"].simhash
+    assert len(signed["p0.py"].minhash) == CFG.n_hashes
+
+
+def test_signature_estimate_orders_similarity(signed):
+    mh0 = np.array(signed["p0.py"].minhash)
+    est_near = float((mh0 == np.array(signed["p2.py"].minhash)).mean())
+    est_far = float((mh0 == np.array(signed["p3.py"].minhash)).mean())
+    assert est_near > 0.3
+    assert est_far < 0.1

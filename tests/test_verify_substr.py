@@ -1,0 +1,100 @@
+"""V1–V4 verification expressions + S9 winnowing substring detection."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from welldedup import prep, substr, verify
+from welldedup.config import DedupConfig
+from welldedup.signatures import add_signatures
+
+CFG = DedupConfig()
+
+
+def test_jaccard_est_expr(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 2, 9, 9])], "sig_a array<long>, sig_b array<long>"
+    )
+    got = df.select(
+        verify.jaccard_est_expr("sig_a", "sig_b", 4).alias("j")
+    ).head().j
+    assert got == 0.5
+
+
+def test_exact_jaccard_expr(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], [2, 3, 4, 5])], "sh_a array<long>, sh_b array<long>"
+    )
+    got = df.select(verify.exact_jaccard_expr("sh_a", "sh_b").alias("j")).head().j
+    assert abs(got - 2 / 5) < 1e-12
+
+
+def test_edit_sim_expr(spark):
+    df = spark.createDataFrame(
+        [("abcdefghij", "abcdefghix"), ("short", "totally different string x")],
+        "a string, b string",
+    )
+    got = [r.s for r in df.select(verify.edit_sim_expr("a", "b", CFG).alias("s")).collect()]
+    assert abs(got[0] - 0.9) < 1e-12
+    assert got[1] < 0.5
+
+
+def test_verify_pipeline_accepts_near_rejects_far(spark):
+    base = "\n".join(f"def f_{k}(a, b):\n    return a + b * {k}" for k in range(30))
+    rows = [
+        dict(repo="r", path="a.py", commit="c", lang="py", content=base),
+        dict(repo="r", path="b.py", commit="c", lang="py",
+             content=base.replace("f_7", "g_7")),
+        dict(repo="r", path="far.py", commit="c", lang="py",
+             content="import os\nwhile True:\n    print('unrelated')\n" * 20),
+    ]
+    prepared = prep.prepare_docs(spark.createDataFrame(pd.DataFrame(rows)), CFG)
+    sigs = add_signatures(prepared, CFG)
+    ids = {r.path: r.doc_id for r in prepared.select("path", "doc_id").collect()}
+    all_pairs = [
+        tuple(sorted((ids["a.py"], ids["b.py"]))) ,
+        tuple(sorted((ids["a.py"], ids["far.py"]))),
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b, "minhash") for a, b in all_pairs], "id_a long, id_b long, src string"
+    )
+    out = verify.verify_pairs(pairs, sigs, prepared, CFG)
+    got = {tuple(sorted((r.id_a, r.id_b))): r for r in out.collect()}
+    near = got[all_pairs[0]]
+    assert near.dup and near.jaccard >= CFG.jaccard_threshold
+    # far pair is discarded by the estimate prefilter or rejected
+    assert all_pairs[1] not in got or not got[all_pairs[1]].dup
+
+
+def test_winnow_guarantee_on_planted_substring():
+    rng = np.random.Generator(np.random.PCG64(5))
+    def rand_text(n):
+        return "".join(chr(int(c)) for c in rng.integers(97, 123, size=n))
+    shared = rand_text(3000)
+    a = rand_text(2000) + shared + rand_text(1500)
+    b = rand_text(4000) + shared + rand_text(100)
+    fa = set(substr.winnow_fingerprints(a, CFG.winnow_k, CFG.winnow_window).tolist())
+    fb = set(substr.winnow_fingerprints(b, CFG.winnow_k, CFG.winnow_window).tolist())
+    assert len(fa & fb) >= substr.fp_shared_threshold(CFG)
+    # unrelated docs share ~nothing
+    fc = set(substr.winnow_fingerprints(rand_text(5000), CFG.winnow_k, CFG.winnow_window).tolist())
+    assert len(fa & fc) < substr.fp_shared_threshold(CFG)
+
+
+def test_substr_candidate_pairs_end_to_end(spark):
+    rng = np.random.Generator(np.random.PCG64(6))
+    def rand_text(n):
+        return "".join(chr(int(c)) for c in rng.integers(97, 123, size=n))
+    shared = rand_text(2500)
+    rows = [
+        dict(repo="r", path="host.py", commit="c", lang="py",
+             content=rand_text(3000) + shared + rand_text(500)),
+        dict(repo="r", path="vendor.py", commit="c", lang="py",
+             content=rand_text(1000) + shared),
+        dict(repo="r", path="other.py", commit="c", lang="py", content=rand_text(6000)),
+    ]
+    prepared = prep.prepare_docs(spark.createDataFrame(pd.DataFrame(rows)), CFG)
+    ids = {r.path: r.doc_id for r in prepared.select("path", "doc_id").collect()}
+    pairs = substr.substr_candidate_pairs(prepared, CFG).collect()
+    want = tuple(sorted((ids["host.py"], ids["vendor.py"])))
+    assert [(r.id_a, r.id_b) for r in pairs] == [want]
