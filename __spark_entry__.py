@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship near-duplicate pipeline on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2);
+                each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching ANSI SQL for DuckDB over the same parquet
+                views; omitted for non-SQL-expressible ops (MinHash /
+                LSH / SimHash / winnowing / pipeline), which get
+                rows-only checks here and full coverage in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from welldedup.queries import ORACLES, QUERIES, docs_as_code_files  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (exact sha256 + MinHash-LSH +
+    SimHash + winnowing substring → verify → connected components)
+    over the sf0.001 documents table mapped to code_files, returning
+    per-doc cluster labels with cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.pipeline import run_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    code_files = docs_as_code_files(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, code_files, cfg)
+    sizes = res.clusters.groupBy("cluster_id").count().withColumnRenamed(
+        "count", "cluster_size"
+    )
+    return (
+        res.clusters.join(sizes, "cluster_id")
+        .join(res.docs.select("doc_id", "repo", "path", "lang"), "doc_id")
+        .select("doc_id", "cluster_id", "cluster_size", "repo", "path", "lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

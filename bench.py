@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall seconds over the query set; the dedup
+pipeline's files/sec is included alongside (BASELINE.md's throughput
+row).  tools/scaling_bench.py reuses run_bench() at two parallelism
+levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: dedup pipeline + the heavier relational/text/ANN queries
+HEADLINE = [
+    "dedup_pipeline_clusters",
+    "lineitem_agg",
+    "revenue_by_nation",
+    "running_revenue",
+    "word_jaccard_pairs",
+    "cc_clusters",
+    "token_counts",
+    "text_quality",
+    "ann_cosine_topk",
+    "candidate_pairs_minhash",
+]
+
+
+def _force(df) -> int:
+    """Fully execute a plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench(sf_dir: str, cpus: str, queries=None) -> dict:
+    from welldedup.queries import QUERIES
+    from welldedup.session import get_spark
+
+    spark = get_spark(
+        app_name="welldedup-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
+    )
+    # warm up the Python UDF workers + JIT so per-query times are steady
+    _force(QUERIES["minhash_signatures"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    n_files = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pipeline_sec = None
+    for name in queries or HEADLINE:
+        t0 = time.monotonic()
+        _force(QUERIES[name](spark, sf_dir))
+        per_query[name] = round(time.monotonic() - t0, 3)
+        if name == "dedup_pipeline_clusters":
+            pipeline_sec = per_query[name]
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "parallelism": cpus,
+        "dedup_files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
+        "n_files": n_files,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+    print(json.dumps(run_bench(sf_dir, cpus)))

@@ -1,0 +1,81 @@
+"""spark-submit entry point (SURVEY.md §3.4; BASELINE.json:14).
+
+    spark-submit --py-files welldedup.zip main.py \
+        --input  <parquet dir | iceberg table>  \
+        --output <checkpoint root>              \
+        [--methods minhash,simhash,substr] [--force] [--report]
+
+Build welldedup.zip with:  python -c "from welldedup.shipping import
+build_package_zip; print(build_package_zip('.'))"
+
+When run directly (python main.py ...) it creates its own local
+session and ships the package itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="welldedup near-duplicate pipeline")
+    p.add_argument("--input", required=True, help="code_files parquet dir or Iceberg table")
+    p.add_argument("--output", required=True, help="checkpoint root directory")
+    p.add_argument("--methods", default="minhash,simhash,substr")
+    p.add_argument("--master", default=None, help="override master (default: existing session / local[*])")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--n-hashes", type=int, default=128)
+    p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--force", action="store_true", help="ignore checkpoints, recompute all stages")
+    p.add_argument("--report", action="store_true", help="print cluster-size histogram")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from welldedup.config import DedupConfig
+    from welldedup.io import StageStore, read_code_files
+    from welldedup.pipeline import cluster_report, run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(
+        methods=tuple(args.methods.split(",")),
+        shingle_k=args.shingle_k,
+        n_hashes=args.n_hashes,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    spark = get_spark(
+        app_name="welldedup",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.monotonic()
+    code_files = read_code_files(spark, args.input)
+    store = StageStore(root=args.output, config_hash=cfg.config_hash())
+    res = run_pipeline(spark, code_files, cfg, store=store, force=args.force)
+    n_docs = res.docs.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    n_dup_docs = n_docs - n_clusters
+    wall = time.monotonic() - t0
+    summary = dict(
+        docs=n_docs,
+        clusters=n_clusters,
+        duplicate_docs=n_dup_docs,
+        wall_sec=round(wall, 2),
+        files_per_sec=round(n_docs / wall, 1) if wall > 0 else None,
+        stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},
+        config_hash=cfg.config_hash(),
+        output=args.output,
+    )
+    print(json.dumps(summary))
+    if args.report:
+        cluster_report(res).show(50, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""Dev harness replicating the driver's oracle compare: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet, diff row count + column names + order-insensitive values.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(",".join(canon(r[i]) for i in order) for r in rows)
+
+
+def compare(name, spark_df, sql, con):
+    sp = spark_df.toPandas()
+    du = con.execute(sql).fetchdf()
+    sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
+    if sp_cols != du_cols:
+        return f"SCHEMA  spark={sp_cols} duck={du_cols}"
+    if len(sp) != len(du):
+        return f"ROWS    spark={len(sp)} duck={len(du)}"
+    a = rowset(list(sp.columns), sp.itertuples(index=False, name=None))
+    b = rowset(list(du.columns), du.itertuples(index=False, name=None))
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return f"VALUES  first diffs: {diff}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from welldedup.queries import ORACLES, QUERIES
+    from welldedup.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duck_conn(sf_dir)
+    failed = []
+    for name, sql in ORACLES.items():
+        if only and name not in only:
+            continue
+        try:
+            err = compare(name, QUERIES[name](spark, sf_dir), sql, con)
+        except Exception as ex:  # noqa: BLE001
+            err = f"ERROR   {type(ex).__name__}: {str(ex).splitlines()[0][:160]}"
+        status = err or "OK"
+        print(f"{name:32s} {status}")
+        if err:
+            failed.append(name)
+    rows_only = [k for k in QUERIES if k not in ORACLES]
+    for name in rows_only:
+        if only and name not in only:
+            continue
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+            print(f"{name:32s} ROWS-ONLY n={n}")
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:32s} ERROR {type(ex).__name__}: {str(ex).splitlines()[0][:160]}")
+            failed.append(name)
+    print(f"\n{len(failed)} failures: {failed}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

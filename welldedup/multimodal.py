@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with a metadata
+struct; decode / feature-extraction run as Arrow-batched pandas UDFs
+over `mapInPandas`.  The decode kernels themselves are STUBBED in this
+environment (no image/audio libraries in the container) behind
+`NotImplementedError` + a deterministic fake, but the Spark-side
+plumbing — schema, batch iteration, partitioning, UDF signatures —
+is real and tested: swapping in PIL/torchaudio later only changes the
+body of `_decode_image_stub`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, width int, height int"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, payload_hash long, "
+    "feat array<float>"
+)
+
+_HAVE_PIL = False
+try:  # pragma: no cover - not installed in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decode' (real impl: PIL.Image.open).
+
+    Produces an 8-dim feature from payload bytes so downstream plumbing
+    (schema, batching, joins) is exercised end-to-end."""
+    if _HAVE_PIL:
+        raise NotImplementedError("wire PIL decode here when the lib exists")
+    arr = np.frombuffer(payload[:1024], dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    chunks = np.array_split(arr.astype(np.float32), 8)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → FEATURE_SCHEMA via mapInPandas.
+
+    Batch shape: the iterator yields Arrow-sized pandas chunks; each
+    batch is processed column-vectorized except the per-payload decode
+    (inherently per-item — the real libs are per-item too)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [
+                _decode_image_stub(p if p is not None else b"") for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "payload_hash": payloads.map(
+                        lambda p: hash(bytes(p)) & 0x7FFFFFFFFFFFFFFF if p is not None else 0
+                    ),
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def binary_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Byte-length metadata for a binary column — Catalyst only."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )

@@ -1,0 +1,655 @@
+"""Driver query suite: every SQL-expressible operator from SURVEY.md §2
+as a (spark callable, DuckDB oracle SQL) pair, plus rows-only entries
+for the signature/LSH operators DuckDB can't express.
+
+Contract (__spark_entry__.py): each callable takes (spark, sf_dir) and
+returns a DataFrame whose column NAMES and dtypes match the oracle
+exactly (the driver sorts columns by name and value-hashes).  Policy:
+- every aggregate/computed column aliased identically on both sides;
+- doubles rounded to 4dp on both sides (same rounding mode for
+  non-adversarial values);
+- integer outputs cast to bigint on the Spark side (DuckDB counts/len
+  are BIGINT);
+- deterministic results only: any LIMIT is preceded by a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cluster as cc
+from . import lsh, prep, substr, textops
+from .config import DedupConfig
+from .signatures import add_signatures
+from .similarity import cosine_topk, lsh_bucketed_pairs
+
+CFG = DedupConfig(methods=("minhash", "simhash", "substr"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_as_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver `documents` table onto the canonical
+    code_files(repo, path, commit, lang, content) shape."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+# --------------------------------------------------------------------
+# dedup operators (documents table; union-with-copy tricks plant dups)
+# --------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return (
+        u.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS rep
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents)
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_exact_dup_star_edges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    docs = u.select(F.col("doc_id"), F.sha2("text", 256).alias("content_sha256"))
+    return lsh.exact_dup_pairs(docs).select("id_a", "id_b")
+
+
+SQL_EXACT_DUP_STAR_EDGES = """
+SELECT m AS id_a, doc_id AS id_b
+FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS m
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000, text FROM documents))
+WHERE doc_id <> m
+"""
+
+
+def q_normalized_dedup_keep_first(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    return (
+        u.groupBy(F.lower("text").alias("norm"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        .select("keep_id", "n")
+    )
+
+
+SQL_NORMALIZED_DEDUP_KEEP_FIRST = """
+SELECT min(doc_id) AS keep_id, count(*) AS n
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, upper(text) FROM documents)
+GROUP BY lower(text)
+"""
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("w").alias("wa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("w").alias("wb"))
+    j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("wa", "wb")).cast("double") / F.size(
+        F.array_union("wa", "wb")
+    )
+    return j.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jac")
+    ).filter(F.col("jac") >= 0.5)
+
+
+SQL_WORD_JACCARD_PAIRS = """
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+"""
+
+
+def q_cc_clusters(spark, sf_dir):
+    """Connected components over word-jaccard edges — the iterative
+    join-and-propagate loop vs DuckDB's recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    edges = q_word_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    nodes = d.select("doc_id")
+    return cc.connected_components(nodes, edges, CFG)
+
+
+SQL_CC_CLUSTERS = """
+WITH RECURSIVE
+pairs AS (
+  WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+# --------------------------------------------------------------------
+# relational suite (TPC-H-ish; G/W/J/O/U/P rows of SURVEY §2)
+# --------------------------------------------------------------------
+
+def q_lineitem_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_TOP3_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_running_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_rev"),
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+FROM orders
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_part_topk(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(20)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+SQL_PART_TOPK = """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def q_setops_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = high.intersect(urgent).withColumn("bucket", F.lit("both"))
+    only_high = high.distinct().exceptAll(urgent.distinct()).withColumn(
+        "bucket", F.lit("high_only")
+    )
+    return both.unionByName(only_high)
+
+
+SQL_SETOPS_CUSTKEYS = """
+WITH high AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+     urgent AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT custkey, 'both' AS bucket FROM (SELECT custkey FROM high INTERSECT SELECT custkey FROM urgent)
+UNION ALL
+SELECT custkey, 'high_only' AS bucket
+FROM (SELECT DISTINCT custkey FROM high EXCEPT SELECT DISTINCT custkey FROM urgent)
+"""
+
+
+# --------------------------------------------------------------------
+# events: json, dates, windows/sessionization
+# --------------------------------------------------------------------
+
+def q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+FROM events WHERE CAST(props->>'$.k' AS BIGINT) > 50
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_sess", (F.coalesce(gap, F.lit(10**9)) > 1800).cast("long"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)), 1000000000) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *textops.token_count_exprs("text"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_word_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *textops.quality_exprs("text"))
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS n_chars2,
+       len(string_split_regex(text, '\s+')) AS n_words,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(len(string_split_regex(text, '\s+')), 1), 4) AS chars_per_word,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------
+# embeddings: norms + ANN
+# --------------------------------------------------------------------
+
+def q_embedding_norms(spark, sf_dir):
+    from .similarity import l2_norm_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(l2_norm_expr("embedding"), 4).alias("l2"))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, query_vec_id=0, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# multimodal plumbing (binary columns)
+# --------------------------------------------------------------------
+
+def q_binary_meta(spark, sf_dir):
+    from .multimodal import binary_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return binary_meta(d, "doc_id", "payload")
+
+
+SQL_BINARY_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# rows-only entries (not SQL-expressible; driver does a weaker check,
+# full coverage lives in pytest)
+# --------------------------------------------------------------------
+
+def q_minhash_signatures(spark, sf_dir):
+    prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = add_signatures(prepared, CFG)
+    return sigs.select(
+        "doc_id",
+        F.size("minhash").cast("long").alias("sig_len"),
+        "simhash",
+        F.size("shingles").cast("long").alias("n_shingles"),
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = add_signatures(prepared, CFG)
+    return lsh.band_buckets(sigs, CFG)
+
+
+def q_candidate_pairs_minhash(spark, sf_dir):
+    prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = add_signatures(prepared, CFG)
+    return lsh.candidate_pairs_from_buckets(lsh.band_buckets(sigs, CFG), CFG, "minhash")
+
+
+def q_simhash_chunks(spark, sf_dir):
+    prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = add_signatures(prepared, CFG)
+    return lsh.simhash_buckets(sigs, CFG)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
+    udf = substr.make_winnow_udf(CFG)
+    return prepared.select(
+        "doc_id", F.size(udf("content")).cast("long").alias("n_fingerprints")
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.langid_udf(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.rolling_fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(e, dim=64, n_planes=16, n_bands=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+    )
+    return extract_features(d).select(
+        "doc_id", "media_type", "n_bytes", F.size("feat").cast("long").alias("feat_dim")
+    )
+
+
+def q_dedup_pipeline_clusters(spark, sf_dir):
+    """Flagship: the full dedup pipeline over documents-as-code_files."""
+    from .pipeline import run_pipeline
+
+    res = run_pipeline(spark, docs_as_code_files(spark, sf_dir), CFG)
+    return res.clusters
+
+
+QUERIES = {
+    # dedup / clustering (oracled)
+    "exact_dup_groups": q_exact_dup_groups,
+    "exact_dup_star_edges": q_exact_dup_star_edges,
+    "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "cc_clusters": q_cc_clusters,
+    # relational suite
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "rollup_orders": q_rollup_orders,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "part_topk": q_part_topk,
+    "setops_custkeys": q_setops_custkeys,
+    # events
+    "events_json": q_events_json,
+    "events_daily": q_events_daily,
+    "events_sessions": q_events_sessions,
+    # text analysis
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_stats": q_lang_stats,
+    # embeddings
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    # multimodal plumbing
+    "binary_meta": q_binary_meta,
+    # rows-only (non-SQL-expressible)
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_buckets": q_lsh_buckets,
+    "candidate_pairs_minhash": q_candidate_pairs_minhash,
+    "simhash_chunks": q_simhash_chunks,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "langid": q_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_lsh_pairs": q_ann_lsh_pairs,
+    "multimodal_features": q_multimodal_features,
+    "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
+}
+
+ORACLES = {
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "exact_dup_star_edges": SQL_EXACT_DUP_STAR_EDGES,
+    "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
+    "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "cc_clusters": SQL_CC_CLUSTERS,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
+    "running_revenue": SQL_RUNNING_REVENUE,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "part_topk": SQL_PART_TOPK,
+    "setops_custkeys": SQL_SETOPS_CUSTKEYS,
+    "events_json": SQL_EVENTS_JSON,
+    "events_daily": SQL_EVENTS_DAILY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_stats": SQL_LANG_STATS,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "binary_meta": SQL_BINARY_META,
+}

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100-TB pipeline needs both:
+
+- `cosine_topk`: brute-force top-k against a query vector — pure
+  Catalyst (zip_with dot product in double), one pass, no shuffle
+  beyond the final top-k.  The correctness baseline.
+- `lsh_bucketed_pairs`: random-hyperplane (sign) LSH — each vector
+  gets a `n_planes`-bit signature; vectors sharing a band bucket are
+  candidate neighbors, re-ranked by exact cosine.  Same
+  bucket-join shape as the MinHash path (lsh.py), so skew handling and
+  scale behavior carry over.  This is the path that survives 10^9
+  vectors: candidates per query ~ bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm_expr(col: str):
+    sq = F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs the embedding of `query_vec_id`.
+    Returns (vec_id, cos) with cos rounded to 4dp; ties broken by id.
+    The query row is broadcast — no shuffle of the big side."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    joined = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        l2_norm_expr(vec_col) * F.sqrt(
+            F.aggregate(
+                F.transform("q_vec", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Sign-LSH signature: n_planes-bit int from random hyperplanes."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    @F.pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        bits = (m @ planes) > 0  # (n, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        return pd.Series((bits.astype(np.uint64) @ weights).view(np.int64))
+
+    return signature
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Candidate neighbor pairs: vectors sharing any sign-LSH band.
+    Output (id_a, id_b, cos) re-ranked by exact cosine — the ANN
+    scale path.  Bucket caps mirror lsh.candidate_pairs_from_buckets."""
+    sig = make_hyperplane_udf(dim, n_planes)
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+    with_sig = embeddings.withColumn("sig", sig(F.col(vec_col)))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned("sig", i * width).bitwiseAND(F.lit(mask)).alias("band_hash"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = with_sig.select(
+        F.col(id_col).alias("doc_id"), F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    grouped = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select("id_a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    na = l2_norm_expr("v_a")
+    nb = l2_norm_expr("v_b")
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("v_a"), F.col("v_b")) / (na * nb), 4).alias("cos"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side Catalyst expressions where possible; the language-ID
+heuristic (character n-gram profiles) is a vectorized pandas UDF.
+These run over the `documents` table in the driver suite and over
+`code_files.content` in the pipeline context.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# words whose presence votes for a language — deterministic tiny model,
+# good enough to demonstrate the operator shape (a real model slots in
+# behind the same UDF signature).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "value", "is"},
+    "es": {"el", "la", "de", "que", "y", "los"},
+    "fr": {"le", "la", "et", "les", "des", "une"},
+    "de": {"der", "die", "und", "das", "nicht"},
+    "zh": set(),  # handled by the CJK char ratio below
+}
+
+
+def token_count_exprs(col: str):
+    """Whitespace tokens + word-ish (BPE-precursor) tokens, pure
+    Catalyst, cast long so oracle dtypes line up."""
+    return [
+        F.size(F.split(F.col(col), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+    ]
+
+
+def quality_exprs(col: str):
+    """Cheap quality features: sizes, word stats, punctuation ratio."""
+    c = F.col(col)
+    n_chars = F.length(c).cast("long")
+    words = F.split(c, r"\s+")
+    n_words = F.size(words).cast("long")
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return [
+        n_chars.alias("n_chars2"),
+        n_words.alias("n_words"),
+        F.round(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias(
+            "chars_per_word"
+        ),
+        F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+    ]
+
+
+@F.pandas_udf(T.StringType())
+def langid_udf(text: pd.Series) -> pd.Series:
+    """n-gram/marker-word language-ID heuristic (vectorized batch)."""
+    def classify(s: str) -> str:
+        if not s:
+            return "unknown"
+        n_cjk = sum(1 for ch in s[:2000] if "一" <= ch <= "鿿")
+        if n_cjk > len(s[:2000]) * 0.05:
+            return "zh"
+        words = set(s[:5000].lower().split())
+        best, best_n = "unknown", 0
+        for lang, markers in _LANG_MARKERS.items():
+            n = len(words & markers)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    return text.map(lambda s: classify(s) if s is not None else "unknown")
+
+
+def rolling_fingerprint_expr(col: str, width: int = 16):
+    """Document fingerprint: xxhash64 of fixed-stride substrings —
+    a cheap rolling-hash sketch, pure Catalyst."""
+    c = F.col(col)
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.greatest((F.length(c) - 1) / width, F.lit(0)).cast("int")),
+        lambda i: F.xxhash64(F.substring(c, i * width + 1, width)),
+    )
+    return F.xxhash64(F.concat_ws(",", F.transform(pieces, lambda x: x.cast("string"))))
+
+
+def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.select(
+        "*",
+        *token_count_exprs(col),
+        *quality_exprs(col),
+        langid_udf(F.col(col)).alias("lang_pred"),
+        rolling_fingerprint_expr(col).alias("fingerprint"),
+    )
