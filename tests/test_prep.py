@@ -38,10 +38,22 @@ def test_tokenize_matches_python_oracle(spark):
 
 
 def test_shingle_count_matches_oracle(spark):
-    df = _df(spark, SAMPLES).withColumn("tokens", prep.tokenize_expr("content", CFG))
-    df = df.withColumn("sh", prep.shingles_expr("tokens", CFG))
-    got = {r.path: r.n for r in df.select("path", F.size("sh").alias("n")).collect()}
+    """UDF shingle-set size == Python oracle's distinct string-window
+    count for every sample (the numeric polynomial hash is injective
+    on these inputs w.h.p., so set sizes must agree)."""
+    from welldedup.signatures import add_signatures
+
+    prepared = prep.prepare_docs(_df(spark, SAMPLES), CFG)
+    sigs = add_signatures(prepared, CFG).join(
+        prepared.select("doc_id", "path"), "doc_id"
+    )
+    got = {
+        r.path: r.n
+        for r in sigs.select("path", F.size("shingles").alias("n")).collect()
+    }
     for i, c in enumerate(SAMPLES):
+        if c == "":  # filtered by validity_filter before signing
+            continue
         assert got[f"p{i}.py"] == len(py_shingle_strings(c, CFG)), c
 
 

@@ -74,6 +74,41 @@ def test_minhash_jaccard_estimate_chernoff():
         assert abs(est - true_j) <= 4 * sigma + 0.02, (true_j, est)
 
 
+def test_oph_minhash_jaccard_estimate():
+    """The production OPH kernel's collision-fraction estimate tracks
+    true Jaccard within ~binomial noise for 128 slots (plus a small
+    densification-bias allowance)."""
+    from welldedup.signatures import oph_minhash
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    a, b = hash_family(2, CFG.minhash_seed)
+    for _ in range(40):
+        n_shared = int(rng.integers(30, 1500))
+        n_a = int(rng.integers(0, 600))
+        n_b = int(rng.integers(0, 600))
+        shared = rng.integers(0, 2**63, size=n_shared, dtype=np.int64)
+        sa = np.unique(np.concatenate([shared, rng.integers(0, 2**63, size=n_a, dtype=np.int64)]))
+        sb = np.unique(np.concatenate([shared, rng.integers(0, 2**63, size=n_b, dtype=np.int64)]))
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        flat = np.concatenate([sa, sb])
+        offsets = np.array([0, len(sa)], dtype=np.int64)
+        sig = oph_minhash(flat, offsets, CFG.n_hashes, a[0], b[0])
+        est = float((sig[0] == sig[1]).mean())
+        sigma = np.sqrt(max(true_j * (1 - true_j), 0.01) / CFG.n_hashes)
+        assert abs(est - true_j) <= 5 * sigma + 0.03, (true_j, est)
+
+
+def test_oph_identical_sets_identical_signatures():
+    from welldedup.signatures import oph_minhash
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    a, b = hash_family(2, CFG.minhash_seed)
+    s = np.unique(rng.integers(0, 2**63, size=500, dtype=np.int64))
+    flat = np.concatenate([s, s])
+    sig = oph_minhash(flat, np.array([0, len(s)], dtype=np.int64), CFG.n_hashes, a[0], b[0])
+    assert (sig[0] == sig[1]).all()
+
+
 def test_simhash_hamming_tracks_similarity():
     """More similar shingle sets → smaller SimHash Hamming distance
     (monotone in expectation; assert on a clear-cut pair)."""

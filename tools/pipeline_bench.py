@@ -1,0 +1,65 @@
+"""Time the full dedup pipeline at a given parallelism.
+
+    python tools/pipeline_bench.py <code_files.parquet> <cpus> [out_labels.parquet]
+
+Prints one JSON line {cpus, n_docs, wall_sec, files_per_sec, stages}.
+Wall time covers the pipeline only (a tiny warm-up run first absorbs
+Python-worker startup and JIT, which a long-lived cluster wouldn't pay
+per job); the optional labels output lets the caller assert
+parallelism-invariance of cluster assignments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    inp = sys.argv[1]
+    cpus = sys.argv[2]
+    out_labels = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from welldedup.config import DedupConfig
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name=f"welldedup-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warm-up: absorb Python worker spawn + codegen compile
+    warm, _ = corpus_to_pandas(make_corpus(100, seed=5))
+    run_pipeline(spark, spark.createDataFrame(warm), cfg).clusters.count()
+
+    code_files = spark.read.parquet(inp)
+    t0 = time.monotonic()
+    res = run_pipeline(spark, code_files, cfg)
+    n_docs = res.clusters.count()  # forces the final stage
+    wall = time.monotonic() - t0
+    if out_labels:
+        res.clusters.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(out_labels)
+    print(
+        json.dumps(
+            dict(
+                cpus=int(cpus),
+                n_docs=n_docs,
+                wall_sec=round(wall, 2),
+                files_per_sec=round(n_docs / wall, 1),
+                stages={k: round(v, 2) for k, v in res.stage_seconds.items()},
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,9 +23,13 @@ from dataclasses import asdict, dataclass, field
 # so the product stays < 2^63 and never overflows uint64 in numpy.
 MERSENNE_P = (1 << 61) - 1
 
-# Token pattern: identifiers, numbers, or single punctuation — a cheap
-# code lexer that is stable across Spark (Java regex) and Python (re).
-TOKEN_PATTERN = r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]"
+# Token pattern: identifier/number runs over the (lowercased) text — a
+# cheap code lexer stable across Spark (Java regex) and Python (re).
+# Deliberately a single character-class regex: the alternation variant
+# (idents | numbers | punct) measured 10-20× slower in the JVM and
+# punctuation tokens add little signal for near-dup detection.
+TOKEN_PATTERN = r"[a-z_0-9]+"
+TOKEN_PATTERN_CASED = r"[A-Za-z_0-9]+"
 
 
 @dataclass(frozen=True)

@@ -80,7 +80,8 @@ def py_normalize(content: str, cfg: DedupConfig) -> str:
 
 
 def py_tokenize(content: str, cfg: DedupConfig) -> list[str]:
-    return _TOKEN_RE.findall(py_normalize(content, cfg))
+    """Mirror of prep.tokenize_expr (word-run lexer on lowered text)."""
+    return _TOKEN_RE.findall(content.lower() if cfg.lowercase else content)
 
 
 def py_shingle_strings(content: str, cfg: DedupConfig) -> set[str]:

@@ -50,18 +50,25 @@ def validity_filter(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def normalize_expr(col: str, cfg: DedupConfig):
     """P4 — config-pinned normalization (part of the 'identical
-    shingle/signature config' contract)."""
+    shingle/signature config' contract).  Whitespace collapse is for
+    display/compare uses only — the tokenizer never matches whitespace,
+    so the tokenize path skips this pass entirely."""
     c = F.col(col)
     if cfg.lowercase:
         c = F.lower(c)
-    # collapse runs of whitespace so formatting-only edits don't change
-    # the token stream
     return F.regexp_replace(c, r"\s+", " ")
 
 
 def tokenize_expr(col: str, cfg: DedupConfig):
-    """P5 — code-ish tokens via a single JVM-side regexp extraction."""
-    return F.regexp_extract_all(normalize_expr(col, cfg), F.lit(TOKEN_PATTERN), 0)
+    """P5 — code tokens via ONE JVM-side regexp extraction over the
+    (lowercased) content.  Single character-class pattern: measured
+    ~20× faster than an alternation lexer at identical dedup quality;
+    whitespace handling is implicit (tokens can't span whitespace)."""
+    from .config import TOKEN_PATTERN_CASED
+
+    c = F.lower(F.col(col)) if cfg.lowercase else F.col(col)
+    pat = TOKEN_PATTERN if cfg.lowercase else TOKEN_PATTERN_CASED
+    return F.regexp_extract_all(c, F.lit(pat), 0)
 
 
 def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -70,7 +77,17 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     `tokens` is carried to the signature stage then dropped; checkpoint
     writers select the narrow schema.
+
+    Partitioning: a small file count (or one fat parquet) must not
+    serialize the whole pipeline — if the scan yields fewer partitions
+    than the session's parallelism, repartition up front (one shuffle
+    of the raw bytes buys full parallelism for every later stage; on a
+    real cluster the Iceberg table is already split across many files
+    and this is a no-op).
     """
+    target = code_files.sparkSession.sparkContext.defaultParallelism
+    if code_files.rdd.getNumPartitions() < target:
+        code_files = code_files.repartition(target)
     df = validity_filter(code_files, cfg)
     df = with_doc_id(df)
     df = with_sha256(df)
@@ -80,20 +97,12 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
     return df
 
 
-def shingles_expr(tokens_col: str, cfg: DedupConfig):
-    """k-shingle hashes (S5) in pure Catalyst: for each window start i,
-    hash the '\\x1f'-joined k tokens with xxhash64; distinct to form
-    the shingle *set*.  Docs shorter than k tokens hash their whole
-    token stream as a single shingle (so short files still sign).
-
-    This is JVM-side and codegen'd — the pandas-UDF path is only needed
-    afterwards for the MinHash matrix min (signatures.py).
-    """
-    t = F.col(tokens_col)
-    k = cfg.shingle_k
-    short = F.array(F.xxhash64(F.concat_ws("\x1f", t)))
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(t) - k),
-        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(t, i + 1, k))),
-    )
-    return F.array_distinct(F.when(F.size(t) < k, short).otherwise(windows))
+def token_hashes_expr(tokens_col: str):
+    """Per-token 64-bit hashes — O(n) JVM work, no string building.
+    The k-shingle combination itself lives in the signature pandas UDF
+    (signatures.shingle_batch): the wrapping-mod-2^64 polynomial it
+    uses is illegal in Spark 4's ANSI-mode long arithmetic, and the
+    earlier pure-Catalyst string-window variant cost O(n·k) string
+    allocations per doc — an order of magnitude slower than the numpy
+    fused multiply-add passes."""
+    return F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
