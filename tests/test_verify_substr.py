@@ -66,19 +66,31 @@ def test_verify_pipeline_accepts_near_rejects_far(spark):
     assert all_pairs[1] not in got or not got[all_pairs[1]].dup
 
 
-def test_winnow_guarantee_on_planted_substring():
+def test_fingerprints_shared_on_planted_substring():
     rng = np.random.Generator(np.random.PCG64(5))
     def rand_text(n):
         return "".join(chr(int(c)) for c in rng.integers(97, 123, size=n))
     shared = rand_text(3000)
     a = rand_text(2000) + shared + rand_text(1500)
     b = rand_text(4000) + shared + rand_text(100)
-    fa = set(substr.winnow_fingerprints(a, CFG.winnow_k, CFG.winnow_window).tolist())
-    fb = set(substr.winnow_fingerprints(b, CFG.winnow_k, CFG.winnow_window).tolist())
+    fa = set(substr.winnow_fingerprints(a, CFG.winnow_k, CFG.density_bits).tolist())
+    fb = set(substr.winnow_fingerprints(b, CFG.winnow_k, CFG.density_bits).tolist())
     assert len(fa & fb) >= substr.fp_shared_threshold(CFG)
     # unrelated docs share ~nothing
-    fc = set(substr.winnow_fingerprints(rand_text(5000), CFG.winnow_k, CFG.winnow_window).tolist())
+    fc = set(substr.winnow_fingerprints(rand_text(5000), CFG.winnow_k, CFG.density_bits).tolist())
     assert len(fa & fc) < substr.fp_shared_threshold(CFG)
+
+
+def test_fingerprint_selection_is_content_local():
+    """The same substring selects the same fingerprints regardless of
+    position/context — the property the whole method rests on."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    core = "".join(chr(int(c)) for c in rng.integers(97, 123, size=4000))
+    pre = "".join(chr(int(c)) for c in rng.integers(97, 123, size=777))
+    fa = set(substr.winnow_fingerprints(core, CFG.winnow_k, CFG.density_bits).tolist())
+    fb = set(substr.winnow_fingerprints(pre + core, CFG.winnow_k, CFG.density_bits).tolist())
+    # every interior selection of `core` reappears in pre+core
+    assert len(fa & fb) >= 0.9 * len(fa)
 
 
 def test_substr_candidate_pairs_end_to_end(spark):

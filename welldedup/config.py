@@ -61,12 +61,17 @@ class DedupConfig:
 
     # --- SimHash (signatures.py / lsh.py)
     simhash_bits: int = 64
-    simhash_chunks: int = 4       # pigeonhole: <= chunks-1 bit flips per chunk band
-    simhash_max_hamming: int = 3
+    # chunk count for candidate buckets (pigeonhole: <= chunks-1 bit
+    # flips).  2 chunks of 32 bits: at n docs, expected random chunk
+    # collisions ~ n²·chunks/2^32 — still ~0.3 at n=50k, vs ~76k pairs
+    # of pure verification noise with 4×16-bit chunks.  At 10^12 docs
+    # any flat chunking degenerates; SimHash is the secondary method.
+    simhash_chunks: int = 2
+    simhash_max_hamming: int = 1
 
-    # --- substring / winnowing (substr.py)
-    winnow_k: int = 50            # chars per fingerprint window (content-defined)
-    winnow_window: int = 100      # winnowing guarantee window
+    # --- substring / content-defined fingerprints (substr.py)
+    winnow_k: int = 48            # chars per gram
+    density_bits: int = 6         # select grams with 6 low zero bits (~1/64)
     substr_min_len: int = 2048    # vendored-copy detector threshold (chars)
 
     # --- candidate generation skew control (lsh.py)

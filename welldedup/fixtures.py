@@ -119,8 +119,11 @@ def _gen_content(rng: np.random.Generator, n_lines: int) -> str:
     independently generated docs never share long verbatim runs
     (otherwise template reuse creates accidental vendored-substring
     pairs that corrupt the planted truth)."""
+    # full tag in the suffix: a truncated tag (e.g. % 997) makes ~n/997
+    # docs share an identifier pool, creating dense accidental
+    # near-dup families that swamp the verification stage
     tag = int(rng.integers(0, 10**9))
-    idents = [f"{w}_{tag % 997}" for w in rng.choice(_IDENT_POOL, size=8, replace=False)]
+    idents = [f"{w}_{tag}" for w in rng.choice(_IDENT_POOL, size=8, replace=False)]
     lines = []
     for _ in range(n_lines):
         t = _LINE_TEMPLATES[rng.integers(0, len(_LINE_TEMPLATES))]

@@ -72,11 +72,28 @@ def run_pipeline(
         timer.record(name, None, None, int(seconds[name] * 1000))
         return out
 
-    # --- prep: docs table (narrow, no content/tokens) + a working df
-    # `prepared` keeps tokens/content in memory for the signature stage;
-    # the checkpointed `docs` is the narrow schema.
-    prepared = prep.prepare_docs(code_files, cfg)
-    docs = stage("docs", lambda: prepared.select(*DOCS_COLS))
+    # --- prep: docs table (narrow, no content) + a working df.
+    # In memory mode `prepared` (ids + sha + content) is materialized
+    # ONCE so the signature/verify/substr stages don't each re-run the
+    # scan + repartition; in store mode those stages re-scan the source
+    # (on a real Iceberg table the scan is already well-partitioned and
+    # column-pruned, so duplicating content into a checkpoint would
+    # only double storage).
+    holder: dict = {}
+
+    def build_docs():
+        p = prep.prepare_docs(code_files, cfg)
+        if store is None:
+            p = p.localCheckpoint(eager=True)
+        holder["prepared"] = p
+        return p.select(*DOCS_COLS)
+
+    docs = stage("docs", build_docs)
+    # on store-mode resume the docs stage is skipped and `prepared` is
+    # rebuilt lazily from the source for any stage that still needs it
+    prepared = holder.get("prepared")
+    if prepared is None:
+        prepared = prep.prepare_docs(code_files, cfg)
 
     # --- signatures (minhash + simhash [+ shingles for exact verify])
     def build_sigs():

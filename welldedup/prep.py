@@ -92,17 +92,21 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
     df = with_doc_id(df)
     df = with_sha256(df)
     df = df.withColumn("n_bytes", F.length("content").cast("long"))
-    df = df.withColumn("tokens", tokenize_expr("content", cfg))
-    df = df.withColumn("n_tokens", F.size("tokens").cast("long"))
+    # n_tokens is a docs-table stat; the signature stage re-derives the
+    # token stream fused into its own projection (tokens themselves are
+    # never materialized — ~3× the content size)
+    df = df.withColumn("n_tokens", F.size(tokenize_expr("content", cfg)).cast("long"))
     return df
 
 
-def token_hashes_expr(tokens_col: str):
+def token_hashes_expr(tokens):
     """Per-token 64-bit hashes — O(n) JVM work, no string building.
-    The k-shingle combination itself lives in the signature pandas UDF
+    `tokens` is a column name or array<string> Column.  The k-shingle
+    combination itself lives in the signature Arrow UDF
     (signatures.shingle_batch): the wrapping-mod-2^64 polynomial it
     uses is illegal in Spark 4's ANSI-mode long arithmetic, and the
     earlier pure-Catalyst string-window variant cost O(n·k) string
     allocations per doc — an order of magnitude slower than the numpy
     fused multiply-add passes."""
-    return F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.transform(col, lambda t: F.xxhash64(t))

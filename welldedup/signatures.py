@@ -237,13 +237,19 @@ SIG_SCHEMA = (
 
 
 def add_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """docs (with `tokens`) → signatures table
+    """docs (with `content`) → signatures table
     (doc_id, minhash array<long>, simhash long, shingles array<long>).
 
-    The JVM computes per-token xxhash64 (one transform, codegen'd);
-    shingling + OPH MinHash + SimHash happen in ONE vectorized Arrow
-    UDF per batch.  `shingles` is retained because exact Jaccard
-    verification (V2) consumes it."""
+    The JVM tokenizes and hashes tokens in one fused projection
+    (codegen'd; the token strings are never materialized); shingling +
+    OPH MinHash + SimHash happen in ONE vectorized Arrow UDF per batch.
+    `shingles` is retained because exact Jaccard verification (V2)
+    consumes it."""
+    from .prep import tokenize_expr
+
     fn = make_signature_arrow_fn(cfg)
-    narrow = docs.select("doc_id", token_hashes_expr("tokens").alias("token_hashes"))
+    narrow = docs.select(
+        "doc_id",
+        token_hashes_expr(tokenize_expr("content", cfg)).alias("token_hashes"),
+    )
     return narrow.mapInArrow(fn, SIG_SCHEMA)

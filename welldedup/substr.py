@@ -1,91 +1,126 @@
-"""Substring / vendored-copy detection via winnowing fingerprints
-(SURVEY.md §2 row S9).
+"""Substring / vendored-copy detection via content-defined chunk
+fingerprints (SURVEY.md §2 row S9).
 
 Third method named by BASELINE.json:6,14 ("suffix-array substring
 dedup").  A literal distributed suffix array is the wrong tool on
 Spark — it needs the whole corpus co-resident per comparison.  The
-scalable reduction (SURVEY.md §2.2 S9) is *winnowing* (Schleimer,
-Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
-Fingerprinting", SIGMOD 2003): select a deterministic, content-local
-subset of k-char rolling-hash fingerprints per document, then find
-docs sharing many fingerprints with the SAME groupBy-join machinery as
-LSH bands.  Two docs sharing a verbatim substring of length >=
-(winnow_window + winnow_k - 1) are GUARANTEED to share a fingerprint;
-a vendored slice of `substr_min_len` chars shares ~L/w of them, so a
+scalable reduction is CONTENT-DEFINED FINGERPRINT SELECTION (the CDC
+half of winnowing, cf. Schleimer/Wilkerson/Aiken SIGMOD'03 and
+rsync/LBFS chunking): hash every k-char gram with a rolling 64-bit
+polynomial, keep the grams whose hash has `density_bits` low zero bits
+(expected 1 selection per 2^density_bits chars), and find documents
+sharing many selected fingerprints with the SAME groupBy-join
+machinery as LSH bands.  Selection depends only on local content, so a
+verbatim slice selects the same fingerprints in both documents; a
+`substr_min_len`-char overlap shares ~L/2^density_bits of them and the
 shared-count threshold verifies the pair without ever materializing
-content pairs.
+content pairs.  (A windowed-min winnowing selector would give a
+deterministic guarantee instead of a 10^-40-tail Chernoff one, but
+costs an extra sliding-min pass; the binomial tail at these parameters
+is indistinguishable from certain.)
 
-The fingerprint computation is one vectorized pandas UDF per batch:
-rolling polynomial hashes via numpy sliding_window_view + int64 matmul
-(terms stay < 2^45, no overflow), winnow selection via a windowed min.
+Execution: ONE mapInArrow pass — the Arrow StringArray's flattened
+UTF-8 buffer is hashed for the WHOLE batch in k-1 fused multiply-add
+passes (no per-row Python, no matmul, no mod), selections are mapped
+back to documents by searchsorted over the string offsets, and the
+(doc_id, fp) pairs stream out already exploded.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .config import DedupConfig
 
-_M1 = (1 << 31) - 1
-_M2 = (1 << 29) - 3
-_B = 257
+_B = np.int64(-7046029254386353131)  # odd golden-ratio multiplier
 
 
-def _pow_vec(k: int, mod: int) -> np.ndarray:
-    p = np.empty(k, dtype=np.int64)
-    v = 1
-    for i in range(k - 1, -1, -1):
-        p[i] = v
-        v = (v * _B) % mod
-    return p
+def gram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Rolling degree-k polynomial hash of every k-byte gram, as k-1
+    vectorized FMA passes over the whole buffer.  int64 wrapping."""
+    b = data.astype(np.int64)
+    n_win = b.shape[0] - k + 1
+    if n_win <= 0:
+        return np.zeros(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        res = b[0:n_win] * _B + b[1 : 1 + n_win]
+        for j in range(2, k):
+            res *= _B
+            res += b[j : j + n_win]
+    return res
 
 
-def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
-    """Winnowed fingerprint set (unique int64) of one document."""
-    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-    n = data.shape[0]
-    if n < k:
-        if n == 0:
-            return np.zeros(0, dtype=np.int64)
-        grams = data.astype(np.int64)
-        h = (grams @ _pow_vec(n, _M1)[-n:]) % _M1
-        return np.array([int(h)], dtype=np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.int64)
-    h1 = (win @ _pow_vec(k, _M1)) % _M1
-    h2 = (win @ _pow_vec(k, _M2)) % _M2
-    h = (h1 << np.int64(29)) | h2
-    if h.shape[0] <= w:
-        return np.unique(h.min(keepdims=True))
-    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
-    return np.unique(mins)
+def select_fingerprints(
+    data: np.ndarray, doc_offsets: np.ndarray, k: int, density_bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined selection over a concatenated byte buffer.
+
+    doc_offsets: int64[n_docs+1] — byte ranges of each doc in `data`.
+    Returns (doc_index, fingerprint) with within-doc duplicates removed
+    and grams crossing doc boundaries discarded.
+    """
+    h = gram_hashes(data, k)
+    if h.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    mask = np.int64((1 << density_bits) - 1)
+    sel = np.flatnonzero((h & mask) == 0)
+    if sel.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    doc_idx = np.searchsorted(doc_offsets, sel, side="right") - 1
+    valid = (sel + k) <= doc_offsets[doc_idx + 1]
+    doc_idx, sel = doc_idx[valid], sel[valid]
+    fps = h[sel]
+    # distinct (doc, fp): sort lexicographically, drop repeats
+    order = np.lexsort((fps, doc_idx))
+    doc_idx, fps = doc_idx[order], fps[order]
+    keep = np.ones(doc_idx.shape[0], dtype=bool)
+    keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (fps[1:] != fps[:-1])
+    return doc_idx[keep], fps[keep]
 
 
-def make_winnow_udf(cfg: DedupConfig):
-    k, w = cfg.winnow_k, cfg.winnow_window
+def make_fingerprint_arrow_fn(cfg: DedupConfig):
+    k, density_bits = cfg.winnow_k, cfg.density_bits
 
-    @F.pandas_udf(T.ArrayType(T.LongType(), containsNull=False))
-    def winnow_udf(content: pd.Series) -> pd.Series:
-        return content.map(
-            lambda s: winnow_fingerprints(s if s is not None else "", k, w)
-        )
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_id = batch.column(0)
+            content = batch.column(1)
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            buffers = content.buffers()
+            raw_off = np.frombuffer(buffers[1], dtype=np.int32)[
+                content.offset : content.offset + len(content) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(buffers[2], dtype=np.uint8)
+            start = raw_off[0]
+            doc_offsets = raw_off - start
+            seg = data[start : raw_off[-1]]
+            doc_idx, fps = select_fingerprints(seg, doc_offsets, k, density_bits)
+            ids = doc_id.to_numpy(zero_copy_only=False)[doc_idx]
+            yield pa.record_batch(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "fp": pa.array(fps, type=pa.int64()),
+                }
+            )
 
-    return winnow_udf
+    return fn
 
 
 def fp_shared_threshold(cfg: DedupConfig) -> int:
-    """Minimum shared-fingerprint count implied by a verbatim overlap of
-    `substr_min_len` chars.  Winnowing guarantees one selected
-    fingerprint per window fully inside the shared region; interior
-    windows select identical fingerprints in both docs, giving at least
-    floor((L - k - w) / w) distinct shared selections.  Halved for
-    slack against unicode re-encoding edge effects; floor 2 so a single
-    coincidental gram never pairs two docs."""
-    L, k, w = cfg.substr_min_len, cfg.winnow_k, cfg.winnow_window
-    return max(2, (L - k - w) // (2 * w))
+    """Minimum shared-fingerprint count implied by a verbatim overlap
+    of `substr_min_len` chars: expected selections in the shared region
+    are (L-k+1)/2^density_bits; we require a third of that (the
+    binomial lower tail below 1/3 of the mean at these parameters is
+    < 10^-10), floor 2 so one coincidental gram never pairs docs."""
+    L, k = cfg.substr_min_len, cfg.winnow_k
+    expected = (L - k + 1) >> cfg.density_bits
+    return max(2, expected // 3)
 
 
 def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -93,15 +128,14 @@ def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     shared-fingerprint count clears `fp_shared_threshold` — i.e. the
     pair is *verified by construction* to share ~substr_min_len chars.
 
-    Dataflow: winnow UDF → posexplode fingerprints → groupBy(fp) with
-    the same cap/drop discipline as LSH buckets (a boilerplate header
-    shared by 10^6 files is a degenerate fingerprint) → pair emit →
-    groupBy(pair) count filter.  Shuffles: one on fp, one on the pair
-    key.  Skew note: fingerprints of ubiquitous boilerplate are capped
-    at `max_bucket` docs, mirroring lsh.candidate_pairs_from_buckets.
+    Dataflow: fingerprint mapInArrow (already exploded) → groupBy(fp)
+    with the same cap/drop discipline as LSH buckets (a boilerplate
+    header shared by 10^6 files is a degenerate fingerprint) → pair
+    emit → groupBy(pair) count filter.  Shuffles: one on fp, one on
+    the pair key.
     """
-    udf = make_winnow_udf(cfg)
-    fps = docs.select("doc_id", F.explode(udf("content")).alias("fp"))
+    fn = make_fingerprint_arrow_fn(cfg)
+    fps = docs.select("doc_id", "content").mapInArrow(fn, "doc_id long, fp long")
     grouped = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count("*").alias("n"))
@@ -121,3 +155,28 @@ def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         pair_counts.filter(F.col("shared_fp") >= fp_shared_threshold(cfg))
         .select("id_a", "id_b", F.lit("substr").alias("src"))
     )
+
+
+def winnow_fingerprints(text: str, k: int, density_bits: int = 6) -> np.ndarray:
+    """Single-doc fingerprint set (unit tests / small tools)."""
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    offsets = np.array([0, data.shape[0]], dtype=np.int64)
+    _, fps = select_fingerprints(data, offsets, k, density_bits)
+    return fps
+
+
+def make_winnow_udf(cfg: DedupConfig):
+    """array-of-fingerprints pandas UDF (used by the rows-only driver
+    query; the pipeline path uses the exploded mapInArrow form)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k, density_bits = cfg.winnow_k, cfg.density_bits
+
+    @F.pandas_udf(T.ArrayType(T.LongType(), containsNull=False))
+    def winnow_udf(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda s: winnow_fingerprints(s if s is not None else "", k, density_bits)
+        )
+
+    return winnow_udf
