@@ -44,7 +44,7 @@ def test_shingle_count_matches_oracle(spark):
     from welldedup.signatures import add_signatures
 
     prepared = prep.prepare_docs(_df(spark, SAMPLES), CFG)
-    sigs = add_signatures(prepared, CFG).join(
+    sigs = add_signatures(prepared, CFG, with_shingles=True).join(
         prepared.select("doc_id", "path"), "doc_id"
     )
     got = {

@@ -83,8 +83,14 @@ class DedupConfig:
     jaccard_threshold: float = 0.7
     est_prefilter: float = 0.35   # discard pairs whose minhash estimate is far below
     edit_sim_threshold: float = 0.8
-    edit_max_chars: int = 4000    # levenshtein cost guard: compare prefixes
-    verify_exact_jaccard: bool = True
+    edit_max_chars: int = 4000    # char-level fallback prefix bound
+    edit_max_lines: int = 10000   # line-level edit check bound
+    # exact shingle-set Jaccard (V2) requires carrying ~20KB shingle
+    # arrays per doc through two verification joins — measured 4× the
+    # whole verify stage cost at 50k docs.  Default off: the 128-slot
+    # OPH estimate (±0.03) plus the edit check decides; enable for
+    # small corpora / golden tests where exactness matters more.
+    verify_exact_jaccard: bool = False
 
     # --- connected components (cluster.py)
     cc_max_rounds: int = 50

@@ -510,7 +510,7 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
 
 def q_minhash_signatures(spark, sf_dir):
     prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
-    sigs = add_signatures(prepared, CFG)
+    sigs = add_signatures(prepared, CFG, with_shingles=True)
     return sigs.select(
         "doc_id",
         F.size("minhash").cast("long").alias("sig_len"),

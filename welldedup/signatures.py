@@ -183,11 +183,15 @@ def compute_signatures_np(
     return shingles, mh, sim
 
 
-def make_signature_arrow_fn(cfg: DedupConfig):
+def make_signature_arrow_fn(cfg: DedupConfig, with_shingles: bool | None = None):
     """mapInArrow function: (doc_id, token_hashes) batches →
-    (doc_id, minhash, simhash, shingles) batches.  Ragged arrays are
-    accessed zero-copy via the Arrow ListArray buffers."""
+    (doc_id, minhash, simhash[, shingles]) batches.  Ragged arrays are
+    accessed zero-copy via the Arrow ListArray buffers.  Shingle
+    arrays (~20KB/doc) are emitted only when exact-Jaccard
+    verification needs them."""
     n_hashes = cfg.n_hashes
+    if with_shingles is None:
+        with_shingles = cfg.verify_exact_jaccard
 
     def fn(batches):
         for batch in batches:
@@ -207,49 +211,55 @@ def make_signature_arrow_fn(cfg: DedupConfig):
             tlengths = np.diff(raw_off)
             shingles, mh, sim = compute_signatures_np(tflat, toffsets, tlengths, cfg)
             n = batch.num_rows
-            sh_lengths = np.fromiter((len(x) for x in shingles), dtype=np.int64, count=n)
-            sh_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(sh_lengths, out=sh_off[1:])
-            sh_values = (
-                np.concatenate(shingles) if n else np.zeros(0, dtype=np.int64)
-            )
             mh_off = (np.arange(n + 1, dtype=np.int64) * n_hashes).astype(np.int32)
-            out = pa.record_batch(
-                {
-                    "doc_id": doc_id,
-                    "minhash": pa.ListArray.from_arrays(
-                        mh_off, pa.array(mh.reshape(-1), type=pa.int64())
-                    ),
-                    "simhash": pa.array(sim, type=pa.int64()),
-                    "shingles": pa.ListArray.from_arrays(
-                        sh_off.astype(np.int32), pa.array(sh_values, type=pa.int64())
-                    ),
-                }
-            )
-            yield out
+            cols = {
+                "doc_id": doc_id,
+                "minhash": pa.ListArray.from_arrays(
+                    mh_off, pa.array(mh.reshape(-1), type=pa.int64())
+                ),
+                "simhash": pa.array(sim, type=pa.int64()),
+            }
+            if with_shingles:
+                sh_lengths = np.fromiter(
+                    (len(x) for x in shingles), dtype=np.int64, count=n
+                )
+                sh_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(sh_lengths, out=sh_off[1:])
+                sh_values = (
+                    np.concatenate(shingles) if n else np.zeros(0, dtype=np.int64)
+                )
+                cols["shingles"] = pa.ListArray.from_arrays(
+                    sh_off.astype(np.int32), pa.array(sh_values, type=pa.int64())
+                )
+            yield pa.record_batch(cols)
 
     return fn
 
 
-SIG_SCHEMA = (
-    "doc_id long, minhash array<long>, simhash long, shingles array<long>"
-)
+SIG_SCHEMA_NARROW = "doc_id long, minhash array<long>, simhash long"
+SIG_SCHEMA_FULL = SIG_SCHEMA_NARROW + ", shingles array<long>"
 
 
-def add_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def add_signatures(
+    docs: DataFrame, cfg: DedupConfig, with_shingles: bool | None = None
+) -> DataFrame:
     """docs (with `content`) → signatures table
-    (doc_id, minhash array<long>, simhash long, shingles array<long>).
+    (doc_id, minhash array<long>, simhash long[, shingles]).
 
     The JVM tokenizes and hashes tokens in one fused projection
     (codegen'd; the token strings are never materialized); shingling +
     OPH MinHash + SimHash happen in ONE vectorized Arrow UDF per batch.
-    `shingles` is retained because exact Jaccard verification (V2)
-    consumes it."""
+    `shingles` (~20KB/doc) is emitted only when exact Jaccard
+    verification (V2) consumes it (cfg.verify_exact_jaccard)."""
     from .prep import tokenize_expr
 
-    fn = make_signature_arrow_fn(cfg)
+    if with_shingles is None:
+        with_shingles = cfg.verify_exact_jaccard
+    fn = make_signature_arrow_fn(cfg, with_shingles)
     narrow = docs.select(
         "doc_id",
         token_hashes_expr(tokenize_expr("content", cfg)).alias("token_hashes"),
     )
-    return narrow.mapInArrow(fn, SIG_SCHEMA)
+    return narrow.mapInArrow(
+        fn, SIG_SCHEMA_FULL if with_shingles else SIG_SCHEMA_NARROW
+    )
