@@ -1,0 +1,53 @@
+"""Measure this host's real parallel CPU capacity (context for
+BENCH/BASELINE.md): cache-resident vs streaming int64 throughput at
+1/2/4/8/16/32 processes.  Distinguishes "the engine doesn't scale"
+from "the host's memory bandwidth saturates" — on this sandbox VM,
+cache-resident work scales ~29× at 32 procs while big-array streaming
+caps at ~6× single-thread.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import time
+
+import numpy as np
+
+
+def _work(size: int, seconds: float = 4.0) -> int:
+    a = np.random.randint(0, 2**62, size=size, dtype=np.int64)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        b = a * np.int64(-7046029254386353131) + np.int64(7)
+        a ^= b
+        n += 1
+    return n
+
+
+def _cache(_):
+    return _work(100_000)  # ~800 KB, L2-resident
+
+
+def _stream(_):
+    return _work(4_000_000)  # ~32 MB, streams from RAM
+
+
+def run() -> dict:
+    out: dict = {}
+    for name, fn in [("cache_resident", _cache), ("streaming", _stream)]:
+        base = None
+        series = {}
+        for procs in (1, 2, 4, 8, 16, 32):
+            with mp.Pool(procs) as p:
+                total = sum(p.map(fn, range(procs)))
+            if base is None:
+                base = total
+            series[procs] = round(total / base, 2)
+        out[name] = series
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -110,14 +110,19 @@ def candidate_pairs_from_buckets(
     explosion happens post-aggregation so no bucket ever materializes
     more than cap·(cap-1)/2 pairs.
     """
-    ids_col = F.sort_array(F.collect_list("doc_id"))
-    grouped = (
+    # two-phase: a cheap partial-aggregating COUNT finds the >= 2-doc
+    # buckets first (the overwhelming majority of buckets are
+    # singletons, and collect_list on millions of singleton groups is
+    # allocation-bound); only surviving buckets pay the list build.
+    counts = (
         buckets.groupBy("band_id", "band_hash")
-        .agg(ids_col.alias("ids"), F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over))
     )
-    kept = grouped.filter(F.col("n") <= cfg.drop_bucket_over).withColumn(
-        "ids", F.slice("ids", 1, cfg.max_bucket)
+    kept = (
+        buckets.join(counts, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.max_bucket).alias("ids"))
     )
     # explode (i, j) index pairs from the sorted unique list
     pairs = (

@@ -14,6 +14,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dirs() -> str:
+    if "SPARK_LOCAL_DIRS" in os.environ:
+        return os.environ["SPARK_LOCAL_DIRS"]
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark-local"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "welldedup",
     master: str | None = None,
@@ -41,6 +51,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WELLDEDUP_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: shuffle + spill files through tmpfs when present —
+        # N concurrent shuffle writers on one virtio disk serialize the
+        # whole job (measured local[32] SLOWER than local[8] on disk).
+        # On a real cluster SPARK_LOCAL_DIRS points at NVMe per node.
+        .config("spark.local.dir", _local_dirs())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,109 @@
+"""Structured Streaming surface: incremental corpus ingest.
+
+The reference is a single-shot QC script (no streaming; SURVEY.md
+§2.1) and the north_rule requires batch + resume only — but a corpus
+at 10^12 files is never re-signed from scratch: new commits arrive
+continuously.  This module gives the engine an incremental path with
+the SAME stage semantics as pipeline.py:
+
+- `incremental_signatures`: readStream over the code_files source →
+  per micro-batch, run prep + signature stages and APPEND to the
+  signatures store.  Exactly-once per file via the streaming
+  checkpoint; dedup of re-delivered rows via doc_id anti-join inside
+  foreachBatch.  Signature determinism (content-derived doc_id, seeded
+  OPH) makes append idempotent in value even on replays.
+- `windowed_event_counts`: watermarked tumbling-window aggregation
+  over an event stream (the generic streaming-agg operator surface:
+  withWatermark + window + agg).
+
+Candidate generation / clustering stay batch jobs over the
+accumulated signature store (LSH buckets and connected components are
+global computations; recomputing them incrementally is a research
+problem the reference never had — run the batch stages on a schedule
+instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prep
+from .config import DedupConfig
+from .signatures import add_signatures
+
+CODE_FILES_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_code_files_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 32
+) -> DataFrame:
+    """Streaming scan of a code_files parquet directory (new files =
+    new data; in prod this is Iceberg incremental read / Kafka)."""
+    return (
+        spark.readStream.schema(CODE_FILES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def incremental_signatures(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+):
+    """stream(code_files) → append-only signatures parquet at out_dir.
+
+    foreachBatch gives each micro-batch the full batch API (the
+    signature stage is a mapInArrow, unavailable in pure streaming),
+    plus an anti-join against already-signed doc_ids so replayed or
+    re-committed files don't duplicate — the streaming analog of the
+    batch resume gate (io.py S4).
+    """
+    cfg = cfg or DedupConfig()
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prepared = prep.prepare_docs(batch_df, cfg)
+        sigs = add_signatures(prepared, cfg)
+        try:
+            existing = spark.read.parquet(out_dir).select("doc_id")
+            sigs = sigs.join(existing, "doc_id", "left_anti")
+        except Exception:  # first batch: nothing written yet
+            pass
+        sigs.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over a stream
+    with (ts timestamp, event_type string, value double)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

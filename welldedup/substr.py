@@ -39,8 +39,9 @@ _B = np.int64(-7046029254386353131)  # odd golden-ratio multiplier
 
 
 def gram_hashes(data: np.ndarray, k: int) -> np.ndarray:
-    """Rolling degree-k polynomial hash of every k-byte gram, as k-1
-    vectorized FMA passes over the whole buffer.  int64 wrapping."""
+    """Reference kernel: rolling degree-k polynomial over BYTES, k-1
+    FMA passes.  O(k) full-buffer passes — kept for tests; production
+    uses gram_hashes_words (~k/6× less memory traffic)."""
     b = data.astype(np.int64)
     n_win = b.shape[0] - k + 1
     if n_win <= 0:
@@ -53,6 +54,42 @@ def gram_hashes(data: np.ndarray, k: int) -> np.ndarray:
     return res
 
 
+def gram_hashes_words(data: np.ndarray, k: int) -> np.ndarray:
+    """Production kernel: degree-(k/8) polynomial over the gram's
+    uint64 WORDS instead of degree-k over bytes.  For each byte-offset
+    class o ∈ [0,8), the words at positions o, o+8, o+16… are one
+    contiguous int64 view, so the Horner recurrence is (k/8 − 1) FMA
+    passes per class — 8·(k/8) passes over 1/8-size arrays ≈ k passes
+    of 1/8 the traffic, ~6× less memory movement than the byte kernel
+    (this stage is bandwidth-bound, measured).  Hash values differ
+    from gram_hashes (different formula); both are deterministic and
+    content-local, which is all the CDC selection needs.  k must be a
+    multiple of 8."""
+    n = data.shape[0]
+    n_win = n - k + 1
+    if n_win <= 0:
+        return np.zeros(0, dtype=np.int64)
+    assert k % 8 == 0, "gram_hashes_words needs k % 8 == 0"
+    wpg = k // 8
+    out = np.empty(n_win, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for o in range(8):
+            seg = data[o:]
+            usable = (seg.shape[0] // 8) * 8
+            if usable < k:
+                continue
+            w = seg[:usable].view(np.int64)
+            m = min(w.shape[0] - wpg + 1, (n - k - o) // 8 + 1)
+            if m <= 0:
+                continue
+            res = w[0:m] * _B + w[1 : 1 + m]
+            for j in range(2, wpg):
+                res *= _B
+                res += w[j : j + m]
+            out[o::8][:m] = res
+    return out
+
+
 def select_fingerprints(
     data: np.ndarray, doc_offsets: np.ndarray, k: int, density_bits: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -62,7 +99,7 @@ def select_fingerprints(
     Returns (doc_index, fingerprint) with within-doc duplicates removed
     and grams crossing doc boundaries discarded.
     """
-    h = gram_hashes(data, k)
+    h = gram_hashes_words(data, k)
     if h.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     mask = np.int64((1 << density_bits) - 1)
@@ -136,11 +173,17 @@ def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     fn = make_fingerprint_arrow_fn(cfg)
     fps = docs.select("doc_id", "content").mapInArrow(fn, "doc_id long, fp long")
-    grouped = (
+    # two-phase (see lsh.candidate_pairs_from_buckets): cheap COUNT
+    # finds shared fingerprints; only those pay the list build
+    counts = (
         fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"))
         .filter((F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over))
-        .withColumn("ids", F.slice("ids", 1, cfg.max_bucket))
+    )
+    grouped = (
+        fps.join(counts, "fp")
+        .groupBy("fp")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.max_bucket).alias("ids"))
     )
     pair_counts = (
         grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
