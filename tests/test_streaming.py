@@ -68,7 +68,7 @@ def test_windowed_event_counts(spark):
     ]
     src = tempfile.mkdtemp(prefix="wd_events_")
     pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
-    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     pq.write_table(pa.Table.from_pandas(pdf), os.path.join(src, "e.parquet"))
 
     stream = (

@@ -157,9 +157,170 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def q_ngram3_jaccard_pairs(spark, sf_dir):
+    """Word-trigram Jaccard near-dup pairs (n-gram dedup operator) —
+    same-source pairs above 0.35."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("g")).filter(F.size("g") > 0)
+    a = g.select(F.col("doc_id").alias("id_a"), "source", F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), "source", F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jac3"))
+        .filter(F.col("jac3") >= 0.35)
+    )
+
+
+SQL_NGRAM3_JACCARD_PAIRS = """
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jac3
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.gs, b.gs))), 4) >= 0.35
+"""
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (vector dedup operator):
+    all pairs with cosine >= 0.9."""
+    from .similarity import l2_norm_expr
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm_expr("embedding").alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) >= 0.9
+"""
+
+
 # --------------------------------------------------------------------
 # relational suite (TPC-H-ish; G/W/J/O/U/P rows of SURVEY §2)
 # --------------------------------------------------------------------
+
+
+def q_price_percentiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_pivot_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS_PRIORITY = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_stats_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+        F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
+    )
+
+
+SQL_STATS_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(stddev_samp(l_discount), 4) AS sd_disc,
+       round(var_samp(l_tax), 4) AS var_tax
+FROM lineitem GROUP BY l_returnflag
+"""
 
 def q_lineitem_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -592,7 +753,13 @@ QUERIES = {
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "cc_clusters": q_cc_clusters,
+    "ngram3_jaccard_pairs": q_ngram3_jaccard_pairs,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     # relational suite
+    "price_percentiles": q_price_percentiles,
+    "pivot_status_priority": q_pivot_status_priority,
+    "cube_lineitem": q_cube_lineitem,
+    "stats_corr": q_stats_corr,
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_nation": q_revenue_by_nation,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -634,6 +801,12 @@ ORACLES = {
     "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
+    "ngram3_jaccard_pairs": SQL_NGRAM3_JACCARD_PAIRS,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    "price_percentiles": SQL_PRICE_PERCENTILES,
+    "pivot_status_priority": SQL_PIVOT_STATUS_PRIORITY,
+    "cube_lineitem": SQL_CUBE_LINEITEM,
+    "stats_corr": SQL_STATS_CORR,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,

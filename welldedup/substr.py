@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .config import DedupConfig
 
 _B = np.int64(-7046029254386353131)  # odd golden-ratio multiplier
+_SELECTOR_K = 16  # bytes per selector gram (cheap phase-1 hash)
 
 
 def gram_hashes(data: np.ndarray, k: int) -> np.ndarray:
@@ -98,18 +99,35 @@ def select_fingerprints(
     doc_offsets: int64[n_docs+1] — byte ranges of each doc in `data`.
     Returns (doc_index, fingerprint) with within-doc duplicates removed
     and grams crossing doc boundaries discarded.
+
+    Two-phase for memory-traffic economy (the stage is bandwidth
+    bound): a CHEAP 16-byte-gram hash drives the 1-in-2^density_bits
+    position selection (one FMA pass per offset class), then the
+    STRONG k-byte fingerprint is computed only at the ~1/64 selected
+    positions via a gathered (k × n_sel) Horner — ~3× less traffic
+    than hashing k-byte grams at every position.
     """
-    h = gram_hashes_words(data, k)
-    if h.shape[0] == 0:
+    h16 = gram_hashes_words(data, _SELECTOR_K)
+    if h16.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     mask = np.int64((1 << density_bits) - 1)
-    sel = np.flatnonzero((h & mask) == 0)
+    sel = np.flatnonzero((h16 & mask) == 0)
     if sel.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     doc_idx = np.searchsorted(doc_offsets, sel, side="right") - 1
     valid = (sel + k) <= doc_offsets[doc_idx + 1]
     doc_idx, sel = doc_idx[valid], sel[valid]
-    fps = h[sel]
+    if sel.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    # strong fingerprint: degree-k Horner over gathered windows,
+    # (k, n_sel) layout so each pass reads a contiguous row
+    win = data[np.arange(k, dtype=np.int64)[:, None] + sel[None, :]]
+    acc = win[0].astype(np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            acc *= _B
+            acc += win[j]
+    fps = acc
     # distinct (doc, fp): sort lexicographically, drop repeats
     order = np.lexsort((fps, doc_idx))
     doc_idx, fps = doc_idx[order], fps[order]
