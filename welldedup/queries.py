@@ -305,6 +305,23 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.count_distinct("l_orderkey").alias("d_orders"),
+        F.count_distinct("l_partkey").alias("d_parts"),
+        F.count_distinct("l_suppkey", "l_partkey").alias("d_supp_part"),
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT count(DISTINCT l_orderkey) AS d_orders,
+       count(DISTINCT l_partkey) AS d_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS d_supp_part
+FROM lineitem
+"""
+
+
 def q_stats_corr(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -760,6 +777,7 @@ QUERIES = {
     "pivot_status_priority": q_pivot_status_priority,
     "cube_lineitem": q_cube_lineitem,
     "stats_corr": q_stats_corr,
+    "distinct_counts": q_distinct_counts,
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_nation": q_revenue_by_nation,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -807,6 +825,7 @@ ORACLES = {
     "pivot_status_priority": SQL_PIVOT_STATUS_PRIORITY,
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "stats_corr": SQL_STATS_CORR,
+    "distinct_counts": SQL_DISTINCT_COUNTS,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
