@@ -1,0 +1,195 @@
+"""Round-2 regression & feature tests: salted bottom-k pair emit,
+observe()-based stage/skew metrics, winnow UDF construction, short-doc
+n-gram guard, deterministic payload hashing, catalog-table read seam,
+bucketed streaming store."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from welldedup import io as wio
+from welldedup import lsh, multimodal, queries, substr
+from welldedup.config import DedupConfig
+
+
+# --- salting (J2 skew control; BASELINE.json names salting explicitly)
+
+def test_salted_pair_emit_identical_output(spark):
+    """A hot bucket at 10x max_bucket: salting must spread the list
+    build across salt shards yet emit EXACTLY the unsalted pair set
+    (bottom-k is distributive over the salt partition)."""
+    cap = 8
+    rows = [(0, 42, i) for i in range(10 * cap)] + [(1, 7, 500), (1, 7, 501)]
+    buckets = spark.createDataFrame(rows, "band_id int, band_hash long, doc_id long")
+
+    plain = DedupConfig(max_bucket=cap, salt_partitions=0)
+    salted = DedupConfig(max_bucket=cap, salt_partitions=8)
+    p0 = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh.candidate_pairs_from_buckets(buckets, plain, "minhash").collect()
+    )
+    obs: list = []
+    p1 = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh.candidate_pairs_from_buckets(buckets, salted, "minhash", obs).collect()
+    )
+    assert p0 == p1
+    assert len(p0) == cap * (cap - 1) // 2 + 1  # capped bucket + the pair
+    # metrics observations: salt fan-out recorded, more salted groups
+    # than buckets (the hot bucket split across shards)
+    vals = dict(obs)
+    assert int(vals["salt_{}".format("minhash")].get["salt_groups"]) > 2
+    assert int(vals["buckets_minhash"].get["buckets_total"]) == 2
+
+
+def test_dropped_bucket_observation(spark):
+    cfg = DedupConfig(drop_bucket_over=5)
+    rows = [(0, 42, i) for i in range(10)] + [(1, 7, 100), (1, 7, 101)]
+    buckets = spark.createDataFrame(rows, "band_id int, band_hash long, doc_id long")
+    obs: list = []
+    pairs = lsh.candidate_pairs_from_buckets(buckets, cfg, "minhash", obs).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(100, 101)]
+    vals = dict(obs)["buckets_minhash"].get
+    assert vals["buckets_dropped"] == 1
+    assert vals["docs_in_dropped"] == 10
+
+
+def test_pipeline_metrics_rows_nonnull(spark):
+    """Stage metrics carry real rows_in/rows_out and skew accounting —
+    degenerate-bucket drops are never silent (lsh.py contract)."""
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.pipeline import run_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"), salt_partitions=4)
+    pdf, _ = corpus_to_pandas(make_corpus(120, seed=9))
+    res = run_pipeline(spark, spark.createDataFrame(pdf), cfg)
+    m = {r.stage: r for r in res.metrics.filter("part_id = -1").collect()}
+    for name in ["docs", "signatures", "candidate_pairs", "verified_pairs", "clusters"]:
+        assert m[name].rows_out is not None and m[name].rows_out > 0, name
+    for name in ["signatures", "candidate_pairs", "verified_pairs", "clusters"]:
+        assert m[name].rows_in is not None, name
+    assert m["signatures"].rows_in == m["docs"].rows_out
+    # skew accounting rows present for every bucket source
+    for name in ["buckets_minhash", "buckets_simhash", "buckets_substr"]:
+        assert name in m, name
+    assert "salt_minhash" in m and m["salt_minhash"].rows_out > 0
+
+
+# --- winnow UDF (r1 driver-board crash: UNSUPPORTED_SIGNATURE)
+
+def test_winnow_udf_builds_and_runs(spark):
+    import numpy as np
+
+    cfg = DedupConfig()
+    udf = substr.make_winnow_udf(cfg)  # must not raise at definition
+    rng = np.random.Generator(np.random.PCG64(3))
+    content = "".join(chr(int(c)) for c in rng.integers(97, 123, size=20000))
+    df = spark.createDataFrame([(1, content)], "doc_id long, content string")
+    row = df.select(F.size(udf("content")).alias("n")).collect()[0]
+    # ~20000/64 selections on non-repetitive content
+    assert 100 < row.n < 600
+
+
+# --- short-doc n-gram guard (ADVICE high: INVALID_ARRAY_INDEX_IN_ELEMENT_AT)
+
+def test_ngram3_short_docs_no_crash(spark, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["one two", "a", "alpha beta gamma delta", "alpha beta gamma delta"],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [7, 1, 22, 22],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = queries.q_ngram3_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert sorted((r.id_a, r.id_b) for r in got) == [(3, 4)]
+
+
+# --- payload hash determinism (content-derived, PYTHONHASHSEED-free)
+
+def test_payload_hash_deterministic():
+    import hashlib
+
+    p = b"\x00\x01binary payload"
+    expected = (
+        int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "big")
+        & 0x7FFFFFFFFFFFFFFF
+    )
+    assert multimodal._payload_hash(p) == expected
+    assert multimodal._payload_hash(None) == 0
+
+
+def test_extract_features_hash_stable(spark):
+    d = spark.createDataFrame(
+        [(1, "image", b"payload-bytes", 4, 4)],
+        "doc_id long, media_type string, payload binary, width int, height int",
+    )
+    h1 = multimodal.extract_features(d).collect()[0].payload_hash
+    h2 = multimodal.extract_features(d).collect()[0].payload_hash
+    assert h1 == h2 == multimodal._payload_hash(b"payload-bytes")
+
+
+# --- S1 seam: table-identifier reads resolve through the catalog
+
+def test_read_code_files_table_identifier(spark):
+    pdf = pd.DataFrame(
+        [dict(repo="r", path="a.py", commit="c", lang="py", content="x = 1")]
+    )
+    spark.createDataFrame(pdf).createOrReplaceGlobalTempView("code_files_seam")
+    ident = "global_temp.code_files_seam"
+    assert wio.is_table_identifier(ident)
+    assert not wio.is_table_identifier("/root/testdata/sf0.001")
+    got = wio.read_code_files(spark, ident)
+    assert got.count() == 1 and set(got.columns) == {
+        "repo", "path", "commit", "lang", "content"
+    }
+
+
+# --- streaming: bucketed store prunes the dedup anti-join
+
+def test_streaming_bucketed_store_prunes(spark):
+    from welldedup.streaming import (
+        N_ID_BUCKETS,
+        incremental_signatures,
+        read_code_files_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="wd_sb_src_")
+    out = tempfile.mkdtemp(prefix="wd_sb_out_") + "/sigs"
+    ckpt = tempfile.mkdtemp(prefix="wd_sb_ckpt_")
+
+    def rows(tag, n):
+        return [
+            dict(repo=f"r{tag}", path=f"f{tag}_{i}.py", commit="c0", lang="python",
+                 content=f"def fn_{tag}_{i}(x):\n    return x + {i}\n")
+            for i in range(n)
+        ]
+
+    def write(name, rs):
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rs)), os.path.join(src, name))
+
+    cfg = DedupConfig()
+    stats: dict = {}
+    write("b1.parquet", rows("a", 6))
+    q = incremental_signatures(read_code_files_stream(spark, src), out, ckpt, cfg, stats).start()
+    q.awaitTermination(120)
+    write("b2.parquet", rows("a", 6) + rows("b", 2))  # replay + 2 new
+    q = incremental_signatures(read_code_files_stream(spark, src), out, ckpt, cfg, stats).start()
+    q.awaitTermination(120)
+    write("b3.parquet", rows("c", 1))  # third batch: 1 new doc
+    q = incremental_signatures(read_code_files_stream(spark, src), out, ckpt, cfg, stats).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 9 and got.select("doc_id").distinct().count() == 9
+    # store is hive-partitioned on id_bucket
+    assert any(n.startswith("id_bucket=") for n in os.listdir(out))
+    # the 1-doc batch read exactly 1 bucket, not the whole store
+    last_epoch = max(stats)
+    assert stats[last_epoch]["buckets_read"] == 1 < N_ID_BUCKETS

@@ -18,13 +18,16 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
-_HAVE_ICEBERG = False  # no iceberg-spark-runtime jars in this sandbox
+# catalog.db.table / db.table identifier (vs a filesystem path)
+_TABLE_IDENT = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
 
 
 @dataclass
@@ -52,8 +55,12 @@ class StageStore:
         return m.get("config_hash") == self.config_hash and m.get("complete") is True
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
-        """Materialize a stage: overwrite parquet, then commit manifest."""
+        """Materialize a stage: overwrite parquet, then commit manifest.
+        The manifest row count rides the write as an observe() node —
+        no post-hoc re-scan of the checkpoint."""
         path = self._dir(stage)
+        obs = Observation(f"write_{stage}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -63,7 +70,7 @@ class StageStore:
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
-            "rows": back.count(),
+            "rows": int(obs.get["rows"]),
             "schema": back.schema.jsonValue(),
             "complete": True,
         }
@@ -85,11 +92,37 @@ class StageStore:
         return self.write(stage, build(), partition_by=partition_by)
 
 
+def is_table_identifier(source: str) -> bool:
+    """A source string is a catalog table iff it parses as a dotted
+    identifier and no such filesystem path exists.  This is the S1
+    storage seam: in prod the identifier resolves to an Iceberg table
+    (catalog configured via --packages iceberg-spark-runtime +
+    spark.sql.catalog.*); in tests it resolves against the session
+    catalog — same DataSourceV2 read path, so the branch is exercised
+    without the jars."""
+    return bool(_TABLE_IDENT.match(source)) and not os.path.exists(source)
+
+
 def read_code_files(spark: SparkSession, source: str) -> DataFrame:
-    """S1/S2 — read the input table.  `source` is an Iceberg table name
-    (prod, catalog configured via --packages + spark.sql.catalog.*) or
-    a parquet path/dir (sandbox).  Column pruning and predicate
-    pushdown are Catalyst built-ins either way."""
-    if _HAVE_ICEBERG and "." in source and not os.path.exists(source):
+    """S1/S2 — read the input table.  `source` is a table identifier
+    (Iceberg in prod; any session-catalog table in tests) or a parquet
+    path/dir.  Column pruning and predicate pushdown are Catalyst
+    built-ins either way; partition pruning comes from the table's
+    partition spec (Iceberg hidden partitioning in prod)."""
+    if is_table_identifier(source):
         return spark.read.table(source)
     return spark.read.parquet(source)
+
+
+def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    """S3 prod form — `writeTo` (DataSourceV2): Iceberg's
+    `overwritePartitions()` when the catalog is Iceberg; falls back to
+    createOrReplace for catalogs without partition-overwrite support
+    (e.g. the in-session test catalog)."""
+    w = df.writeTo(table)
+    if partition_by:
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    try:
+        w.overwritePartitions()
+    except Exception:
+        w.createOrReplace()

@@ -25,7 +25,7 @@ pair set is deterministic across partitionings and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
@@ -53,17 +53,16 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     static config → unrolled to a literal struct array, pure Catalyst,
     fully codegen'd; one posexplode, no UDF.
     """
+    # band hash = xxhash64 over the slice's LONG values directly (plus
+    # the band id) — element_at unrolled per band, no string building:
+    # the earlier concat_ws form allocated ~48 strings per doc and was
+    # the band stage's dominant cost.
     entries = [
         F.struct(
             F.lit(gid).alias("band_id"),
             F.xxhash64(
                 F.lit(gid),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice("minhash", start, ln), lambda x: x.cast("string")
-                    ),
-                ),
+                *[F.element_at("minhash", start + j) for j in range(ln)],
             ).alias("band_hash"),
         )
         for gid, start, ln in _banding_specs(cfg)
@@ -100,7 +99,10 @@ def simhash_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs_from_buckets(
-    buckets: DataFrame, cfg: DedupConfig, src: str
+    buckets: DataFrame,
+    cfg: DedupConfig,
+    src: str,
+    observations: list | None = None,
 ) -> DataFrame:
     """buckets → candidate_pairs(id_a, id_b, src), id_a < id_b, distinct.
 
@@ -109,22 +111,71 @@ def candidate_pairs_from_buckets(
     aggregation is partial+final (map-side combine), and the pair
     explosion happens post-aggregation so no bucket ever materializes
     more than cap·(cap-1)/2 pairs.
+
+    Skew metrics are observe()-based: a CollectMetrics node on the
+    bucket-count stream records total/dropped bucket counts with ZERO
+    extra passes (pass an `observations` list; (name, Observation)
+    tuples are appended, readable after the plan's first action).
+
+    Salting (cfg.salt_partitions > 1): the capped bottom-`max_bucket`
+    list is a distributive bottom-k, so a hot bucket is first reduced
+    per (bucket, salt) shard — salt = pmod(xxhash64(doc_id), n_salt),
+    content-derived, deterministic — then the ≤ n_salt partial lists
+    merge to the same bottom-k the unsalted plan yields.  A degenerate
+    bucket's list build spreads over n_salt tasks instead of one.
     """
     # two-phase: a cheap partial-aggregating COUNT finds the >= 2-doc
     # buckets first (the overwhelming majority of buckets are
     # singletons, and collect_list on millions of singleton groups is
     # allocation-bound); only surviving buckets pay the list build.
-    counts = (
-        buckets.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over))
+    counts_all = buckets.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n")
     )
-    kept = (
-        buckets.join(counts, ["band_id", "band_hash"])
-        .groupBy("band_id", "band_hash")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.max_bucket).alias("ids"))
+    if observations is not None:
+        obs = Observation(f"buckets_{src}")
+        dropped = F.col("n") > cfg.drop_bucket_over
+        counts_all = counts_all.observe(
+            obs,
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(dropped.cast("long")).alias("buckets_dropped"),
+            F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("docs_in_dropped"),
+        )
+        observations.append((f"buckets_{src}", obs))
+    counts = counts_all.filter(
+        (F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over)
     )
-    # explode (i, j) index pairs from the sorted unique list
+    survivors = buckets.join(counts, ["band_id", "band_hash"])
+    cap = cfg.max_bucket
+    if cfg.salt_partitions > 1:
+        n_salt = cfg.salt_partitions
+        pre = (
+            survivors.withColumn(
+                "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
+            )
+            .groupBy("band_id", "band_hash", "salt")
+            .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids"))
+        )
+        if observations is not None:
+            sobs = Observation(f"salt_{src}")
+            pre = pre.observe(
+                sobs, F.count(F.lit(1)).alias("salt_groups")
+            )
+            observations.append((f"salt_{src}", sobs))
+        kept = pre.groupBy("band_id", "band_hash").agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids"))), 1, cap
+            ).alias("ids")
+        )
+    else:
+        kept = survivors.groupBy("band_id", "band_hash").agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids")
+        )
+    # explode (i, j) index pairs from the sorted unique list.  NO
+    # distinct here: the same pair surfacing from many bands is deduped
+    # by the caller's union groupBy (map-side combine absorbs the
+    # repeats) — a per-method distinct would be one extra full shuffle
+    # of the pair set for nothing.  Callers that use a single method's
+    # pairs directly should dropDuplicates() themselves.
     pairs = (
         kept.select(F.col("ids"))
         .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
@@ -133,7 +184,6 @@ def candidate_pairs_from_buckets(
             F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
         .withColumn("src", F.lit(src))
     )
     return pairs

@@ -12,6 +12,7 @@ body of `_decode_image_stub`.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -51,6 +52,14 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
 
 
+def _payload_hash(p) -> int:
+    """Deterministic 63-bit content hash of a binary payload."""
+    if p is None:
+        return 0
+    d = hashlib.blake2b(bytes(p), digest_size=8).digest()
+    return int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """media (MEDIA_SCHEMA) → FEATURE_SCHEMA via mapInPandas.
 
@@ -69,9 +78,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
-                    "payload_hash": payloads.map(
-                        lambda p: hash(bytes(p)) & 0x7FFFFFFFFFFFFFFF if p is not None else 0
-                    ),
+                    # content-derived, stable across workers/restarts
+                    # (Python hash() is SipHash keyed by PYTHONHASHSEED
+                    # — different per process; a determinism violation)
+                    "payload_hash": payloads.map(_payload_hash),
                     "feat": feats,
                 }
             )

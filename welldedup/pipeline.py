@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import cluster as cc
@@ -58,18 +58,36 @@ def run_pipeline(
     timer = StageTimer()
     seconds: dict[str, float] = {}
     metrics_parts: list[DataFrame] = []
+    stage_rows: dict[str, int | None] = {}
 
-    def stage(name: str, build, partition_by=None) -> DataFrame:
+    def stage(name: str, build, partition_by=None, rows_in_from: str | None = None) -> DataFrame:
+        """Run/resume one stage; record wall + rows_in/rows_out lineage.
+        rows_out comes free — from the checkpoint manifest (store mode,
+        which itself counts via an observe() on the write, no re-scan)
+        or an Observation on the localCheckpoint action (memory mode).
+        rows_in is the producing stage's rows_out (`rows_in_from`)."""
         t0 = time.monotonic()
+        rows_out: int | None = None
         if store is not None:
             out = store.run_stage(name, spark, build, partition_by=partition_by, force=force)
+            try:
+                rows_out = store.read_manifest(name).get("rows")
+            except OSError:
+                pass
         else:
             # in-memory mode: materialize each stage boundary anyway —
             # downstream stages (especially the iterative CC loop)
             # must never re-trigger upstream UDF stages per action.
-            out = build().localCheckpoint(eager=True)
+            obs = Observation(f"{name}_{timer.run_id}")
+            out = (
+                build()
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .localCheckpoint(eager=True)
+            )
+            rows_out = int(obs.get["rows"])
         seconds[name] = time.monotonic() - t0
-        timer.record(name, None, None, int(seconds[name] * 1000))
+        stage_rows[name] = rows_out
+        timer.record(name, stage_rows.get(rows_in_from), rows_out, int(seconds[name] * 1000))
         return out
 
     # --- prep: docs table (narrow, no content) + a working df.
@@ -99,19 +117,25 @@ def run_pipeline(
     def build_sigs():
         return signatures.add_signatures(prepared, cfg)
 
-    sigs = stage("signatures", build_sigs)
+    sigs = stage("signatures", build_sigs, rows_in_from="docs")
 
-    # --- candidate pairs: exact (sha star edges) + per enabled method
+    # --- candidate pairs: exact (sha star edges) + per enabled method.
+    # Skew/drop accounting rides the plan as observe() nodes (zero
+    # extra passes) — collected into the metrics table after the stage
+    # materializes, so degenerate-bucket drops are never silent.
+    pair_obs: list = []
+
     def build_pairs():
+        pair_obs.clear()  # force-rerun must not double-record
         parts = [lsh.exact_dup_pairs(docs)]
         if "minhash" in cfg.methods:
             b = lsh.band_buckets(sigs, cfg)
-            parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash"))
+            parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash", pair_obs))
         if "simhash" in cfg.methods:
             sb = lsh.simhash_buckets(sigs, cfg)
-            parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash"))
+            parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash", pair_obs))
         if "substr" in cfg.methods:
-            parts.append(substr.substr_candidate_pairs(prepared, cfg))
+            parts.append(substr.substr_candidate_pairs(prepared, cfg, pair_obs))
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
@@ -132,7 +156,27 @@ def run_pipeline(
             .select("id_a", "id_b", F.col("best.src").alias("src"))
         )
 
-    pairs = stage("candidate_pairs", build_pairs)
+    pairs = stage("candidate_pairs", build_pairs, rows_in_from="signatures")
+    # bucket-skew accounting: buckets_<src> rows carry (rows_in = docs
+    # inside dropped buckets, rows_out = dropped bucket count);
+    # salt_<src> rows carry the salt fan-out (rows_out = salted groups)
+    for oname, obs in pair_obs:
+        try:
+            vals = obs.get
+        except Exception:
+            # AQE empty-relation propagation can prune the observed
+            # subtree (e.g. an empty join side on a tiny corpus) — then
+            # there were no rows on that path and nothing was dropped.
+            continue
+        if oname.startswith("salt_"):
+            timer.record(oname, None, int(vals["salt_groups"]), 0)
+        else:
+            timer.record(
+                oname,
+                int(vals["docs_in_dropped"] or 0),
+                int(vals["buckets_dropped"] or 0),
+                0,
+            )
 
     # --- verification (exact pairs skip similarity checks by definition)
     def build_verified():
@@ -151,14 +195,14 @@ def run_pipeline(
         verified = verify.verify_pairs(near, sigs, prepared, cfg)
         return verified.unionByName(by_construction)
 
-    verified = stage("verified_pairs", build_verified)
+    verified = stage("verified_pairs", build_verified, rows_in_from="candidate_pairs")
 
     # --- clustering
     def build_clusters():
         edges = verified.filter("dup").select("id_a", "id_b")
         return cc.connected_components(docs.select("doc_id"), edges, cfg)
 
-    clusters = stage("clusters", build_clusters)
+    clusters = stage("clusters", build_clusters, rows_in_from="verified_pairs")
 
     # --- metrics table (stage wall-times + per-partition lineage)
     for name, df in [("docs", docs), ("candidate_pairs", pairs), ("clusters", clusters)]:

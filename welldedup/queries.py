@@ -15,6 +15,8 @@ exactly (the driver sorts columns by name and value-hashes).  Policy:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,10 +104,33 @@ GROUP BY lower(text)
 """
 
 
+# Oracle-parity pair queries below self-join within a group (or cross-
+# join, for embeddings) to match an exact DuckDB oracle — O(m²) per
+# group.  They are guarded: any group beyond _PAIR_GROUP_LIMIT raises
+# instead of silently melting at 100× scale.  The engine's scalable
+# counterparts are the LSH-bucketed paths (candidate_pairs_minhash,
+# ann_lsh_pairs, dedup_pipeline_clusters) — use those beyond the limit.
+_PAIR_GROUP_LIMIT = 20_000
+
+
+def _group_size_guard(df: DataFrame, keys: list, scale_path: str) -> DataFrame:
+    """Runtime cardinality guard: fail loudly (Catalyst assert_true —
+    no extra action, one broadcast of tiny group counts) if any group
+    would exceed the all-pairs budget."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_gn"))
+    ok = F.assert_true(
+        F.col("_gn") <= F.lit(_PAIR_GROUP_LIMIT),
+        F.lit(f"all-pairs group exceeds {_PAIR_GROUP_LIMIT} rows; "
+              f"use {scale_path} at this scale"),
+    )
+    return df.join(F.broadcast(counts), keys).filter(ok.isNull()).drop("_gn")
+
+
 def q_word_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
+    d = _group_size_guard(d, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("w").alias("wa"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("w").alias("wb"))
     j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
@@ -162,15 +187,22 @@ def q_ngram3_jaccard_pairs(spark, sf_dir):
     same-source pairs above 0.35."""
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    # guard: sequence(1, size-2) DESCENDS to [1,0] when size(w) < 3 and
+    # element_at then indexes past the array — short docs get an empty
+    # gram list instead (mirrors DuckDB's empty range(1,1))
+    idx = F.when(
+        F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+            idx,
             lambda i: F.concat_ws(
                 " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
             ),
         )
     )
     g = d.select("doc_id", "source", grams.alias("g")).filter(F.size("g") > 0)
+    g = _group_size_guard(g, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
     a = g.select(F.col("doc_id").alias("id_a"), "source", F.col("g").alias("ga"))
     b = g.select(F.col("doc_id").alias("id_b"), "source", F.col("g").alias("gb"))
     jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
@@ -209,6 +241,9 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm_expr("embedding").alias("nrm")
     )
+    e = _group_size_guard(
+        e.withColumn("_g", F.lit(1)), ["_g"], "ann_lsh_pairs (sign-LSH buckets)"
+    ).drop("_g")
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
@@ -319,6 +354,59 @@ SELECT count(DISTINCT l_orderkey) AS d_orders,
        count(DISTINCT l_partkey) AS d_parts,
        count(DISTINCT (l_suppkey, l_partkey)) AS d_supp_part
 FROM lineitem
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """G2 — approx_count_distinct (HLL++).  Spark's and DuckDB's
+    estimators differ numerically, so the oracled output is the
+    operator's accuracy CONTRACT: the estimate lands within 5% of the
+    exact count (both engines' sketches are far inside that at default
+    precision), plus the exact count itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
+    return li.select(
+        exact.alias("d_exact"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT count(DISTINCT l_partkey) AS d_exact,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         <= 0.05 * count(DISTINCT l_partkey) AS approx_ok
+FROM lineitem
+"""
+
+
+def q_source_stats_grouped(spark, sf_dir):
+    """F3 — grouped-map (`applyInPandas`): per-source doc stats with a
+    numpy body.  Arrow moves each group as one pandas frame; the oracle
+    is plain SQL (numpy's interpolated median == quantile_cont(0.5))."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n_chars"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_chars": [round(float(np.median(n)), 4)],
+                "max_chars": [int(n.max())],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        stats, "source string, n_docs long, median_chars double, max_chars long"
+    )
+
+
+SQL_SOURCE_STATS_GROUPED = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
 """
 
 
@@ -556,7 +644,13 @@ FROM events GROUP BY 1, 2
 def q_events_sessions(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional epoch seconds (cast, not unix_timestamp: the latter
+    # truncates to whole seconds while DuckDB's epoch() is fractional —
+    # a gap straddling the 1800s boundary would classify differently).
+    # ts is TIMESTAMP_NTZ: hop through timestamp (session tz is pinned
+    # UTC) to match DuckDB's naive-as-UTC epoch().
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
     return (
         e.withColumn("new_sess", (F.coalesce(gap, F.lit(10**9)) > 1800).cast("long"))
         .groupBy("user_id")
@@ -564,8 +658,10 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+# sum over INTEGER is HUGEINT in DuckDB (materializes as float) — cast
+# to BIGINT to match Spark's long (the suite's stated integer policy)
 SQL_EVENTS_SESSIONS = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id)), 1000000000) > 1800
@@ -706,7 +802,9 @@ def q_lsh_buckets(spark, sf_dir):
 def q_candidate_pairs_minhash(spark, sf_dir):
     prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
     sigs = add_signatures(prepared, CFG)
-    return lsh.candidate_pairs_from_buckets(lsh.band_buckets(sigs, CFG), CFG, "minhash")
+    return lsh.candidate_pairs_from_buckets(
+        lsh.band_buckets(sigs, CFG), CFG, "minhash"
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def q_simhash_chunks(spark, sf_dir):
@@ -778,6 +876,8 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "stats_corr": q_stats_corr,
     "distinct_counts": q_distinct_counts,
+    "approx_distinct": q_approx_distinct,
+    "source_stats_grouped": q_source_stats_grouped,
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_nation": q_revenue_by_nation,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -826,6 +926,8 @@ ORACLES = {
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "stats_corr": SQL_STATS_CORR,
     "distinct_counts": SQL_DISTINCT_COUNTS,
+    "approx_distinct": SQL_APPROX_DISTINCT,
+    "source_stats_grouped": SQL_SOURCE_STATS_GROUPED,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,

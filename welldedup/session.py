@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WELLDEDUP_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split granularity: a single fat parquet must not bottle-
+        # neck scan parallelism (row groups permitting).  Sized so the
+        # bench corpora split to >= the session's cores, which lets
+        # prepare_docs skip its raw-content repartition entirely — on a
+        # real cluster the Iceberg table is already many files and this
+        # knob is irrelevant.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("WELLDEDUP_MAX_PARTITION_BYTES", "16m"),
+        )
         # local mode: shuffle + spill files through tmpfs when present —
         # N concurrent shuffle writers on one virtio disk serialize the
         # whole job (measured local[32] SLOWER than local[8] on disk).

@@ -23,13 +23,23 @@ _SHIPPED_FLAG = "_welldedup_pyfiles_shipped"
 
 def build_package_zip(dest_dir: str | None = None) -> str:
     """Zip the installed welldedup package so `import welldedup` works
-    from the zip root (the layout --py-files expects)."""
+    from the zip root (the layout --py-files expects).  The zip name is
+    keyed on a content hash of the package sources — an edited module
+    gets a fresh zip, never a stale cached one (wrong-results risk on a
+    real cluster where executors don't share the driver's PYTHONPATH)."""
+    import hashlib
+
     import welldedup
 
     pkg_dir = os.path.dirname(os.path.abspath(welldedup.__file__))
-    version = getattr(welldedup, "__version__", "0")
+    sources = sorted(n for n in os.listdir(pkg_dir) if n.endswith(".py"))
+    h = hashlib.sha256()
+    for name in sources:
+        with open(os.path.join(pkg_dir, name), "rb") as f:
+            h.update(name.encode())
+            h.update(f.read())
     dest_dir = dest_dir or tempfile.gettempdir()
-    dest = os.path.join(dest_dir, f"welldedup-{version}.zip")
+    dest = os.path.join(dest_dir, f"welldedup-{h.hexdigest()[:16]}.zip")
     if os.path.exists(dest):
         return dest
     fd, tmp = tempfile.mkstemp(suffix=".zip", dir=dest_dir)

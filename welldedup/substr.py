@@ -29,9 +29,11 @@ back to documents by searchsorted over the string offsets, and the
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module scope: pandas_udf resolves 'pd.Series' string hints here
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .config import DedupConfig
 
@@ -91,6 +93,34 @@ def gram_hashes_words(data: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def _strong_fingerprints(data: np.ndarray, sel: np.ndarray, k: int) -> np.ndarray:
+    """Degree-(k/8) wrapping polynomial over the k/8 aligned-at-window
+    int64 words of each selected k-byte window.  Selections are grouped
+    by byte-offset class (sel mod 8) so each class's words come from
+    one contiguous int64 view and the gather is 8 bytes per word — the
+    whole window is read exactly once, in k/8 − 1 FMA passes."""
+    wpg = k // 8
+    # pad so the final word of a window ending in the buffer's last
+    # (partial) 8-byte run is still viewable as int64
+    buf = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    out = np.empty(sel.shape[0], dtype=np.int64)
+    cls = (sel & 7).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for o in range(8):
+            m = cls == o
+            if not m.any():
+                continue
+            s = sel[m]
+            w = buf[o : o + ((buf.shape[0] - o) // 8) * 8].view(np.int64)
+            base = (s - o) // 8
+            acc = w[base].copy()
+            for j in range(1, wpg):
+                acc *= _B
+                acc += w[base + j]
+            out[m] = acc
+    return out
+
+
 def select_fingerprints(
     data: np.ndarray, doc_offsets: np.ndarray, k: int, density_bits: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -103,15 +133,22 @@ def select_fingerprints(
     Two-phase for memory-traffic economy (the stage is bandwidth
     bound): a CHEAP 16-byte-gram hash drives the 1-in-2^density_bits
     position selection (one FMA pass per offset class), then the
-    STRONG k-byte fingerprint is computed only at the ~1/64 selected
-    positions via a gathered (k × n_sel) Horner — ~3× less traffic
-    than hashing k-byte grams at every position.
+    STRONG k-byte fingerprint is computed only at the ~1/2^density_bits
+    selected positions, word-wise (k/8 gathered words, k/8 − 1 FMA
+    passes — ~8× less gather traffic than a per-byte window matrix).
+
+    Selection masks the HIGH bits of the selector hash: multiplication
+    avalanches upward, so the top bits are uniform; the LOW bits of a
+    wrapping polynomial over ASCII text carry only low-byte entropy and
+    a low-bit mask over-selects ~8× (measured: 1-in-8.3 positions
+    instead of 1-in-64 on the code corpus), octupling every downstream
+    shuffle.
     """
     h16 = gram_hashes_words(data, _SELECTOR_K)
     if h16.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    mask = np.int64((1 << density_bits) - 1)
-    sel = np.flatnonzero((h16 & mask) == 0)
+    shift = np.uint64(64 - density_bits)
+    sel = np.flatnonzero((h16.view(np.uint64) >> shift) == 0)
     if sel.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     doc_idx = np.searchsorted(doc_offsets, sel, side="right") - 1
@@ -119,15 +156,7 @@ def select_fingerprints(
     doc_idx, sel = doc_idx[valid], sel[valid]
     if sel.shape[0] == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    # strong fingerprint: degree-k Horner over gathered windows,
-    # (k, n_sel) layout so each pass reads a contiguous row
-    win = data[np.arange(k, dtype=np.int64)[:, None] + sel[None, :]]
-    acc = win[0].astype(np.int64)
-    with np.errstate(over="ignore"):
-        for j in range(1, k):
-            acc *= _B
-            acc += win[j]
-    fps = acc
+    fps = _strong_fingerprints(data, sel, k)
     # distinct (doc, fp): sort lexicographically, drop repeats
     order = np.lexsort((fps, doc_idx))
     doc_idx, fps = doc_idx[order], fps[order]
@@ -178,7 +207,9 @@ def fp_shared_threshold(cfg: DedupConfig) -> int:
     return max(2, expected // 3)
 
 
-def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def substr_candidate_pairs(
+    docs: DataFrame, cfg: DedupConfig, observations: list | None = None
+) -> DataFrame:
     """docs(doc_id, content) → pairs(id_a, id_b, src='substr') whose
     shared-fingerprint count clears `fp_shared_threshold` — i.e. the
     pair is *verified by construction* to share ~substr_min_len chars.
@@ -188,15 +219,38 @@ def substr_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     header shared by 10^6 files is a degenerate fingerprint) → pair
     emit → groupBy(pair) count filter.  Shuffles: one on fp, one on
     the pair key.
+
+    The fingerprint stream feeds TWO consumers (the count filter and
+    the list build), so it is persisted — without it the full content
+    pass through the Arrow kernel runs twice (measured ~2× the whole
+    stage).  MEMORY_AND_DISK keeps lineage intact (recomputable on
+    executor loss, unlike localCheckpoint), and the persisted shape is
+    the compact (doc_id, fp) stream — ~n_bytes/2^density_bits rows —
+    not content.
     """
+    from pyspark import StorageLevel
+
     fn = make_fingerprint_arrow_fn(cfg)
-    fps = docs.select("doc_id", "content").mapInArrow(fn, "doc_id long, fp long")
+    fps = docs.select("doc_id", "content").mapInArrow(
+        fn, "doc_id long, fp long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # two-phase (see lsh.candidate_pairs_from_buckets): cheap COUNT
     # finds shared fingerprints; only those pay the list build
-    counts = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over))
+    counts_all = fps.groupBy("fp").agg(F.count("*").alias("n"))
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("buckets_substr")
+        dropped = F.col("n") > cfg.drop_bucket_over
+        counts_all = counts_all.observe(
+            obs,
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(dropped.cast("long")).alias("buckets_dropped"),
+            F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("docs_in_dropped"),
+        )
+        observations.append(("buckets_substr", obs))
+    counts = counts_all.filter(
+        (F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over)
     )
     grouped = (
         fps.join(counts, "fp")
@@ -229,9 +283,6 @@ def winnow_fingerprints(text: str, k: int, density_bits: int = 6) -> np.ndarray:
 def make_winnow_udf(cfg: DedupConfig):
     """array-of-fingerprints pandas UDF (used by the rows-only driver
     query; the pipeline path uses the exploded mapInArrow form)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     k, density_bits = cfg.winnow_k, cfg.density_bits
 
     @F.pandas_udf(T.ArrayType(T.LongType(), containsNull=False))

@@ -137,7 +137,18 @@ def verify_pairs(
     # 1–3-line docs (e.g. minified files) have no meaningful line
     # granularity → fall back to char-level on a bounded prefix.
     need_edit = j.filter(F.col("jaccard") < cfg.jaccard_threshold)
-    proj = docs.select(
+    # prune FIRST: the line-sig projection (split + up to 10k xxhash64
+    # per doc) must run on the pair-bounded id set, not the whole
+    # corpus — at 100 TB the full-table projection would be a complete
+    # extra corpus pass to serve a tiny pair set.  Re-deriving
+    # need_edit's small plan for the semi-join is far cheaper than
+    # that pass (pairs/signatures are stage checkpoints).
+    pair_ids = (
+        need_edit.select(F.col("id_a").alias("doc_id"))
+        .unionByName(need_edit.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    proj = docs.join(pair_ids, "doc_id", "left_semi").select(
         "doc_id",
         line_sig_expr("content", cfg).alias("lsig"),
         F.substring("content", 1, cfg.edit_max_chars).alias("prefix"),
