@@ -57,6 +57,17 @@ def test_shingle_count_matches_oracle(spark):
         assert got[f"p{i}.py"] == len(py_shingle_strings(c, CFG)), c
 
 
+def test_n_tokens_matches_python_oracle(spark):
+    """prepare_docs counts tokens via regexp_count (no array build) —
+    must equal the materializing tokenizer's count exactly."""
+    prepared = prep.prepare_docs(_df(spark, SAMPLES), CFG)
+    got = {r.path: r.n_tokens for r in prepared.select("path", "n_tokens").collect()}
+    for i, c in enumerate(SAMPLES):
+        if c == "":
+            continue  # filtered by validity_filter
+        assert got[f"p{i}.py"] == len(py_tokenize(c, CFG)), c
+
+
 def test_sha256_invariant(spark):
     df = prep.with_sha256(_df(spark, SAMPLES))
     for r in df.select("content", "content_sha256").collect():

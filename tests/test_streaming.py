@@ -59,6 +59,42 @@ def test_incremental_signatures_appends_and_dedups(spark):
     assert got.select("doc_id").distinct().count() == 8
 
 
+def test_sessionized_event_counts(spark):
+    from welldedup.streaming import sessionized_event_counts
+
+    rows = [
+        ("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-01 00:10:00", 1, 2.0),   # same session (gap 10m < 30m)
+        ("2024-01-01 01:30:00", 1, 4.0),   # new session (gap 80m)
+        ("2024-01-01 00:05:00", 2, 8.0),
+    ]
+    src = tempfile.mkdtemp(prefix="wd_sess_")
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(src, "e.parquet"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .parquet(src)
+    )
+    agg = sessionized_event_counts(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01 01:30:00")] == (1, 4.0)
+    assert got[(2, "2024-01-01 00:05:00")] == (1, 8.0)
+
+
 def test_windowed_event_counts(spark):
     rows = [
         ("2024-01-01 00:00:30", "click", 1.0),

@@ -91,27 +91,15 @@ def run_pipeline(
         return out
 
     # --- prep: docs table (narrow, no content) + a working df.
-    # In memory mode `prepared` (ids + sha + content) is materialized
-    # ONCE so the signature/verify/substr stages don't each re-run the
-    # scan + repartition; in store mode those stages re-scan the source
-    # (on a real Iceberg table the scan is already well-partitioned and
-    # column-pruned, so duplicating content into a checkpoint would
-    # only double storage).
-    holder: dict = {}
-
-    def build_docs():
-        p = prep.prepare_docs(code_files, cfg)
-        if store is None:
-            p = p.localCheckpoint(eager=True)
-        holder["prepared"] = p
-        return p.select(*DOCS_COLS)
-
-    docs = stage("docs", build_docs)
-    # on store-mode resume the docs stage is skipped and `prepared` is
-    # rebuilt lazily from the source for any stage that still needs it
-    prepared = holder.get("prepared")
-    if prepared is None:
-        prepared = prep.prepare_docs(code_files, cfg)
+    # `prepared` (ids + content) is NEVER cached: each content consumer
+    # (signatures, substr, verify's pair-bounded projection) re-derives
+    # it from the columnar source, which is a cheap parallel scan.
+    # Caching it was measured ACTIVELY anti-scaling — materializing
+    # gigabytes of deserialized strings into the block store is
+    # allocation/GC-bound and gets slower with more concurrent tasks,
+    # while the re-scan is bandwidth-proportional and scales.
+    docs = stage("docs", lambda: prep.prepare_docs(code_files, cfg).select(*DOCS_COLS))
+    prepared = prep.prepare_docs(code_files, cfg)
 
     # --- signatures (minhash + simhash [+ shingles for exact verify])
     def build_sigs():

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .config import TOKEN_PATTERN, DedupConfig
+from .config import TOKEN_PATTERN, TOKEN_PATTERN_CASED, DedupConfig
 
 # Columns of the canonical input table (BASELINE.json input_hint).
 CODE_FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -93,9 +93,15 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
     df = with_sha256(df)
     df = df.withColumn("n_bytes", F.length("content").cast("long"))
     # n_tokens is a docs-table stat; the signature stage re-derives the
-    # token stream fused into its own projection (tokens themselves are
-    # never materialized — ~3× the content size)
-    df = df.withColumn("n_tokens", F.size(tokenize_expr("content", cfg)).cast("long"))
+    # token stream fused into its own projection.  regexp_count counts
+    # matches WITHOUT materializing the token-string array (the
+    # size(regexp_extract_all) form allocated every token string just
+    # to count them — measured 2-3× the cost of this stage's hashes).
+    pat = TOKEN_PATTERN if cfg.lowercase else TOKEN_PATTERN_CASED
+    src = F.lower(F.col("content")) if cfg.lowercase else F.col("content")
+    df = df.withColumn(
+        "n_tokens", F.regexp_count(src, F.lit(pat)).cast("long")
+    )
     return df
 
 

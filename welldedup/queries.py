@@ -838,6 +838,15 @@ def q_ann_lsh_pairs(spark, sf_dir):
     return lsh_bucketed_pairs(e, dim=64, n_planes=16, n_bands=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (rows-only: probe-set membership is
+    estimator-specific; recall vs brute force is pinned in pytest)."""
+    from .similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=0, k=10, n_centroids=16, nprobe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     from .multimodal import extract_features
 
@@ -909,6 +918,7 @@ QUERIES = {
     "langid": q_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_pairs": q_ann_lsh_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
 }

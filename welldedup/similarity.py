@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a 100-TB pipeline needs both:
+Three paths, as a 100-TB pipeline needs all of them:
 
 - `cosine_topk`: brute-force top-k against a query vector — pure
   Catalyst (zip_with dot product in double), one pass, no shuffle
@@ -9,8 +9,15 @@ Two paths, as a 100-TB pipeline needs both:
   gets a `n_planes`-bit signature; vectors sharing a band bucket are
   candidate neighbors, re-ranked by exact cosine.  Same
   bucket-join shape as the MinHash path (lsh.py), so skew handling and
-  scale behavior carry over.  This is the path that survives 10^9
-  vectors: candidates per query ~ bucket size, not corpus size.
+  scale behavior carry over.  The all-pairs-near-dup scale path.
+- `ivf_assign` / `ivf_topk`: IVF (inverted-file) coarse quantization —
+  every vector is assigned to its nearest centroid cell in one
+  vectorized pandas pass; a query probes only the `nprobe` cells whose
+  centroids are closest.  At rest the cell id is the table's partition
+  key, so a probe is a partition-pruned scan of nprobe/n_centroids of
+  the corpus instead of a full pass.  Centroids are a deterministic
+  id-hash sample (no iterative k-means needed for dedup-grade recall;
+  swapping in trained centroids changes nothing downstream).
 """
 
 from __future__ import annotations
@@ -48,6 +55,91 @@ def cosine_topk(
     joined = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
         F.broadcast(q)
     )
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        l2_norm_expr(vec_col) * F.sqrt(
+            F.aggregate(
+                F.transform("q_vec", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def sample_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic centroid sample: the n_centroids vectors with the
+    smallest xxhash64(id) — stable across cluster sizes/retries (the
+    same determinism rule as doc_id), uniform over the corpus.  Returns
+    a row-normalized (n_centroids, dim) float32 matrix (driver-side:
+    n_centroids ~ sqrt(n) rows, KBs)."""
+    rows = (
+        embeddings.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    c = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    return c / np.maximum(norms, 1e-12)
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """cell = argmax cosine(vec, centroid) — one matmul per Arrow batch."""
+    cT = centroids.T  # (dim, n_centroids), rows already normalized
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cT, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """embeddings → embeddings + `cell` column, plus the centroid
+    matrix.  At rest, write partitioned by `cell` (the IVF index)."""
+    c = sample_centroids(embeddings, n_centroids, id_col, vec_col)
+    assign = make_ivf_assign_udf(c)
+    return embeddings.withColumn("cell", assign(F.col(vec_col))), c
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the nprobe cells nearest the
+    query, exact cosine inside them.  The cell filter is the partition
+    prune; everything after runs on nprobe/n_centroids of the data."""
+    cells, c = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    q = np.asarray(qrow[0][0], dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(c @ qn))[:nprobe].tolist()
+    cand = cells.filter(
+        F.col("cell").isin([int(p) for p in probe]) & (F.col(id_col) != query_vec_id)
+    )
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(q.tolist(),)], f"q_vec array<float>"
+    )
+    joined = cand.crossJoin(F.broadcast(qdf))
     cos = _dot(F.col(vec_col), F.col("q_vec")) / (
         l2_norm_expr(vec_col) * F.sqrt(
             F.aggregate(

@@ -118,6 +118,31 @@ def incremental_signatures(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation (dynamic-gap windows close after
+    `gap` of inactivity per user) over a stream with
+    (ts timestamp, user_id long, value double) — the streaming analog
+    of the batch events_sessions query.  State is bounded by the
+    watermark: closed sessions are emitted and evicted."""
+    w = F.session_window("ts", gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",
