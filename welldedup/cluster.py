@@ -27,7 +27,7 @@ Scale mechanics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
@@ -58,7 +58,7 @@ def connected_components(
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # step 1 — neighbor min: for each edge (src→dst), dst learns
         # src's current label; keep the min over self ∪ neighbors.
         neighbor = (
@@ -94,8 +94,14 @@ def connected_components(
             )
             .drop("old_label")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        # convergence count rides the checkpoint action as an observe()
+        # node — one job per round, not two (the separate agg.collect
+        # re-scanned the fresh cache every round)
+        obs = Observation(f"cc_round_{rnd}_{id(new_labels)}")
+        new_labels = new_labels.observe(
+            obs, F.sum("chg").alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("chg")
         if changed == 0:
             return labels

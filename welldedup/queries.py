@@ -520,6 +520,57 @@ FROM orders
 """
 
 
+def q_orders_monthly(spark, sf_dir):
+    """P6 date functions: date_trunc month rollup of orders."""
+    o = _t(spark, sf_dir, "orders")
+    # month emitted as a STRING on both sides: pandas materializes a
+    # DuckDB DATE as datetime64 (stringifies with a time part), so a
+    # date-typed column can't hash-match across engines
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def q_order_gaps_ntile(spark, sf_dir):
+    """W1/W2 widening: ntile quartiles by price + lag-based day gaps
+    per customer (deterministic tie-break on o_orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w_time)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+SQL_ORDER_GAPS_NTILE = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
 def q_rollup_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -891,6 +942,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "running_revenue": q_running_revenue,
+    "orders_monthly": q_orders_monthly,
+    "order_gaps_ntile": q_order_gaps_ntile,
     "rollup_orders": q_rollup_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
@@ -942,6 +995,8 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
     "running_revenue": SQL_RUNNING_REVENUE,
+    "orders_monthly": SQL_ORDERS_MONTHLY,
+    "order_gaps_ntile": SQL_ORDER_GAPS_NTILE,
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
