@@ -1,0 +1,37 @@
+"""Child process for the kill-between-stages resume test
+(BASELINE.md "kill-between-stages"): run the full pipeline against a
+parquet corpus with a StageStore, then write the cluster labels.
+
+    python tests/_pipeline_child.py <corpus.parquet> <store_root> <labels_out>
+
+The parent test SIGKILLs this process mid-stage and re-runs it to
+completion; byte-identical labels prove manifest-gated resume.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    corpus_path, store_root, labels_out = sys.argv[1:4]
+    from welldedup.config import DedupConfig
+    from welldedup.io import StageStore
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "substr"))
+    spark = get_spark(
+        app_name="wd-kill-test", master="local[4]", shuffle_partitions=4
+    )
+    store = StageStore(root=store_root, config_hash=cfg.config_hash())
+    res = run_pipeline(spark, spark.read.parquet(corpus_path), cfg, store=store)
+    res.clusters.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(
+        labels_out
+    )
+    print("CHILD_DONE")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""Round-3 additions: CC rewrite invariants, cache hygiene, storage-seam
+error handling, config validation, vectorized langid, streaming stats,
+and the kill-between-stages resume harness (BASELINE.md)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.errors import AnalysisException
+from pyspark.sql import functions as F
+
+from welldedup import textops
+from welldedup.cluster import connected_components
+from welldedup.config import DedupConfig
+from welldedup.io import is_table_identifier, write_code_files_table
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --- config validation -------------------------------------------------
+
+def test_winnow_k_must_be_positive_multiple_of_8():
+    with pytest.raises(ValueError):
+        DedupConfig(winnow_k=50)
+    with pytest.raises(ValueError):
+        DedupConfig(winnow_k=4)
+    DedupConfig(winnow_k=40)  # fine
+
+
+def test_every_config_field_is_read_somewhere():
+    """Dead knobs poison config_hash (spurious checkpoint invalidation):
+    every DedupConfig field name must appear in non-config source."""
+    import dataclasses
+
+    import welldedup
+
+    src = ""
+    pkg_dir = os.path.dirname(welldedup.__file__)
+    for name in os.listdir(pkg_dir):
+        if name.endswith(".py") and name != "config.py":
+            with open(os.path.join(pkg_dir, name)) as f:
+                src += f.read()
+    for f_ in dataclasses.fields(DedupConfig):
+        assert f_.name in src, f"config knob {f_.name} is read nowhere"
+
+
+# --- storage seam ------------------------------------------------------
+
+def test_is_table_identifier_treats_extensions_as_paths():
+    assert not is_table_identifier("data.parquet")
+    assert not is_table_identifier("missing.dir.CSV")
+    assert is_table_identifier("db.some_tbl")
+    assert is_table_identifier("cat.db.some_tbl")
+    assert not is_table_identifier(ROOT)  # existing path
+
+
+def test_write_table_fallback_chain_session_catalog(spark):
+    import shutil
+
+    # a managed table's location can linger from a previous test
+    # session (fresh derby metastore, stale warehouse dir) — pre-clean
+    spark.sql("DROP TABLE IF EXISTS wd_r3_seam_tbl")
+    shutil.rmtree(
+        os.path.join(ROOT, "spark-warehouse", "wd_r3_seam_tbl"), ignore_errors=True
+    )
+    df = spark.range(6).selectExpr("id", "id % 2 as p")
+    write_code_files_table(df, "wd_r3_seam_tbl", partition_by=["p"])
+    assert spark.table("wd_r3_seam_tbl").count() == 6
+    # second write overwrites (idempotent), never duplicates
+    write_code_files_table(df, "wd_r3_seam_tbl", partition_by=["p"])
+    assert spark.table("wd_r3_seam_tbl").count() == 6
+
+
+def test_write_table_genuine_failure_propagates(spark):
+    """Writing to a VIEW is a real error, not a capability gap — it must
+    raise, not silently escalate to a table replace."""
+    spark.range(3).createOrReplaceTempView("wd_r3_view")
+    with pytest.raises(AnalysisException):
+        write_code_files_table(spark.range(3).selectExpr("id"), "wd_r3_view")
+
+
+# --- connected components ----------------------------------------------
+
+def test_cc_output_restricted_to_nodes(spark):
+    """Edge endpoints outside the node set never leak into the output;
+    nodes outside the edge set self-label (the loop runs over edge
+    endpoints only)."""
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 9: 9}
+
+
+def test_cc_negative_ids(spark):
+    """doc_ids are full-range xxhash64 longs — min-label and the
+    decimal convergence sum must handle negatives."""
+    nodes = spark.createDataFrame([(-5,), (3,), (7,)], "doc_id long")
+    edges = spark.createDataFrame([(-5, 3), (3, 7)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {-5: -5, 3: -5, 7: -5}
+
+
+# --- cache hygiene -----------------------------------------------------
+
+def test_no_lingering_df_cache_after_pipeline(spark, corpus300):
+    """The substr fingerprint persist is stage-scoped: once the pair
+    stage materializes, the pipeline unpersists it.  localCheckpoints
+    don't register with the CacheManager, so an empty CacheManager
+    proves no df-level cache leaked."""
+    from welldedup.fixtures import corpus_to_pandas
+    from welldedup.pipeline import run_pipeline
+
+    spark.catalog.clearCache()  # isolate from other tests
+    pdf, _ = corpus_to_pandas(corpus300)
+    cfg = DedupConfig(methods=("minhash", "substr"))
+    res = run_pipeline(spark, spark.createDataFrame(pdf), cfg)
+    assert res.clusters.count() == 300
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --- vectorized langid -------------------------------------------------
+
+def test_langid_vectorized(spark):
+    rows = [
+        (1, "the value of the function is the result and it is good"),
+        (2, "el valor de la que los y el de la"),
+        (3, "一二三四五" * 100),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", textops.langid_udf(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "zh", 4: "unknown", 5: "unknown"}
+
+
+# --- streaming stats ---------------------------------------------------
+
+def test_streaming_stats_rows_written(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from welldedup.streaming import incremental_signatures, read_code_files_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        dict(repo="r", path=f"f{i}.py", commit="c0", lang="python",
+             content=f"def fn_{i}(x):\n    return x + {i}\n")
+        for i in range(5)
+    ]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(src / "b1.parquet"))
+    stats = {}
+    q = incremental_signatures(
+        read_code_files_stream(spark, str(src)),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"),
+        DedupConfig(),
+        stats=stats,
+    ).start()
+    q.awaitTermination(120)
+    assert len(stats) == 1
+    (epoch_stats,) = stats.values()
+    assert epoch_stats["rows_written"] == 5
+    assert 1 <= epoch_stats["buckets_read"] <= 5
+
+
+# --- kill-between-stages resume ----------------------------------------
+
+def test_kill_between_stages_resume(spark, tmp_path):
+    """SIGKILL the driver mid-stage, restart, and require byte-identical
+    final labels — the BASELINE.md 'kill-between-stages' criterion, at
+    real kill granularity (not just a polite re-run)."""
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.pipeline import run_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "substr"))
+    pdf, _ = corpus_to_pandas(make_corpus(3000, seed=7))
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(corpus_path)
+
+    # reference labels from an uninterrupted in-session run (different
+    # parallelism than the child — doubles as a determinism check)
+    ref = run_pipeline(spark, spark.read.parquet(corpus_path), cfg)
+    ref_labels = sorted((r.doc_id, r.cluster_id) for r in ref.clusters.collect())
+
+    store_root = str(tmp_path / "store")
+    labels_out = str(tmp_path / "labels.parquet")
+    child_cmd = [
+        sys.executable, os.path.join(ROOT, "tests", "_pipeline_child.py"),
+        corpus_path, store_root, labels_out,
+    ]
+    # run 1: kill -9 the whole process group once the signatures stage
+    # has committed (the candidate_pairs stage is then in flight)
+    sig_manifest = os.path.join(store_root, "signatures", "_MANIFEST.json")
+    child = subprocess.Popen(
+        child_cmd, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=ROOT,
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if os.path.exists(sig_manifest) or child.poll() is not None:
+                break
+            time.sleep(0.1)
+        assert child.poll() is None, "child finished before it could be killed"
+        os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    finally:
+        child.wait()
+
+    with open(sig_manifest) as f:
+        assert json.load(f)["complete"] is True
+    assert not os.path.exists(
+        os.path.join(store_root, "clusters", "_MANIFEST.json")
+    ), "kill landed too late to exercise mid-pipeline resume"
+    docs_manifest = os.path.join(store_root, "docs", "_MANIFEST.json")
+    docs_mtime = os.path.getmtime(docs_manifest)
+
+    # run 2: restart to completion; completed stages must be skipped
+    out = subprocess.run(
+        child_cmd, capture_output=True, text=True, timeout=600, cwd=ROOT
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert os.path.getmtime(docs_manifest) == docs_mtime, (
+        "docs stage re-ran despite a complete manifest"
+    )
+    got = spark.read.parquet(labels_out)
+    got_labels = sorted((r.doc_id, r.cluster_id) for r in got.collect())
+    assert got_labels == ref_labels

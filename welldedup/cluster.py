@@ -8,21 +8,35 @@ label = MIN doc_id of the component (order-free, hence deterministic
 across partitionings and cluster sizes).
 
 Loop shape per round (SURVEY.md §2 C2):
-    candidates = edges ⋈ labels        (neighbor's current label)
-    new_label  = min(own label, min over neighbors)
-    converged when no label changed.
+    msgs   = edges ⋈ labels            (each dst hears src's label)
+    cand   = min over self ∪ messages  (union + groupBy-min — one
+                                        shuffle, no left join needed)
+    label  = pointer jump: label ← label's label (path halving)
+    converged when Σ labels is unchanged (labels only ever decrease
+    under min-propagation, so the sum is a strictly-monotone progress
+    measure; equal sum ⟺ no label changed).  The sum rides the round
+    checkpoint as an observe() node — one job per round — in
+    decimal(38,0) because doc_ids are full-range xxhash64 longs and an
+    ANSI BIGINT sum would overflow.
 
 Scale mechanics:
+- the loop runs over EDGE-ENDPOINT nodes only; isolated nodes (the
+  overwhelming majority of a deduplicated corpus) never enter a round
+  and are labeled by one final left join.  Per-round state is
+  O(docs-in-pairs), not O(corpus).
+- edges are symmetrized in a single pass over the edge plan
+  (explode of both directions) — the edge input is referenced ONCE,
+  so an expensive upstream plan (e.g. a guarded all-pairs oracle
+  query) is never evaluated twice.
 - `localCheckpoint(eager=True)` every round truncates lineage —
   without it the plan doubles per round and the driver dies on plan
   explosion long before the data is big.
-- convergence is O(diameter) rounds; duplicate clusters are dense
-  (near-cliques plus star edges from the exact stage) so diameter is
-  small.  `cc_max_rounds` caps pathological chains; the loop raises if
-  it hits the cap without converging rather than returning wrong
-  labels.
-- edges are symmetrized once (union both directions) so each round is
-  one join + one groupBy-min.
+- convergence is O(log diameter) rounds thanks to the pointer jump;
+  duplicate clusters are dense (near-cliques plus star edges from the
+  exact stage) so almost everything converges in round 1 and round 2
+  confirms.  `cc_max_rounds` caps pathological chains; the loop
+  raises if it hits the cap without converging rather than returning
+  wrong labels.
 """
 
 from __future__ import annotations
@@ -49,64 +63,81 @@ def connected_components(
     """
     max_rounds = max_rounds or (cfg.cc_max_rounds if cfg else 50)
 
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    # single-pass symmetrize: each edge row explodes to both directions,
+    # so the (possibly expensive) edge plan is evaluated exactly once.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # dedupe once: repeated edges multiply every round's join output
     sym = sym.distinct().localCheckpoint(eager=True)
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    self_labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    if sym.isEmpty():  # cheap: sym is materialized
+        return self_labels
 
-    for rnd in range(max_rounds):
-        # step 1 — neighbor min: for each edge (src→dst), dst learns
-        # src's current label; keep the min over self ∪ neighbors.
-        neighbor = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("nbr_label"))
+    # loop state = endpoint nodes only (O(docs-in-pairs), not O(corpus))
+    obs0 = Observation(f"cc_init_{id(sym)}")
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .observe(
+            obs0,
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
         )
-        stepped = labels.join(neighbor, "doc_id", "left").select(
-            "doc_id",
-            F.col("cluster_id").alias("old_label"),
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
-            ).alias("mid_label"),
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["label_sum"]
+    for rnd in range(max_rounds):
+        # step 1 — neighbor min: dst hears src's current label; keep
+        # the min over self ∪ messages via one union + groupBy-min.
+        msgs = sym.join(labels, sym.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        cand = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("mid_label"))
         )
         # step 2 — path halving (pointer jump): label ← label's label.
-        # Labels are always doc_ids, so the lookup table is `stepped`
-        # itself; this turns O(diameter) convergence into O(log d).
-        parents = stepped.select(
+        # Labels are always endpoint doc_ids, so the lookup table is
+        # `cand` itself; this turns O(diameter) into O(log d) rounds.
+        parents = cand.select(
             F.col("doc_id").alias("p_id"), F.col("mid_label").alias("p_label")
         )
-        new_labels = (
-            stepped.join(parents, stepped.mid_label == parents.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("mid_label"), F.coalesce("p_label", F.col("mid_label"))
-                ).alias("cluster_id"),
-                "old_label",
-            )
-            .withColumn(
-                "chg", (F.col("cluster_id") < F.col("old_label")).cast("long")
-            )
-            .drop("old_label")
+        new_labels = cand.join(parents, cand.mid_label == parents.p_id, "left").select(
+            "doc_id",
+            F.least(
+                F.col("mid_label"), F.coalesce("p_label", F.col("mid_label"))
+            ).alias("cluster_id"),
         )
-        # convergence count rides the checkpoint action as an observe()
-        # node — one job per round, not two (the separate agg.collect
-        # re-scanned the fresh cache every round)
+        # convergence metric rides the checkpoint action as an
+        # observe() node — one job per round.  Labels only decrease,
+        # so an unchanged sum means no label changed anywhere.
         obs = Observation(f"cc_round_{rnd}_{id(new_labels)}")
         new_labels = new_labels.observe(
-            obs, F.sum("chg").alias("changed")
+            obs,
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
         ).localCheckpoint(eager=True)
-        changed = obs.get["changed"] or 0
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            return labels
-    raise ConvergenceError(
-        f"connected_components did not converge in {max_rounds} rounds"
+        labels = new_labels
+        cur_sum = obs.get["label_sum"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # isolated nodes label themselves; endpoint nodes take the loop's label
+    return self_labels.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
 
 

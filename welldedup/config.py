@@ -18,11 +18,6 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
-# Mersenne prime 2^61 - 1: modulus for the universal hash family used by
-# MinHash.  Shingle hashes are reduced to 32 bits before (a*x + b) mod p
-# so the product stays < 2^63 and never overflows uint64 in numpy.
-MERSENNE_P = (1 << 61) - 1
-
 # Token pattern: identifier/number runs over the (lowercased) text — a
 # cheap code lexer stable across Spark (Java regex) and Python (re).
 # Deliberately a single character-class regex: the alternation variant
@@ -66,8 +61,10 @@ class DedupConfig:
     # collisions ~ n²·chunks/2^32 — still ~0.3 at n=50k, vs ~76k pairs
     # of pure verification noise with 4×16-bit chunks.  At 10^12 docs
     # any flat chunking degenerates; SimHash is the secondary method.
+    # pigeonhole tolerance is implied: `simhash_chunks` chunks catch up
+    # to simhash_chunks - 1 flipped bits (no separate hamming knob —
+    # a knob the banding can't honor would only poison config_hash)
     simhash_chunks: int = 2
-    simhash_max_hamming: int = 1
 
     # --- substring / content-defined fingerprints (substr.py)
     winnow_k: int = 48            # chars per gram
@@ -110,6 +107,13 @@ class DedupConfig:
         for b, r in self.extra_bandings:
             if b * r > self.n_hashes:
                 raise ValueError(f"extra banding {b}x{r} exceeds n_hashes")
+        # the word-wise CDC kernels (substr.py) fingerprint k/8 aligned
+        # int64 words; a k that is not a multiple of 8 would silently
+        # fingerprint fewer bytes (or read past the window at k < 8)
+        if self.winnow_k < 8 or self.winnow_k % 8 != 0:
+            raise ValueError(
+                f"winnow_k({self.winnow_k}) must be a positive multiple of 8"
+            )
 
     def config_hash(self) -> str:
         """Stable hash of all semantic knobs — keys checkpoint manifests."""

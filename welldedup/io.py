@@ -92,14 +92,22 @@ class StageStore:
         return self.write(stage, build(), partition_by=partition_by)
 
 
+# dotted names ending in a data-file extension are paths, never tables:
+# a typo'd/not-yet-created `data.parquet` must fail as a path error,
+# not a confusing TABLE_OR_VIEW_NOT_FOUND from the catalog branch
+_PATH_EXTENSIONS = (".parquet", ".json", ".csv", ".orc", ".avro", ".txt")
+
+
 def is_table_identifier(source: str) -> bool:
     """A source string is a catalog table iff it parses as a dotted
-    identifier and no such filesystem path exists.  This is the S1
-    storage seam: in prod the identifier resolves to an Iceberg table
-    (catalog configured via --packages iceberg-spark-runtime +
-    spark.sql.catalog.*); in tests it resolves against the session
-    catalog — same DataSourceV2 read path, so the branch is exercised
-    without the jars."""
+    identifier, does not end in a known data-file extension, and no
+    such filesystem path exists.  This is the S1 storage seam: in prod
+    the identifier resolves to an Iceberg table (catalog configured via
+    --packages iceberg-spark-runtime + spark.sql.catalog.*); in tests
+    it resolves against the session catalog — same DataSourceV2 read
+    path, so the branch is exercised without the jars."""
+    if source.lower().endswith(_PATH_EXTENSIONS):
+        return False
     return bool(_TABLE_IDENT.match(source)) and not os.path.exists(source)
 
 
@@ -114,15 +122,63 @@ def read_code_files(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
+# AnalysisException conditions that mean "this catalog/table can't take
+# this write form" — the only cases where falling down the chain
+# (overwritePartitions → createOrReplace → saveAsTable) is correct.  A
+# genuine write failure (permission, schema conflict, writing to a
+# view, executor loss) must PROPAGATE — silently escalating it to a
+# full-table replace would drop every partition absent from the
+# incoming df.
+_FALLBACK_CONDITIONS = ("TABLE_OR_VIEW_NOT_FOUND", "UNSUPPORTED_FEATURE")
+
+
+def _is_capability_error(e) -> bool:
+    get_cond = getattr(e, "getCondition", None)
+    cond = (get_cond() if get_cond else None) or ""
+    if any(c in cond for c in _FALLBACK_CONDITIONS):
+        return True
+    # a V1 session-catalog table rejects all DataSourceV2 writes with a
+    # legacy-condition AnalysisException — capability, not failure
+    return "Cannot write into v1 table" in str(e)
+
+
 def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
     """S3 prod form — `writeTo` (DataSourceV2): Iceberg's
-    `overwritePartitions()` when the catalog is Iceberg; falls back to
-    createOrReplace for catalogs without partition-overwrite support
-    (e.g. the in-session test catalog)."""
+    `overwritePartitions()` when the catalog is Iceberg.  Catalogs that
+    signal they cannot do a partition overwrite (or the table doesn't
+    exist yet) fall back to createOrReplace; a V1 session catalog that
+    cannot do REPLACE TABLE AS SELECT either falls back once more to
+    `saveAsTable` (test environments).  Every fallback is gated on the
+    specific capability condition and logged; anything else raises."""
+    import logging
+
+    from pyspark.errors import AnalysisException
+
+    log = logging.getLogger(__name__)
     w = df.writeTo(table)
     if partition_by:
         w = w.partitionedBy(*[F.col(c) for c in partition_by])
     try:
         w.overwritePartitions()
-    except Exception:
+        return
+    except AnalysisException as e:
+        if not _is_capability_error(e):
+            raise
+        log.warning(
+            "partition overwrite unavailable for %s (%s); trying createOrReplace",
+            table, e.getCondition(),
+        )
+    try:
         w.createOrReplace()
+        return
+    except AnalysisException as e:
+        if not _is_capability_error(e):
+            raise
+        log.warning(
+            "createOrReplace unavailable for %s (%s); using saveAsTable",
+            table, e.getCondition(),
+        )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)

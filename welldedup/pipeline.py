@@ -55,6 +55,13 @@ def run_pipeline(
     from .shipping import ensure_shipped
 
     ensure_shipped(spark)
+    # Arrow transfer batch size for the mapInArrow/pandas-UDF stages —
+    # runtime-settable, so the per-pipeline config wins over whatever
+    # the session was built with (bigger batches amortize per-batch
+    # kernel setup; smaller bound executor memory per task)
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch_rows)
+    )
     timer = StageTimer()
     seconds: dict[str, float] = {}
     metrics_parts: list[DataFrame] = []
@@ -112,6 +119,7 @@ def run_pipeline(
     # extra passes) — collected into the metrics table after the stage
     # materializes, so degenerate-bucket drops are never silent.
     pair_obs: list = []
+    pair_persisted: list = []  # stage-scoped caches to release post-materialize
 
     def build_pairs():
         pair_obs.clear()  # force-rerun must not double-record
@@ -123,7 +131,9 @@ def run_pipeline(
             sb = lsh.simhash_buckets(sigs, cfg)
             parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash", pair_obs))
         if "substr" in cfg.methods:
-            parts.append(substr.substr_candidate_pairs(prepared, cfg, pair_obs))
+            parts.append(
+                substr.substr_candidate_pairs(prepared, cfg, pair_obs, pair_persisted)
+            )
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
@@ -145,6 +155,11 @@ def run_pipeline(
         )
 
     pairs = stage("candidate_pairs", build_pairs, rows_in_from="signatures")
+    # the pair set is materialized (checkpoint or localCheckpoint) —
+    # stage-scoped caches (the substr fingerprint stream) are done
+    for cached in pair_persisted:
+        cached.unpersist()
+    pair_persisted.clear()
     # bucket-skew accounting: buckets_<src> rows carry (rows_in = docs
     # inside dropped buckets, rows_out = dropped bucket count);
     # salt_<src> rows carry the salt fan-out (rows_out = salted groups)

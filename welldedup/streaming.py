@@ -25,7 +25,7 @@ instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import prep
@@ -97,6 +97,8 @@ def incremental_signatures(
             .distinct()
             .collect()
         ]
+        from pyspark.errors import AnalysisException
+
         try:
             existing = (
                 spark.read.parquet(out_dir)
@@ -104,11 +106,22 @@ def incremental_signatures(
                 .select("doc_id")
             )
             sigs = sigs.join(existing, "doc_id", "left_anti")
-        except Exception:  # first batch: nothing written yet
-            pass
+        except AnalysisException as e:
+            # only the first batch's missing store is expected; a
+            # corrupt/unreadable store must fail loudly, not silently
+            # disable dedup
+            get_cond = getattr(e, "getCondition", None)
+            cond = (get_cond() if get_cond else None) or ""
+            if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+                raise
+        obs = Observation(f"stream_write_{epoch_id}")
+        sigs = sigs.observe(obs, F.count(F.lit(1)).alias("rows"))
         sigs.write.mode("append").partitionBy("id_bucket").parquet(out_dir)
         if stats is not None:
-            stats[epoch_id] = {"buckets_read": len(touched)}
+            stats[epoch_id] = {
+                "buckets_read": len(touched),
+                "rows_written": int(obs.get["rows"] or 0),
+            }
 
     return (
         stream.writeStream.foreachBatch(process_batch)

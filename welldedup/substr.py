@@ -99,6 +99,7 @@ def _strong_fingerprints(data: np.ndarray, sel: np.ndarray, k: int) -> np.ndarra
     by byte-offset class (sel mod 8) so each class's words come from
     one contiguous int64 view and the gather is 8 bytes per word — the
     whole window is read exactly once, in k/8 − 1 FMA passes."""
+    assert k >= 8 and k % 8 == 0, "_strong_fingerprints needs k a multiple of 8"
     wpg = k // 8
     # pad so the final word of a window ending in the buffer's last
     # (partial) 8-byte run is still viewable as int64
@@ -208,7 +209,10 @@ def fp_shared_threshold(cfg: DedupConfig) -> int:
 
 
 def substr_candidate_pairs(
-    docs: DataFrame, cfg: DedupConfig, observations: list | None = None
+    docs: DataFrame,
+    cfg: DedupConfig,
+    observations: list | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """docs(doc_id, content) → pairs(id_a, id_b, src='substr') whose
     shared-fingerprint count clears `fp_shared_threshold` — i.e. the
@@ -226,7 +230,11 @@ def substr_candidate_pairs(
     stage).  MEMORY_AND_DISK keeps lineage intact (recomputable on
     executor loss, unlike localCheckpoint), and the persisted shape is
     the compact (doc_id, fp) stream — ~n_bytes/2^density_bits rows —
-    not content.
+    not content.  The cache is scoped to the stage, not the session:
+    callers pass `persisted` and unpersist once the pair output is
+    materialized (pipeline.py does) — otherwise every invocation in a
+    long-lived session leaks a cached fingerprint stream into the
+    block store until session end.
     """
     from pyspark import StorageLevel
 
@@ -234,6 +242,8 @@ def substr_candidate_pairs(
     fps = docs.select("doc_id", "content").mapInArrow(
         fn, "doc_id long, fp long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(fps)
     # two-phase (see lsh.candidate_pairs_from_buckets): cheap COUNT
     # finds shared fingerprints; only those pay the list build
     counts_all = fps.groupBy("fp").agg(F.count("*").alias("n"))
