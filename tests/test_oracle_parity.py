@@ -1,0 +1,58 @@
+"""Oracle-parity harness: every oracled query in welldedup.queries runs
+on Spark AND in DuckDB over the same sf0.001 parquet tables; column
+names, row counts, and values must match.  This is the in-repo mirror
+of the driver's sf0.01 correctness gate — it catches an alias/dtype/
+semantics mismatch before the driver does."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from welldedup.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF}/{t}.parquet"
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def _norm(v):
+    """Comparable scalar: floats rounded (queries pre-round to 4dp, so
+    6dp absorbs only representation noise), everything else stringly."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if isinstance(v, (int, bool)):
+        return v
+    return str(v)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    # key=repr: rows may contain None/mixed types; repr order is
+    # deterministic and identical for identically-normalized sides
+    srows = sorted((tuple(_norm(r[c]) for c in cols) for r in sdf.collect()), key=repr)
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols, f"{name}: column names differ"
+    raw = cur.fetchall()
+    idx = [ocols.index(c) for c in cols]
+    orows = sorted((tuple(_norm(row[i]) for i in idx) for row in raw), key=repr)
+    assert len(srows) == len(orows), f"{name}: row counts differ"
+    assert srows == orows, f"{name}: values differ"

@@ -24,6 +24,12 @@ Scale mechanics:
   overwhelming majority of a deduplicated corpus) never enter a round
   and are labeled by one final left join.  Per-round state is
   O(docs-in-pairs), not O(corpus).
+- small-graph fast path: while the endpoint label table is at most
+  `cc_broadcast_max_labels` rows (known from the init observe) both
+  per-round join sides are broadcast, leaving ONE shuffle per round —
+  rounds become nearly parallelism-independent.  Above the threshold
+  the loop uses plain shuffled joins (endpoint sets at 10^12-file
+  scale are billions of rows).
 - edges are symmetrized in a single pass over the edge plan
   (explode of both directions) — the edge input is referenced ONCE,
   so an expensive upstream plan (e.g. a guarded all-pairs oracle
@@ -73,11 +79,17 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # dedupe once: repeated edges multiply every round's join output
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # dedupe once: repeated edges multiply every round's join output.
+    # The edge count rides the checkpoint as an observe() — no extra job.
+    obs_sym = Observation(f"cc_sym_{id(sym)}")
+    sym = (
+        sym.distinct()
+        .observe(obs_sym, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
     self_labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    if sym.isEmpty():  # cheap: sym is materialized
+    if int(obs_sym.get["n"] or 0) == 0:
         return self_labels
 
     # loop state = endpoint nodes only (O(docs-in-pairs), not O(corpus))
@@ -89,14 +101,27 @@ def connected_components(
         .observe(
             obs0,
             F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
+            F.count(F.lit(1)).alias("n"),
         )
         .localCheckpoint(eager=True)
     )
     prev_sum = obs0.get["label_sum"]
+    n_active = int(obs0.get["n"])
+    # small-graph fast path: duplicate-pair endpoints are a few % of a
+    # deduplicated corpus, so the label table usually fits a broadcast.
+    # Broadcasting both per-round join sides leaves ONE shuffle per
+    # round (the union-groupBy) — the round becomes nearly
+    # parallelism-independent, which is exactly what the N-vs-4N
+    # efficiency criterion sees.  Above the threshold the loop is the
+    # plain shuffled join — correct at 10^12-file scale where endpoint
+    # sets are billions of rows.
+    threshold = cfg.cc_broadcast_max_labels if cfg else 2_000_000
+    bcast = n_active <= threshold
     for rnd in range(max_rounds):
         # step 1 — neighbor min: dst hears src's current label; keep
         # the min over self ∪ messages via one union + groupBy-min.
-        msgs = sym.join(labels, sym.src == labels.doc_id).select(
+        lab_side = F.broadcast(labels) if bcast else labels
+        msgs = sym.join(lab_side, sym.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "cluster_id"
         )
         cand = (
@@ -110,7 +135,10 @@ def connected_components(
         parents = cand.select(
             F.col("doc_id").alias("p_id"), F.col("mid_label").alias("p_label")
         )
-        new_labels = cand.join(parents, cand.mid_label == parents.p_id, "left").select(
+        par_side = F.broadcast(parents) if bcast else parents
+        new_labels = cand.join(
+            par_side, cand.mid_label == parents.p_id, "left"
+        ).select(
             "doc_id",
             F.least(
                 F.col("mid_label"), F.coalesce("p_label", F.col("mid_label"))
@@ -135,7 +163,8 @@ def connected_components(
         )
 
     # isolated nodes label themselves; endpoint nodes take the loop's label
-    return self_labels.select("doc_id").join(labels, "doc_id", "left").select(
+    lab_final = F.broadcast(labels) if bcast else labels
+    return self_labels.select("doc_id").join(lab_final, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )

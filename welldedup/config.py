@@ -91,6 +91,10 @@ class DedupConfig:
 
     # --- connected components (cluster.py)
     cc_max_rounds: int = 50
+    # small-graph fast path: broadcast the endpoint label table into the
+    # per-round joins while it has at most this many rows (~16 B/row →
+    # ≤32 MB broadcast); above it the loop uses plain shuffled joins
+    cc_broadcast_max_labels: int = 2_000_000
 
     # --- execution
     shuffle_partitions: int = 32

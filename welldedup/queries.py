@@ -921,6 +921,150 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
     return res.clusters
 
 
+# --------------------------------------------------------------------
+# round-3 widening: grouping sets, window frames, string/regex/
+# conditional-agg scalar coverage (SURVEY §2 rows P6, G3, W2, O1)
+# --------------------------------------------------------------------
+
+
+def q_grouping_sets_orders(spark, sf_dir):
+    """G3 — GROUPING SETS (the general form rollup/cube specialize)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("wd_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM wd_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_word_topk(spark, sf_dir):
+    """Explode → agg → deterministic top-k: the flatMap-then-count
+    shape of every vocabulary/frequency pass over a corpus.  At scale
+    this is one shuffle with map-side combine; the total order before
+    LIMIT keeps it deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(10)
+    )
+
+
+SQL_WORD_TOPK = """
+SELECT w, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, w LIMIT 10
+"""
+
+
+def q_order_window_frames(spark, sf_dir):
+    """W2 widening — explicit ROWS frame (3 PRECEDING .. 1 PRECEDING)
+    plus first_value over the default running frame.  The empty frame
+    on each partition's first row yields NULL in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(-3, -1)), 2).alias(
+            "prev3_sum"
+        ),
+        F.first("o_orderdate").over(w).alias("first_date"),
+    )
+
+
+SQL_ORDER_WINDOW_FRAMES = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 2) AS prev3_sum,
+       first_value(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_date
+FROM orders
+"""
+
+
+def q_part_string_funcs(spark, sf_dir):
+    """P6 widening — levenshtein / translate / lpad / substring, all
+    JVM-side Catalyst expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").cast("long").alias("lev"),
+        F.translate("p_type", "aeiou", "_____").alias("type_vowelless"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+    )
+
+
+SQL_PART_STRING_FUNCS = """
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev,
+       translate(p_type, 'aeiou', '_____') AS type_vowelless,
+       substring(p_name, 1, 5) AS name5,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+FROM part
+"""
+
+
+def q_regexp_extract_docs(spark, sf_dir):
+    """P6 widening — regexp extraction and counting (Java regex and
+    RE2 agree on this character-class/word-boundary subset; both
+    return '' on no match)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).cast("long").alias("n_the"),
+    )
+
+
+SQL_REGEXP_EXTRACT_DOCS = r"""
+SELECT doc_id,
+       regexp_extract(text, '([0-9]+)', 1) AS first_num,
+       CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the
+FROM documents
+"""
+
+
+def q_conditional_aggs(spark, sf_dir):
+    """G1 widening — filtered aggregates (count_if / conditional avg)
+    and sample variance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_disc"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_big"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+SQL_CONDITIONAL_AGGS = """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_disc,
+       round(avg(l_extendedprice) FILTER (l_quantity > 25), 4) AS avg_big,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     # dedup / clustering (oracled)
     "exact_dup_groups": q_exact_dup_groups,
@@ -949,6 +1093,13 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "part_topk": q_part_topk,
     "setops_custkeys": q_setops_custkeys,
+    # round-3 widening
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "word_topk": q_word_topk,
+    "order_window_frames": q_order_window_frames,
+    "part_string_funcs": q_part_string_funcs,
+    "regexp_extract_docs": q_regexp_extract_docs,
+    "conditional_aggs": q_conditional_aggs,
     # events
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -1002,6 +1153,12 @@ ORACLES = {
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "part_topk": SQL_PART_TOPK,
     "setops_custkeys": SQL_SETOPS_CUSTKEYS,
+    "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
+    "word_topk": SQL_WORD_TOPK,
+    "order_window_frames": SQL_ORDER_WINDOW_FRAMES,
+    "part_string_funcs": SQL_PART_STRING_FUNCS,
+    "regexp_extract_docs": SQL_REGEXP_EXTRACT_DOCS,
+    "conditional_aggs": SQL_CONDITIONAL_AGGS,
     "events_json": SQL_EVENTS_JSON,
     "events_daily": SQL_EVENTS_DAILY,
     "events_sessions": SQL_EVENTS_SESSIONS,
