@@ -42,20 +42,31 @@ def wait_quiet(max_load: float = 1.5, timeout_s: int = 600) -> float:
     return load
 
 
-def run_level(corpus: str, cpus: int, labels_out: str) -> dict:
-    load = wait_quiet()
+def run_level(corpus: str, cpus: int, labels_out: str, attempts: int = 2) -> dict:
+    """One load-gated trial; a crashed child (this VM's exogenous load
+    has killed a JVM mid-run) is retried rather than aborting the whole
+    multi-hour bench.  Full child stderr lands in /tmp for diagnosis."""
     env = dict(os.environ, WELLDEDUP_DRIVER_MEM="56g")
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools", "pipeline_bench.py"),
-         corpus, str(cpus), labels_out],
-        capture_output=True, text=True, timeout=3600, cwd=ROOT, env=env,
-    )
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"pipeline_bench at {cpus} cpus failed")
-    res = json.loads(out.stdout.strip().splitlines()[-1])
-    res["loadavg_at_start"] = round(load, 2)
-    return res
+    last_err = ""
+    for attempt in range(attempts):
+        load = wait_quiet()
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "pipeline_bench.py"),
+             corpus, str(cpus), labels_out],
+            capture_output=True, text=True, timeout=3600, cwd=ROOT, env=env,
+        )
+        if out.returncode == 0:
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            res["loadavg_at_start"] = round(load, 2)
+            return res
+        last_err = out.stderr
+        with open(f"/tmp/pipeline_bench_{cpus}cpu_fail{attempt}.err", "w") as f:
+            f.write(out.stderr)
+        sys.stderr.write(
+            f"pipeline_bench at {cpus} cpus failed (attempt {attempt + 1}); retrying\n"
+        )
+    sys.stderr.write(last_err[-4000:])
+    raise RuntimeError(f"pipeline_bench at {cpus} cpus failed {attempts}x")
 
 
 def labels_hash(path: str) -> str:
