@@ -174,6 +174,67 @@ def test_streaming_stats_rows_written(spark, tmp_path):
     assert 1 <= epoch_stats["buckets_read"] <= 5
 
 
+# --- stateful streaming dedup ------------------------------------------
+
+def test_stateful_first_seen_across_restarts(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: only a sha's first-ever row
+    is emitted; replays in LATER micro-batches and across query
+    RESTARTS are suppressed (state rides the streaming checkpoint)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from welldedup.streaming import read_code_files_stream, stateful_first_seen
+
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ck")
+    src.mkdir()
+
+    def rows(tag, n, content=None):
+        return [
+            dict(repo="r", path=f"{tag}_{i}.py", commit="c0", lang="python",
+                 content=content or f"def f_{tag}_{i}(): pass\n")
+            for i in range(n)
+        ]
+
+    def run():
+        q = (
+            stateful_first_seen(read_code_files_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: 3 distinct docs + 2 extra copies of one content
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows("a", 3) + rows("dup", 2, content="SAME\n"))
+        ),
+        str(src / "b1.parquet"),
+    )
+    run()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 4  # 3 uniques + 1 survivor for SAME
+    assert got1.filter(F.col("n_copies") == 2).count() == 1
+
+    # run 2 (fresh query, same checkpoint): replay SAME + 1 new doc —
+    # the replay must be suppressed by restored state
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows("dup2", 1, content="SAME\n") + rows("b", 1))
+        ),
+        str(src / "b2.parquet"),
+    )
+    run()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 5  # only doc b added; SAME replay suppressed
+    shas = [r.content_sha256 for r in got2.collect()]
+    assert len(shas) == len(set(shas))  # one row per distinct content
+
+
 # --- kill-between-stages resume ----------------------------------------
 
 def test_kill_between_stages_resume(spark, tmp_path):

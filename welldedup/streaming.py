@@ -131,6 +131,56 @@ def incremental_signatures(
     )
 
 
+def stateful_first_seen(stream: DataFrame, cfg: DedupConfig | None = None):
+    """Custom stateful streaming operator (`applyInPandasWithState`):
+    exact-dedup a code-file stream ACROSS micro-batches — per
+    content-sha256 state remembers how many copies have arrived; only a
+    key's first-ever row is emitted (min doc_id within the first batch,
+    so the survivor is deterministic), every later copy increments the
+    state and is suppressed.
+
+    This is the streaming analog of the batch exact-dup stage
+    (lsh.exact_dup_pairs): same invariant (sha256 equality ⇒
+    duplicate), state keyed by the invariant.  State lives in the
+    streaming checkpoint, so dedup survives query restarts (tested).
+    At 10^12 accumulated keys per-key state outgrows one store — the
+    prod layout shards the query by `pmod(xxhash64(sha),k)` (same
+    bucketing as the signature store above); per-group state here is a
+    single long, the minimum possible.
+
+    Returns a streaming DataFrame(doc_id, content_sha256, n_copies)
+    ready for `.writeStream` (append mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cfg = cfg or DedupConfig()
+    keyed = prep.with_sha256(prep.with_doc_id(stream)).select(
+        "doc_id", "content_sha256"
+    )
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        seen = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:  # timeout/no-data invocation: state untouched
+            return
+        rows = pd.concat(frames, ignore_index=True)
+        if seen == 0:
+            first = rows.nsmallest(1, "doc_id").copy()
+            first["n_copies"] = len(rows)
+            yield first[["doc_id", "content_sha256", "n_copies"]]
+        state.update((seen + len(rows),))
+
+    return keyed.groupBy("content_sha256").applyInPandasWithState(
+        first_seen,
+        outputStructType="doc_id long, content_sha256 string, n_copies long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionized_event_counts(
     events: DataFrame,
     gap: str = "30 minutes",
