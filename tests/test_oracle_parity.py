@@ -55,4 +55,23 @@ def test_oracle_parity(spark, con, name):
     idx = [ocols.index(c) for c in cols]
     orows = sorted((tuple(_norm(row[i]) for i in idx) for row in raw), key=repr)
     assert len(srows) == len(orows), f"{name}: row counts differ"
-    assert srows == orows, f"{name}: values differ"
+    # floats compare under tolerance, not rounded exact equality: two
+    # correct engines can land on opposite sides of a 6dp rounding
+    # boundary (the sort key still uses the rounded form, which is
+    # identical whenever values are within tolerance)
+    bad = [
+        (i, ra, rb)
+        for i, (ra, rb) in enumerate(zip(srows, orows))
+        if not _row_close(ra, rb)
+    ]
+    assert not bad, f"{name}: values differ: {bad[:5]}"
+
+
+def _row_close(a: tuple, b: tuple) -> bool:
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if x != y and not math.isclose(x, y, rel_tol=1e-9, abs_tol=2e-6):
+                return False
+        elif x != y:
+            return False
+    return True

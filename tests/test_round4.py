@@ -1,0 +1,54 @@
+"""Round-4 additions: sharded stateful dedup, fused signature+CDC
+content pass, per-method pair profiling, IVF at-rest index."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.config import DedupConfig
+
+
+# --- sharded stateful streaming dedup ----------------------------------
+
+def test_stateful_first_seen_sharded_matches_unsharded(spark, tmp_path):
+    """shards>1 prepends a content-derived shard to the state key; each
+    sha lands in exactly one shard, so the emitted rows are identical
+    to the unsharded operator (the 10^12-key layout knob changes WHERE
+    state lives, never WHAT is emitted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from welldedup.streaming import read_code_files_stream, stateful_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        dict(repo="r", path=f"f{i}.py", commit="c0", lang="python",
+             content=f"def f{i % 6}(): pass\n")  # 6 distinct contents, 18 rows
+        for i in range(18)
+    ]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(src / "b1.parquet"))
+
+    def run(shards: int, tag: str):
+        out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        q = (
+            stateful_first_seen(read_code_files_stream(spark, str(src)), shards=shards)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.doc_id, r.content_sha256, r.n_copies)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    unsharded = run(1, "u")
+    sharded = run(4, "s")
+    assert len(unsharded) == 6
+    assert sharded == unsharded

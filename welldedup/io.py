@@ -132,9 +132,15 @@ def read_code_files(spark: SparkSession, source: str) -> DataFrame:
 _FALLBACK_CONDITIONS = ("TABLE_OR_VIEW_NOT_FOUND", "UNSUPPORTED_FEATURE")
 
 
-def _is_capability_error(e) -> bool:
+def _condition(e) -> str:
+    """Error-condition name, tolerant of AnalysisExceptions that lack
+    getCondition (older PySpark) — falls back to the message text."""
     get_cond = getattr(e, "getCondition", None)
-    cond = (get_cond() if get_cond else None) or ""
+    return (get_cond() if get_cond else None) or str(e)
+
+
+def _is_capability_error(e) -> bool:
+    cond = _condition(e)
     if any(c in cond for c in _FALLBACK_CONDITIONS):
         return True
     # a V1 session-catalog table rejects all DataSourceV2 writes with a
@@ -149,7 +155,15 @@ def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | 
     exist yet) fall back to createOrReplace; a V1 session catalog that
     cannot do REPLACE TABLE AS SELECT either falls back once more to
     `saveAsTable` (test environments).  Every fallback is gated on the
-    specific capability condition and logged; anything else raises."""
+    specific capability condition and logged; anything else raises.
+
+    CONTRACT: `df` must be the COMPLETE dataset for `table`.  The
+    fallback chain escalates a partition overwrite to a full-table
+    replace, which drops partitions absent from `df` — correct for the
+    pipeline's checkpoint writers (each writes its whole stage output)
+    and wrong for partition-scoped incremental writes, which should
+    call `overwritePartitions()` directly and treat UNSUPPORTED_FEATURE
+    as an error."""
     import logging
 
     from pyspark.errors import AnalysisException
@@ -166,7 +180,7 @@ def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | 
             raise
         log.warning(
             "partition overwrite unavailable for %s (%s); trying createOrReplace",
-            table, e.getCondition(),
+            table, _condition(e),
         )
     try:
         w.createOrReplace()
@@ -176,7 +190,7 @@ def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | 
             raise
         log.warning(
             "createOrReplace unavailable for %s (%s); using saveAsTable",
-            table, e.getCondition(),
+            table, _condition(e),
         )
     writer = df.write.mode("overwrite")
     if partition_by:

@@ -58,10 +58,27 @@ def run_pipeline(
     # Arrow transfer batch size for the mapInArrow/pandas-UDF stages —
     # runtime-settable, so the per-pipeline config wins over whatever
     # the session was built with (bigger batches amortize per-batch
-    # kernel setup; smaller bound executor memory per task)
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch_rows)
-    )
+    # kernel setup; smaller bound executor memory per task).  Restored
+    # on exit — the session may be shared with unrelated workloads.
+    _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior_arrow_batch = spark.conf.get(_ARROW_BATCH_KEY, None)
+    spark.conf.set(_ARROW_BATCH_KEY, str(cfg.arrow_batch_rows))
+    try:
+        return _run_pipeline_inner(spark, code_files, cfg, store, force)
+    finally:
+        if prior_arrow_batch is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, prior_arrow_batch)
+
+
+def _run_pipeline_inner(
+    spark: SparkSession,
+    code_files: DataFrame,
+    cfg: DedupConfig,
+    store: StageStore | None,
+    force: bool,
+) -> PipelineResult:
     timer = StageTimer()
     seconds: dict[str, float] = {}
     metrics_parts: list[DataFrame] = []

@@ -131,7 +131,9 @@ def incremental_signatures(
     )
 
 
-def stateful_first_seen(stream: DataFrame, cfg: DedupConfig | None = None):
+def stateful_first_seen(
+    stream: DataFrame, cfg: DedupConfig | None = None, shards: int = 1
+):
     """Custom stateful streaming operator (`applyInPandasWithState`):
     exact-dedup a code-file stream ACROSS micro-batches — per
     content-sha256 state remembers how many copies have arrived; only a
@@ -143,13 +145,26 @@ def stateful_first_seen(stream: DataFrame, cfg: DedupConfig | None = None):
     (lsh.exact_dup_pairs): same invariant (sha256 equality ⇒
     duplicate), state keyed by the invariant.  State lives in the
     streaming checkpoint, so dedup survives query restarts (tested).
-    At 10^12 accumulated keys per-key state outgrows one store — the
-    prod layout shards the query by `pmod(xxhash64(sha),k)` (same
-    bucketing as the signature store above); per-group state here is a
+
+    `shards > 1` prepends `pmod(xxhash64(sha), shards)` to the grouping
+    key (same bucketing idea as the signature store above): the state
+    store partitions by the grouping key's hash either way, but the
+    explicit shard column makes the state layout/shuffle key a pinned,
+    content-derived value — the 10^12-key posture is that shard count
+    (plus a RocksDB state store: set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider so per-key state lives off-heap/on-disk)
+    bounds any single store's key count.  Sharding never changes the
+    output: each sha maps to exactly one shard, so per-key semantics
+    are untouched (tested at shards=4 vs 1).  Per-group state here is a
     single long, the minimum possible.
 
     Returns a streaming DataFrame(doc_id, content_sha256, n_copies)
-    ready for `.writeStream` (append mode).
+    ready for `.writeStream` (append mode).  NOTE: `n_copies` is the
+    copy count WITHIN the key's first micro-batch only — append mode
+    emits a key once and never revises it; running totals live in the
+    state store (and in the batch exact-dup stage's group sizes), not
+    in this column.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -157,6 +172,13 @@ def stateful_first_seen(stream: DataFrame, cfg: DedupConfig | None = None):
     keyed = prep.with_sha256(prep.with_doc_id(stream)).select(
         "doc_id", "content_sha256"
     )
+    group_cols = ["content_sha256"]
+    if shards > 1:
+        keyed = keyed.withColumn(
+            "shard",
+            F.pmod(F.xxhash64("content_sha256"), F.lit(shards)).cast("int"),
+        )
+        group_cols = ["shard", "content_sha256"]
 
     def first_seen(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: F811 — executor-side import
@@ -168,11 +190,11 @@ def stateful_first_seen(stream: DataFrame, cfg: DedupConfig | None = None):
         rows = pd.concat(frames, ignore_index=True)
         if seen == 0:
             first = rows.nsmallest(1, "doc_id").copy()
-            first["n_copies"] = len(rows)
+            first["n_copies"] = len(rows)  # first-batch copies only (see above)
             yield first[["doc_id", "content_sha256", "n_copies"]]
         state.update((seen + len(rows),))
 
-    return keyed.groupBy("content_sha256").applyInPandasWithState(
+    return keyed.groupBy(*group_cols).applyInPandasWithState(
         first_seen,
         outputStructType="doc_id long, content_sha256 string, n_copies long",
         stateStructType="n long",
