@@ -260,9 +260,11 @@ def test_kill_between_stages_resume(spark, tmp_path):
         sys.executable, os.path.join(ROOT, "tests", "_pipeline_child.py"),
         corpus_path, store_root, labels_out,
     ]
-    # run 1: kill -9 the whole process group once the signatures stage
-    # has committed (the candidate_pairs stage is then in flight)
+    # run 1: kill -9 the whole process group once the docs stage has
+    # committed (stage order is signatures → docs → candidate_pairs, so
+    # the candidate_pairs stage is then in flight)
     sig_manifest = os.path.join(store_root, "signatures", "_MANIFEST.json")
+    docs_manifest = os.path.join(store_root, "docs", "_MANIFEST.json")
     child = subprocess.Popen(
         child_cmd, start_new_session=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=ROOT,
@@ -270,7 +272,7 @@ def test_kill_between_stages_resume(spark, tmp_path):
     try:
         deadline = time.monotonic() + 300
         while time.monotonic() < deadline:
-            if os.path.exists(sig_manifest) or child.poll() is not None:
+            if os.path.exists(docs_manifest) or child.poll() is not None:
                 break
             time.sleep(0.1)
         assert child.poll() is None, "child finished before it could be killed"
@@ -283,16 +285,15 @@ def test_kill_between_stages_resume(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(store_root, "clusters", "_MANIFEST.json")
     ), "kill landed too late to exercise mid-pipeline resume"
-    docs_manifest = os.path.join(store_root, "docs", "_MANIFEST.json")
-    docs_mtime = os.path.getmtime(docs_manifest)
+    sig_mtime = os.path.getmtime(sig_manifest)
 
     # run 2: restart to completion; completed stages must be skipped
     out = subprocess.run(
         child_cmd, capture_output=True, text=True, timeout=600, cwd=ROOT
     )
     assert out.returncode == 0, out.stderr[-3000:]
-    assert os.path.getmtime(docs_manifest) == docs_mtime, (
-        "docs stage re-ran despite a complete manifest"
+    assert os.path.getmtime(sig_manifest) == sig_mtime, (
+        "signatures stage re-ran despite a complete manifest"
     )
     got = spark.read.parquet(labels_out)
     got_labels = sorted((r.doc_id, r.cluster_id) for r in got.collect())

@@ -52,3 +52,82 @@ def test_stateful_first_seen_sharded_matches_unsharded(spark, tmp_path):
     sharded = run(4, "s")
     assert len(unsharded) == 6
     assert sharded == unsharded
+
+
+# --- fused signature + CDC fingerprint content pass --------------------
+
+def _planted_df(spark, n=400, seed=11):
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+
+    cf, _ = corpus_to_pandas(make_corpus(n, seed=seed))
+    return spark.createDataFrame(cf)
+
+
+def test_fused_pass_matches_unfused_kernels(spark):
+    """add_signatures_fused emits exactly what the separate kernels
+    emit: per-doc minhash/simhash == add_signatures, per-doc fps set ==
+    the standalone fingerprint mapInArrow, n_tokens == prepare_docs'
+    regexp_count.  Fingerprint selection is content-local, so batching
+    differences cannot change per-doc outputs."""
+    from welldedup import prep, signatures, substr
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    df = _planted_df(spark)
+    prepared = prep.prepare_docs(df, cfg)  # has n_tokens for comparison
+
+    fused = {
+        r.doc_id: r
+        for r in signatures.add_signatures_fused(
+            prep.prepare_base(df, cfg), cfg, with_fps=True
+        ).collect()
+    }
+    sigs = {r.doc_id: r for r in signatures.add_signatures(prepared, cfg).collect()}
+    fps_rows = (
+        prepared.select("doc_id", "content")
+        .mapInArrow(substr.make_fingerprint_arrow_fn(cfg), "doc_id long, fp long")
+        .collect()
+    )
+    fp_sets: dict = {}
+    for r in fps_rows:
+        fp_sets.setdefault(r.doc_id, set()).add(r.fp)
+    n_tokens = {r.doc_id: r.n_tokens for r in prepared.select("doc_id", "n_tokens").collect()}
+
+    assert set(fused) == set(sigs)
+    for did, row in fused.items():
+        assert row.minhash == sigs[did].minhash
+        assert row.simhash == sigs[did].simhash
+        assert set(row.fps) == fp_sets.get(did, set())
+        assert row.n_tokens == n_tokens[did]
+        assert row.content_sha256 is not None and row.n_bytes >= 0
+
+
+def test_pipeline_single_content_pass_plan(spark):
+    """Plan-shape guard for the fusion: the signatures stage is the
+    pipeline's ONLY full-corpus content consumer.  The fused plan has
+    exactly one Arrow pass; the candidate-pairs plan (built over the
+    materialized docs/signature tables, exactly as run_pipeline builds
+    it) must contain no Arrow pass and no content column at all."""
+    from welldedup import prep, signatures
+    from welldedup.pipeline import DOCS_COLS, build_candidate_pairs, run_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    df = _planted_df(spark, 300, seed=12)
+
+    fused_plan = (
+        signatures.add_signatures_fused(prep.prepare_base(df, cfg), cfg)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert fused_plan.count("MapInArrow") == 1
+
+    res = run_pipeline(spark, df, cfg)
+    pairs_plan = (
+        build_candidate_pairs(res.docs, res.signatures, cfg)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "MapInArrow" not in pairs_plan and "ArrowEvalPython" not in pairs_plan
+    assert "content#" not in pairs_plan  # compact tables only
+    # fused output carries signatures AND fingerprints from one pass
+    assert "fps" in res.signatures.columns and "minhash" in res.signatures.columns
+    assert res.docs.columns == DOCS_COLS
+    # sanity: pipeline found the planted structure
+    assert res.clusters.count() == 300

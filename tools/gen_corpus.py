@@ -1,0 +1,60 @@
+"""Generate a multi-file planted bench corpus.
+
+    python tools/gen_corpus.py <out_dir> --n-docs 1000000 --chunks 32 \
+        --procs 8 --seed 9000
+
+Each chunk is an independent make_corpus() call (its own seed), written
+as one parquet file — the multi-file layout is the point: a single fat
+parquet file serializes the scan on this host's one virtio disk
+(row-group contention measured 1.88x scaling at 1-vs-4 in round 3),
+while a real cluster's table is always many files.  Chunks share no rng
+state, so cross-chunk near-dups don't exist by construction — except
+the deliberate degenerate rows (near-empty files, shared boilerplate
+headers), which every chunk plants and which therefore form large
+cross-chunk exact/boilerplate groups: exactly the skew the cap/drop
+discipline is for.  Deterministic from (seed, chunks, n_docs); no
+wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing as mp
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_chunk(args: tuple) -> str:
+    out_dir, idx, n, seed = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+
+    code_files, _ = corpus_to_pandas(make_corpus(n, seed=seed))
+    path = os.path.join(out_dir, f"chunk_{idx:03d}.parquet")
+    pq.write_table(pa.Table.from_pandas(code_files, preserve_index=False), path)
+    return path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--n-docs", type=int, default=1_000_000)
+    ap.add_argument("--chunks", type=int, default=32)
+    ap.add_argument("--procs", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=9000)
+    a = ap.parse_args()
+    os.makedirs(a.out_dir, exist_ok=True)
+    per = a.n_docs // a.chunks
+    jobs = [(a.out_dir, i, per, a.seed + i) for i in range(a.chunks)]
+    with mp.Pool(a.procs) as pool:
+        for path in pool.imap_unordered(_write_chunk, jobs):
+            print("wrote", path, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,69 +114,41 @@ def _run_pipeline_inner(
         timer.record(name, stage_rows.get(rows_in_from), rows_out, int(seconds[name] * 1000))
         return out
 
-    # --- prep: docs table (narrow, no content) + a working df.
-    # `prepared` (ids + content) is NEVER cached: each content consumer
-    # (signatures, substr, verify's pair-bounded projection) re-derives
-    # it from the columnar source, which is a cheap parallel scan.
-    # Caching it was measured ACTIVELY anti-scaling — materializing
-    # gigabytes of deserialized strings into the block store is
-    # allocation/GC-bound and gets slower with more concurrent tasks,
-    # while the re-scan is bandwidth-proportional and scales.
-    docs = stage("docs", lambda: prep.prepare_docs(code_files, cfg).select(*DOCS_COLS))
-    prepared = prep.prepare_docs(code_files, cfg)
+    # --- the ONE full-corpus content pass: prep exprs (id, sha256,
+    # sizes) ride the scan projection; the fused Arrow kernel emits
+    # signatures + CDC fingerprints + n_tokens together (round-3
+    # VERDICT #2: unfused, signatures and substr each ran their own
+    # complete content scan — the dominant I/O at 100 TB).  `prepared`
+    # (ids + content) is NEVER cached: the only other content consumer
+    # (verify's pair-bounded projection) re-derives it from the
+    # columnar source.  Caching it was measured ACTIVELY anti-scaling —
+    # materializing gigabytes of deserialized strings into the block
+    # store is allocation/GC-bound and gets slower with more concurrent
+    # tasks, while the bounded re-scan is bandwidth-proportional.
+    prepared = prep.prepare_base(code_files, cfg)
 
-    # --- signatures (minhash + simhash [+ shingles for exact verify])
     def build_sigs():
-        return signatures.add_signatures(prepared, cfg)
+        return signatures.add_signatures_fused(prepared, cfg)
 
-    sigs = stage("signatures", build_sigs, rows_in_from="docs")
+    sigs = stage("signatures", build_sigs)
+
+    # --- docs table: a projection of the fused stage (zero content
+    # re-scan; n_tokens came from the kernel's token-run lengths)
+    docs = stage("docs", lambda: sigs.select(*DOCS_COLS), rows_in_from="signatures")
 
     # --- candidate pairs: exact (sha star edges) + per enabled method.
-    # Skew/drop accounting rides the plan as observe() nodes (zero
-    # extra passes) — collected into the metrics table after the stage
-    # materializes, so degenerate-bucket drops are never silent.
+    # Pure Catalyst over the compact fused checkpoint — content is
+    # never touched here.  Skew/drop accounting rides the plan as
+    # observe() nodes (zero extra passes) — collected into the metrics
+    # table after the stage materializes, so degenerate-bucket drops
+    # are never silent.
     pair_obs: list = []
-    pair_persisted: list = []  # stage-scoped caches to release post-materialize
 
     def build_pairs():
         pair_obs.clear()  # force-rerun must not double-record
-        parts = [lsh.exact_dup_pairs(docs)]
-        if "minhash" in cfg.methods:
-            b = lsh.band_buckets(sigs, cfg)
-            parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash", pair_obs))
-        if "simhash" in cfg.methods:
-            sb = lsh.simhash_buckets(sigs, cfg)
-            parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash", pair_obs))
-        if "substr" in cfg.methods:
-            parts.append(
-                substr.substr_candidate_pairs(prepared, cfg, pair_obs, pair_persisted)
-            )
-        allp = parts[0]
-        for p in parts[1:]:
-            allp = allp.unionByName(p)
-        # U1: a pair found by several methods keeps ONE row, choosing
-        # the strongest evidence (exact and substr are verified by
-        # construction; minhash/simhash must pass the verify stage) —
-        # deterministic regardless of union order.
-        prio = (
-            F.when(F.col("src") == "exact", 0)
-            .when(F.col("src") == "substr", 1)
-            .when(F.col("src") == "minhash", 2)
-            .otherwise(3)
-        )
-        return (
-            allp.withColumn("prio", prio)
-            .groupBy("id_a", "id_b")
-            .agg(F.min(F.struct("prio", "src")).alias("best"))
-            .select("id_a", "id_b", F.col("best.src").alias("src"))
-        )
+        return build_candidate_pairs(docs, sigs, cfg, pair_obs)
 
     pairs = stage("candidate_pairs", build_pairs, rows_in_from="signatures")
-    # the pair set is materialized (checkpoint or localCheckpoint) —
-    # stage-scoped caches (the substr fingerprint stream) are done
-    for cached in pair_persisted:
-        cached.unpersist()
-    pair_persisted.clear()
     # bucket-skew accounting: buckets_<src> rows carry (rows_in = docs
     # inside dropped buckets, rows_out = dropped bucket count);
     # salt_<src> rows carry the salt fan-out (rows_out = salted groups)
@@ -241,6 +213,50 @@ def _run_pipeline_inner(
         clusters=clusters,
         metrics=metrics,
         stage_seconds=seconds,
+    )
+
+
+def build_candidate_pairs(
+    docs: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    pair_obs: list | None = None,
+    methods: tuple | None = None,
+) -> DataFrame:
+    """The candidate_pairs stage plan: exact sha star edges + every
+    enabled method's pairs, deduped by evidence priority.  Consumes
+    ONLY the compact docs/fused-signature tables (content never appears
+    in this plan — tested).  `methods` overrides cfg.methods for
+    per-method profiling."""
+    methods = cfg.methods if methods is None else methods
+    parts = [lsh.exact_dup_pairs(docs)]
+    if "minhash" in methods:
+        b = lsh.band_buckets(sigs, cfg)
+        parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash", pair_obs))
+    if "simhash" in methods:
+        sb = lsh.simhash_buckets(sigs, cfg)
+        parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash", pair_obs))
+    if "substr" in methods:
+        fps = sigs.select("doc_id", F.explode("fps").alias("fp"))
+        parts.append(substr.fingerprint_pairs(fps, cfg, pair_obs))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    # U1: a pair found by several methods keeps ONE row, choosing the
+    # strongest evidence (exact and substr are verified by
+    # construction; minhash/simhash must pass the verify stage) —
+    # deterministic regardless of union order.
+    prio = (
+        F.when(F.col("src") == "exact", 0)
+        .when(F.col("src") == "substr", 1)
+        .when(F.col("src") == "minhash", 2)
+        .otherwise(3)
+    )
+    return (
+        allp.withColumn("prio", prio)
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.struct("prio", "src")).alias("best"))
+        .select("id_a", "id_b", F.col("best.src").alias("src"))
     )
 
 

@@ -71,12 +71,11 @@ def tokenize_expr(col: str, cfg: DedupConfig):
     return F.regexp_extract_all(c, F.lit(pat), 0)
 
 
-def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """code_files(repo,path,commit,lang,content) → docs table
-    (SURVEY.md §1.2): doc_id, natural key, sha256, sizes, tokens.
-
-    `tokens` is carried to the signature stage then dropped; checkpoint
-    writers select the narrow schema.
+def prepare_base(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """code_files(repo,path,commit,lang,content) → filtered rows with
+    doc_id, sha256, n_bytes (everything the docs table needs except
+    n_tokens, which the fused signature stage derives for free from its
+    token-hash stream — see signatures.add_signatures_fused).
 
     Partitioning: a small file count (or one fat parquet) must not
     serialize the whole pipeline — if the scan yields fewer partitions
@@ -91,18 +90,24 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
     df = validity_filter(code_files, cfg)
     df = with_doc_id(df)
     df = with_sha256(df)
-    df = df.withColumn("n_bytes", F.length("content").cast("long"))
-    # n_tokens is a docs-table stat; the signature stage re-derives the
-    # token stream fused into its own projection.  regexp_count counts
-    # matches WITHOUT materializing the token-string array (the
-    # size(regexp_extract_all) form allocated every token string just
-    # to count them — measured 2-3× the cost of this stage's hashes).
+    return df.withColumn("n_bytes", F.length("content").cast("long"))
+
+
+def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """prepare_base + n_tokens: the standalone docs-table surface (used
+    by queries/streaming; the batch pipeline gets n_tokens from the
+    fused signature pass instead, avoiding this second regex scan).
+
+    regexp_count counts matches WITHOUT materializing the token-string
+    array (the size(regexp_extract_all) form allocated every token
+    string just to count them — measured 2-3× the cost of this stage's
+    hashes)."""
+    df = prepare_base(code_files, cfg)
     pat = TOKEN_PATTERN if cfg.lowercase else TOKEN_PATTERN_CASED
     src = F.lower(F.col("content")) if cfg.lowercase else F.col("content")
-    df = df.withColumn(
+    return df.withColumn(
         "n_tokens", F.regexp_count(src, F.lit(pat)).cast("long")
     )
-    return df
 
 
 def token_hashes_expr(tokens):

@@ -244,6 +244,22 @@ def substr_candidate_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if persisted is not None:
         persisted.append(fps)
+    return fingerprint_pairs(fps, cfg, observations)
+
+
+def fingerprint_pairs(
+    fps: DataFrame, cfg: DedupConfig, observations: list | None = None
+) -> DataFrame:
+    """(doc_id, fp) stream → pairs(id_a, id_b, src='substr') sharing
+    ≥ fp_shared_threshold fingerprints.  The groupBy-join half of
+    substr_candidate_pairs, factored so the pipeline can feed it the
+    fps column of the FUSED signature stage (already materialized at
+    the stage checkpoint — no persist, no second content scan; the two
+    consumers below re-read the compact checkpoint, not content).
+
+    The input must be cheap to evaluate twice (a checkpoint projection
+    or a persisted stream): the count phase and the list build each
+    scan it once."""
     # two-phase (see lsh.candidate_pairs_from_buckets): cheap COUNT
     # finds shared fingerprints; only those pay the list build
     counts_all = fps.groupBy("fp").agg(F.count("*").alias("n"))
