@@ -70,9 +70,11 @@ def test_pipeline_metrics_rows_nonnull(spark):
     m = {r.stage: r for r in res.metrics.filter("part_id = -1").collect()}
     for name in ["docs", "signatures", "candidate_pairs", "verified_pairs", "clusters"]:
         assert m[name].rows_out is not None and m[name].rows_out > 0, name
-    for name in ["signatures", "candidate_pairs", "verified_pairs", "clusters"]:
+    # signatures is now the ingest stage (the fused content pass);
+    # docs is a projection of it — lineage flows signatures → docs
+    for name in ["docs", "candidate_pairs", "verified_pairs", "clusters"]:
         assert m[name].rows_in is not None, name
-    assert m["signatures"].rows_in == m["docs"].rows_out
+    assert m["docs"].rows_in == m["signatures"].rows_out
     # skew accounting rows present for every bucket source
     for name in ["buckets_minhash", "buckets_simhash", "buckets_substr"]:
         assert name in m, name

@@ -131,3 +131,50 @@ def test_pipeline_single_content_pass_plan(spark):
     assert res.docs.columns == DOCS_COLS
     # sanity: pipeline found the planted structure
     assert res.clusters.count() == 300
+
+
+# --- IVF at-rest index -------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """build_ivf_index writes partitionBy(cell); a probe's cell filter
+    must land in the scan's PartitionFilters (directory-level prune),
+    and the probe plan must contain NO pandas-UDF assignment pass."""
+    from welldedup.similarity import build_ivf_index, ivf_topk_indexed
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, n_centroids=8)
+
+    q = e.filter(F.col("vec_id") == 0).collect()[0].embedding
+    out = ivf_topk_indexed(spark, idx, q, k=10, nprobe=2, exclude_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+    assert "ArrowEvalPython" not in plan  # no per-query re-assignment
+    assert out.count() == 10
+
+
+def test_ivf_index_full_probe_matches_brute_force(spark, tmp_path):
+    """Probing ALL cells of the at-rest index is exhaustive — must
+    equal brute force exactly; half the cells must recover most."""
+    from welldedup.similarity import build_ivf_index, cosine_topk, ivf_topk_indexed
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, n_centroids=8)
+    q = e.filter(F.col("vec_id") == 0).collect()[0].embedding
+
+    exact = [r.vec_id for r in cosine_topk(e, query_vec_id=0, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_topk_indexed(spark, idx, q, k=10, nprobe=8, exclude_id=0).collect()
+    ]
+    assert full == exact
+    approx = [
+        r.vec_id
+        for r in ivf_topk_indexed(spark, idx, q, k=10, nprobe=4, exclude_id=0).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.5

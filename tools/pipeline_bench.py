@@ -65,17 +65,20 @@ def main() -> int:
     wall = time.monotonic() - t0
     if out_labels:
         res.clusters.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(out_labels)
-    print(
-        json.dumps(
-            dict(
-                cpus=int(cpus),
-                n_docs=n_docs,
-                wall_sec=round(wall, 2),
-                files_per_sec=round(n_docs / wall, 1),
-                stages={k: round(v, 2) for k, v in res.stage_seconds.items()},
-            )
-        )
+    record = dict(
+        cpus=int(cpus),
+        n_docs=n_docs,
+        wall_sec=round(wall, 2),
+        files_per_sec=round(n_docs / wall, 1),
+        stages={k: round(v, 2) for k, v in res.stage_seconds.items()},
     )
+    # per-method attribution of the candidate_pairs stage — runs AFTER
+    # the timed region (extra actions against the stage checkpoints)
+    if os.environ.get("WELLDEDUP_PROFILE_PAIRS"):
+        from welldedup.pipeline import profile_candidate_pairs
+
+        record["pair_profile"] = profile_candidate_pairs(res.docs, res.signatures, cfg)
+    print(json.dumps(record))
     return 0
 
 

@@ -1,0 +1,96 @@
+"""Measure the salting crossover on a degenerate LSH bucket
+(round-3 VERDICT #5: the salted two-phase bottom-k is tested
+bit-identical but its crossover was never measured, and at 10^12 files
+the knob is load-bearing).
+
+Builds a synthetic bucket table — ONE hot (band_id, band_hash) holding
+`--hot` docs (the shape of a boilerplate header shared corpus-wide,
+with drop_bucket_over raised so it is processed rather than dropped)
+plus a background of small buckets — and times
+candidate_pairs_from_buckets at salt_partitions=0 vs the given salts,
+asserting the emitted pair set is identical.
+
+    python tools/salt_bench.py [--hot 500000] [--background 200000] \
+        [--cpus 8] [--salts 8] [--trials 3]
+
+Prints one JSON line; paste the result into SCALE.md §salting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hot", type=int, default=500_000)
+    ap.add_argument("--background", type=int, default=200_000)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=3)
+    a = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.lsh import candidate_pairs_from_buckets
+    from welldedup.session import get_spark
+
+    spark = get_spark(
+        app_name="wd-salt-bench", master=f"local[{a.cpus}]",
+        shuffle_partitions=a.cpus,
+    )
+    # hot bucket: every doc shares (band_id=0, band_hash=0); background:
+    # 2-doc buckets spread across the keyspace
+    hot = spark.range(a.hot).select(
+        F.lit(0).alias("band_id"), F.lit(0).cast("long").alias("band_hash"),
+        F.col("id").alias("doc_id"),
+    )
+    bg = spark.range(a.background).select(
+        F.lit(1).alias("band_id"), (F.col("id") / 2).cast("long").alias("band_hash"),
+        F.col("id").alias("doc_id"),
+    )
+    buckets = hot.unionByName(bg).localCheckpoint(eager=True)
+
+    def run(salt: int) -> tuple[float, int]:
+        cfg = DedupConfig(drop_bucket_over=a.hot + 1, salt_partitions=salt)
+        t0 = time.monotonic()
+        n = candidate_pairs_from_buckets(buckets, cfg, "minhash").count()
+        return time.monotonic() - t0, n
+
+    run(0)  # warm-up (worker spawn, codegen)
+    t_plain = [run(0) for _ in range(a.trials)]
+    t_salt = [run(a.salts) for _ in range(a.trials)]
+    # bit-identicality of the emitted pair set (distributive bottom-k)
+    cfg0 = DedupConfig(drop_bucket_over=a.hot + 1, salt_partitions=0)
+    cfgs = DedupConfig(drop_bucket_over=a.hot + 1, salt_partitions=a.salts)
+    p0 = candidate_pairs_from_buckets(buckets, cfg0, "minhash").distinct()
+    ps = candidate_pairs_from_buckets(buckets, cfgs, "minhash").distinct()
+    identical = (
+        p0.exceptAll(ps).isEmpty() and ps.exceptAll(p0).isEmpty()
+    )
+    print(
+        json.dumps(
+            dict(
+                hot=a.hot, background=a.background, cpus=a.cpus,
+                salts=a.salts,
+                unsalted_sec=round(min(t[0] for t in t_plain), 2),
+                salted_sec=round(min(t[0] for t in t_salt), 2),
+                unsalted_trials=[round(t[0], 2) for t in t_plain],
+                salted_trials=[round(t[0], 2) for t in t_salt],
+                pairs=t_plain[0][1],
+                pairs_identical=bool(identical),
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -260,6 +260,44 @@ def build_candidate_pairs(
     )
 
 
+def profile_candidate_pairs(
+    docs: DataFrame, sigs: DataFrame, cfg: DedupConfig
+) -> dict:
+    """Per-method wall/row attribution for the candidate_pairs stage
+    (round-3 VERDICT: the stage fuses 4 sub-paths and the metrics table
+    recorded drops but not which path dominates).  Runs each method's
+    pair plan independently against the MATERIALIZED docs/signature
+    checkpoints and times the action — attribution for bench/tuning
+    runs (tools/pipeline_bench.py --profile-pairs), not part of the
+    production plan (the fused union computes each sub-path once).
+
+    Note: per-method counts are pre-dedup (the union groupBy collapses
+    multi-method pairs); `union_dedup` is the full stage plan and its
+    `sec` minus the max sub-path is roughly the dedup-shuffle cost."""
+    import time as _time
+
+    paths: dict = {"exact": lambda: lsh.exact_dup_pairs(docs)}
+    if "minhash" in cfg.methods:
+        paths["minhash"] = lambda: lsh.candidate_pairs_from_buckets(
+            lsh.band_buckets(sigs, cfg), cfg, "minhash"
+        )
+    if "simhash" in cfg.methods:
+        paths["simhash"] = lambda: lsh.candidate_pairs_from_buckets(
+            lsh.simhash_buckets(sigs, cfg), cfg, "simhash"
+        )
+    if "substr" in cfg.methods:
+        paths["substr"] = lambda: substr.fingerprint_pairs(
+            sigs.select("doc_id", F.explode("fps").alias("fp")), cfg
+        )
+    paths["union_dedup"] = lambda: build_candidate_pairs(docs, sigs, cfg)
+    out = {}
+    for name, build in paths.items():
+        t0 = _time.monotonic()
+        n = build().count()
+        out[name] = {"sec": round(_time.monotonic() - t0, 2), "pairs": n}
+    return out
+
+
 def cluster_report(result: PipelineResult) -> DataFrame:
     """A7 analog — summary stats: cluster-size histogram + dup rate."""
     sizes = result.clusters.groupBy("cluster_id").agg(

@@ -91,13 +91,16 @@ def langid_udf(text: pd.Series) -> pd.Series:
 
 def rolling_fingerprint_expr(col: str, width: int = 16):
     """Document fingerprint: xxhash64 of fixed-stride substrings —
-    a cheap rolling-hash sketch, pure Catalyst."""
+    a cheap rolling-hash sketch, pure Catalyst.  The per-piece hashes
+    fold into one long via an xxhash64 chain (aggregate over the long
+    array) — no string materialization anywhere (the earlier form
+    stringified every piece hash just to re-hash the concatenation)."""
     c = F.col(col)
     pieces = F.transform(
         F.sequence(F.lit(0), F.greatest((F.length(c) - 1) / width, F.lit(0)).cast("int")),
         lambda i: F.xxhash64(F.substring(c, i * width + 1, width)),
     )
-    return F.xxhash64(F.concat_ws(",", F.transform(pieces, lambda x: x.cast("string"))))
+    return F.aggregate(pieces, F.lit(0).cast("long"), lambda acc, v: F.xxhash64(acc, v))
 
 
 def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
