@@ -1065,6 +1065,187 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------
+# round-4 widening: more window/agg/date/set operator coverage
+# --------------------------------------------------------------------
+
+def q_percent_rank_orders(spark, sf_dir):
+    """W1 widening — percent_rank + cume_dist over a deterministic
+    per-customer order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
+
+
+SQL_PERCENT_RANK_ORDERS = """
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 4) AS pr,
+       round(cume_dist() OVER w, 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_width_bucket_hist(spark, sf_dir):
+    """O1/G1 widening — histogram via width_bucket (the DuckDB oracle
+    emulates the same bucketing arithmetically)."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+    return (
+        o.groupBy(b.cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_WIDTH_BUCKET_HIST = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 13
+            ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_median_orders(spark, sf_dir):
+    """G1 widening — exact median (interpolated percentile 0.5)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_MEDIAN_ORDERS = """
+SELECT o_orderstatus,
+       round(median(o_totalprice), 4) AS med_price,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_bitwise_bool_aggs(spark, sf_dir):
+    """G1 widening — bitwise and boolean aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_linenumber").cast("long").alias("ba"),
+        F.bit_or("l_linenumber").cast("long").alias("bo"),
+        F.bit_xor("l_linenumber").cast("long").alias("bx"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.07).alias("any_disc"),
+    )
+
+
+SQL_BITWISE_BOOL_AGGS = """
+SELECT l_linestatus,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+       CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+       CAST(bit_xor(l_linenumber) AS BIGINT) AS bx,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.07) AS any_disc
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_priority_list_per_cust(spark, sf_dir):
+    """G2/array widening — sorted-distinct list aggregation rendered to
+    one string per group (order-insensitive by construction)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_PRIORITY_LIST_PER_CUST = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_date_arith_orders(spark, sf_dir):
+    """P6 widening — date arithmetic: offsets, month boundaries, diffs,
+    calendar parts (dates rendered as ISO strings on both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).cast("string").alias("plus30"),
+        F.last_day("o_orderdate").cast("string").alias("eom"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long").alias("d_from_95"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    )
+
+
+SQL_DATE_ARITH_ORDERS = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+       CAST(last_day(o_orderdate) AS VARCHAR) AS eom,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS d_from_95,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+FROM orders
+"""
+
+
+def q_unpivot_lineitem(spark, sf_dir):
+    """U1 widening — UNPIVOT (wide aggregate → long form); the oracle
+    is the standard UNION ALL expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+         round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM wide
+"""
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Rows-only — the AT-REST IVF path: build (once per sf_dir) a
+    partitionBy(cell) index on disk, then probe it with a
+    partition-pruned scan (similarity.ivf_topk_indexed; plan-shape
+    tested in tests/test_round4.py)."""
+    import hashlib as _hl
+    import os as _os
+
+    from .similarity import build_ivf_index, ivf_topk_indexed, load_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/wd_ivf_index_{_hl.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(idx, "_ivf_centroids.json")):
+        build_ivf_index(e, idx, n_centroids=16)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk_indexed(spark, idx, q, k=10, nprobe=4, exclude_id=0)
+
+
 QUERIES = {
     # dedup / clustering (oracled)
     "exact_dup_groups": q_exact_dup_groups,
@@ -1100,6 +1281,14 @@ QUERIES = {
     "part_string_funcs": q_part_string_funcs,
     "regexp_extract_docs": q_regexp_extract_docs,
     "conditional_aggs": q_conditional_aggs,
+    # round-4 widening
+    "percent_rank_orders": q_percent_rank_orders,
+    "width_bucket_hist": q_width_bucket_hist,
+    "median_orders": q_median_orders,
+    "bitwise_bool_aggs": q_bitwise_bool_aggs,
+    "priority_list_per_cust": q_priority_list_per_cust,
+    "date_arith_orders": q_date_arith_orders,
+    "unpivot_lineitem": q_unpivot_lineitem,
     # events
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -1123,6 +1312,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "multimodal_features": q_multimodal_features,
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
 }
@@ -1159,6 +1349,13 @@ ORACLES = {
     "part_string_funcs": SQL_PART_STRING_FUNCS,
     "regexp_extract_docs": SQL_REGEXP_EXTRACT_DOCS,
     "conditional_aggs": SQL_CONDITIONAL_AGGS,
+    "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
+    "width_bucket_hist": SQL_WIDTH_BUCKET_HIST,
+    "median_orders": SQL_MEDIAN_ORDERS,
+    "bitwise_bool_aggs": SQL_BITWISE_BOOL_AGGS,
+    "priority_list_per_cust": SQL_PRIORITY_LIST_PER_CUST,
+    "date_arith_orders": SQL_DATE_ARITH_ORDERS,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     "events_json": SQL_EVENTS_JSON,
     "events_daily": SQL_EVENTS_DAILY,
     "events_sessions": SQL_EVENTS_SESSIONS,
