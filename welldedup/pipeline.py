@@ -1,5 +1,6 @@
-"""End-to-end dedup pipeline: prep → signatures → buckets → pairs →
-verify → cluster → report (SURVEY.md §3.4).
+"""End-to-end dedup pipeline: fused content pass (prep exprs +
+signatures + CDC fingerprints) → docs → pairs → verify → cluster →
+report (SURVEY.md §3.4).
 
 Each stage checkpoints through `StageStore` (manifest-gated resume) and
 records wall-clock + per-partition row metrics.  The stage list and
