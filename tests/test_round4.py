@@ -126,6 +126,19 @@ def test_pipeline_single_content_pass_plan(spark):
     )
     assert "MapInArrow" not in pairs_plan and "ArrowEvalPython" not in pairs_plan
     assert "content#" not in pairs_plan  # compact tables only
+
+    # the verification plan (built exactly as run_pipeline builds it)
+    # must also be content-free: line_sig/edit_prefix come from the
+    # fused checkpoint, so the pipeline touches content EXACTLY once
+    from welldedup import verify
+
+    near = res.candidate_pairs.filter(~F.col("src").isin("exact", "substr"))
+    verify_plan = (
+        verify.verify_pairs(near, res.signatures, res.signatures, cfg)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "content#" not in verify_plan and "MapInArrow" not in verify_plan
+    assert "LeftSemi" in verify_plan  # still pair-bounded
     # fused output carries signatures AND fingerprints from one pass
     assert "fps" in res.signatures.columns and "minhash" in res.signatures.columns
     assert res.docs.columns == DOCS_COLS

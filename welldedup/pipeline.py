@@ -115,17 +115,15 @@ def _run_pipeline_inner(
         timer.record(name, stage_rows.get(rows_in_from), rows_out, int(seconds[name] * 1000))
         return out
 
-    # --- the ONE full-corpus content pass: prep exprs (id, sha256,
-    # sizes) ride the scan projection; the fused Arrow kernel emits
-    # signatures + CDC fingerprints + n_tokens together (round-3
-    # VERDICT #2: unfused, signatures and substr each ran their own
-    # complete content scan — the dominant I/O at 100 TB).  `prepared`
-    # (ids + content) is NEVER cached: the only other content consumer
-    # (verify's pair-bounded projection) re-derives it from the
-    # columnar source.  Caching it was measured ACTIVELY anti-scaling —
-    # materializing gigabytes of deserialized strings into the block
-    # store is allocation/GC-bound and gets slower with more concurrent
-    # tasks, while the bounded re-scan is bandwidth-proportional.
+    # --- the ONE content pass of the whole pipeline: prep exprs (id,
+    # sha256, sizes) and the verify-stage line-sig/edit-prefix ride the
+    # scan projection; the fused Arrow kernel emits signatures + CDC
+    # fingerprints + n_tokens together (round-3 VERDICT #2: unfused,
+    # the docs/signature/substr stages each ran their own complete
+    # content scan, and verify re-read content for its pair-bounded
+    # projection — the dominant I/O at 100 TB).  Every later stage
+    # consumes only the compact fused checkpoint; `content` never
+    # appears in any downstream plan (plan-shape tested).
     prepared = prep.prepare_base(code_files, cfg)
 
     def build_sigs():
@@ -185,7 +183,10 @@ def _run_pipeline_inner(
             F.lit(True).alias("dup"),
         )
         near = pairs.filter(~F.col("src").isin("exact", "substr"))
-        verified = verify.verify_pairs(near, sigs, prepared, cfg)
+        # the fused signature checkpoint carries line_sig/edit_prefix,
+        # so verification reads NO content — the docs argument IS the
+        # signature table (verify.py branches on the precomputed cols)
+        verified = verify.verify_pairs(near, sigs, sigs, cfg)
         return verified.unionByName(by_construction)
 
     verified = stage("verified_pairs", build_verified, rows_in_from="candidate_pairs")

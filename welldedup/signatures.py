@@ -250,9 +250,16 @@ FUSED_SCHEMA_BASE = (
     "content_sha256 string, n_bytes long, n_tokens long, "
     "minhash array<long>, simhash long"
 )
+# verify-stage columns precomputed in the fused pass (verify.py): the
+# per-doc line-hash string (~1 char/line) and the char-fallback prefix
+# (non-null only for ≤3-line docs) — with these in the checkpoint the
+# verification stage never reads content at all
+FUSED_LSIG_COLS = ["line_sig", "edit_prefix"]
 
 
-def make_fused_arrow_fn(cfg: DedupConfig, with_fps: bool, with_shingles: bool):
+def make_fused_arrow_fn(
+    cfg: DedupConfig, with_fps: bool, with_shingles: bool, with_lsig: bool = False
+):
     """mapInArrow function for the fused content pass: ONE Arrow batch
     in (metadata + token_hashes + content), one batch out (metadata +
     n_tokens + minhash + simhash [+ fps] [+ shingles]).
@@ -325,6 +332,9 @@ def make_fused_arrow_fn(cfg: DedupConfig, with_fps: bool, with_shingles: bool):
                 out["shingles"] = pa.ListArray.from_arrays(
                     sh_off.astype(np.int32), pa.array(sh_values, type=pa.int64())
                 )
+            if with_lsig:  # JVM-computed, pure passthrough
+                for nm in FUSED_LSIG_COLS:
+                    out[nm] = col[nm]
             yield pa.record_batch(out)
 
     return fn
@@ -335,6 +345,7 @@ def add_signatures_fused(
     cfg: DedupConfig,
     with_fps: bool | None = None,
     with_shingles: bool | None = None,
+    with_lsig: bool = True,
 ) -> DataFrame:
     """prepare_base output → the pipeline's fused per-document table:
     (docs metadata, n_tokens, minhash, simhash[, fps][, shingles]).
@@ -354,17 +365,23 @@ def add_signatures_fused(
     if with_shingles is None:
         with_shingles = cfg.verify_exact_jaccard
     from .prep import tokenize_expr
+    from .verify import edit_prefix_expr, line_sig_expr
 
-    fn = make_fused_arrow_fn(cfg, with_fps, with_shingles)
+    fn = make_fused_arrow_fn(cfg, with_fps, with_shingles, with_lsig)
     schema = FUSED_SCHEMA_BASE
     if with_fps:
         schema += ", fps array<long>"
     if with_shingles:
         schema += ", shingles array<long>"
+    if with_lsig:
+        schema += ", line_sig string, edit_prefix string"
     cols = [
         *FUSED_META_COLS,
         token_hashes_expr(tokenize_expr("content", cfg)).alias("token_hashes"),
     ]
+    if with_lsig:  # verify-stage columns, computed JVM-side in this scan
+        cols.append(line_sig_expr("content", cfg).alias("line_sig"))
+        cols.append(edit_prefix_expr("content", cfg).alias("edit_prefix"))
     if with_fps:  # content bytes ride Arrow only when the CDC kernel runs
         cols.append("content")
     return prepared.select(*cols).mapInArrow(fn, schema)

@@ -76,6 +76,18 @@ def line_sig_expr(content_col: str, cfg: DedupConfig):
     return F.concat_ws("", chars)
 
 
+def edit_prefix_expr(content_col: str, cfg: DedupConfig):
+    """Bounded content prefix for the char-level edit fallback, stored
+    ONLY for docs with ≤ 3 lines (minified files etc.) — the fallback
+    fires only when BOTH pair sides have ≤ 3 lines, so the prefix is
+    never needed for anything else and the fused checkpoint pays ~0 for
+    the column (null for normal code)."""
+    n_lines = F.size(F.split(F.col(content_col), "\n"))
+    return F.when(
+        n_lines <= 3, F.substring(F.col(content_col), 1, cfg.edit_max_chars)
+    )
+
+
 def line_edit_sim_expr(sig_a, sig_b, cfg: DedupConfig):
     """Normalized line-level Levenshtein similarity over line-hash
     strings produced by line_sig_expr."""
@@ -137,22 +149,34 @@ def verify_pairs(
     # 1–3-line docs (e.g. minified files) have no meaningful line
     # granularity → fall back to char-level on a bounded prefix.
     need_edit = j.filter(F.col("jaccard") < cfg.jaccard_threshold)
-    # prune FIRST: the line-sig projection (split + up to 10k xxhash64
-    # per doc) must run on the pair-bounded id set, not the whole
-    # corpus — at 100 TB the full-table projection would be a complete
-    # extra corpus pass to serve a tiny pair set.  Re-deriving
-    # need_edit's small plan for the semi-join is far cheaper than
-    # that pass (pairs/signatures are stage checkpoints).
+    # prune FIRST: the projection must run on the pair-bounded id set,
+    # not the whole corpus.  Re-deriving need_edit's small plan for the
+    # semi-join is far cheaper than a full pass (pairs/signatures are
+    # stage checkpoints).
     pair_ids = (
         need_edit.select(F.col("id_a").alias("doc_id"))
         .unionByName(need_edit.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    proj = docs.join(pair_ids, "doc_id", "left_semi").select(
-        "doc_id",
-        line_sig_expr("content", cfg).alias("lsig"),
-        F.substring("content", 1, cfg.edit_max_chars).alias("prefix"),
-    )
+    if "line_sig" in docs.columns:
+        # the fused signature pass already carries line_sig (and the
+        # rare ≤3-line edit_prefix): the edit check never touches
+        # content at all — the PIPELINE's content read count stays at
+        # exactly one (plan-shape tested)
+        proj = docs.join(pair_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.col("line_sig").alias("lsig"),
+            F.col("edit_prefix").alias("prefix"),
+        )
+    else:
+        # standalone path (content docs): derive both on the pruned set
+        # — at 100 TB this is still a full content-column READ to serve
+        # a thin pair set, which is why the pipeline precomputes
+        proj = docs.join(pair_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            line_sig_expr("content", cfg).alias("lsig"),
+            F.substring("content", 1, cfg.edit_max_chars).alias("prefix"),
+        )
     ca = proj.select(
         F.col("doc_id").alias("id_a"), F.col("lsig").alias("lsig_a"),
         F.col("prefix").alias("c_a"),
