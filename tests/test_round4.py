@@ -146,6 +146,61 @@ def test_pipeline_single_content_pass_plan(spark):
     assert res.clusters.count() == 300
 
 
+def test_fused_line_sig_matches_verify_exprs(spark):
+    """The fused pass's line_sig/edit_prefix equal verify.py's exprs
+    over content (same JVM expressions, moved into the one content
+    scan); edit_prefix is null except for ≤3-line docs."""
+    from welldedup import prep, signatures, verify
+
+    cfg = DedupConfig(methods=("minhash",))
+    rows = [
+        dict(repo="r", path="multi.py", commit="c", lang="py",
+             content="line one\nline two\nline three\nline four\n"),
+        dict(repo="r", path="mini.js", commit="c", lang="js",
+             content="var x=1;var y=2;" * 50),  # 1 line, long
+        dict(repo="r", path="two.py", commit="c", lang="py", content="a\nb"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    prepared = prep.prepare_base(df, cfg)
+    fused = {
+        r.path: r
+        for r in signatures.add_signatures_fused(prepared, cfg)
+        .join(prepared.select("doc_id", "path"), "doc_id")
+        .collect()
+    }
+    expected = {
+        r.path: r
+        for r in prepared.select(
+            "path",
+            verify.line_sig_expr("content", cfg).alias("lsig"),
+            verify.edit_prefix_expr("content", cfg).alias("prefix"),
+        ).collect()
+    }
+    for p, row in fused.items():
+        assert row.line_sig == expected[p].lsig, p
+        assert row.edit_prefix == expected[p].prefix, p
+    # multi.py has 5 split segments (trailing \n) → no prefix; the
+    # 1-line minified doc and the 2-line doc carry one
+    assert fused["multi.py"].edit_prefix is None
+    assert fused["mini.js"].edit_prefix is not None
+    assert fused["two.py"].edit_prefix is not None
+
+
+def test_profile_candidate_pairs_attribution(spark):
+    """profile_candidate_pairs covers every enabled method plus the
+    union plan, and the union's pair count equals the materialized
+    candidate_pairs stage row count."""
+    from welldedup.pipeline import profile_candidate_pairs, run_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    res = run_pipeline(spark, _planted_df(spark, 250, seed=13), cfg)
+    prof = profile_candidate_pairs(res.docs, res.signatures, cfg)
+    assert set(prof) == {"exact", "minhash", "simhash", "substr", "union_dedup"}
+    for rec in prof.values():
+        assert rec["sec"] >= 0 and rec["pairs"] >= 0
+    assert prof["union_dedup"]["pairs"] == res.candidate_pairs.count()
+
+
 # --- IVF at-rest index -------------------------------------------------
 
 SF = "/root/testdata/sf0.001"
