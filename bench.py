@@ -5,8 +5,15 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 The headline metric is total wall seconds over the query set; the dedup
 pipeline's files/sec is included alongside (BASELINE.md's throughput
-row).  tools/scaling_bench.py reuses run_bench() at two parallelism
-levels for the N-vs-4N scaling-efficiency evidence.
+row).
+
+Noise protocol: this VM shows exogenous load swings that move a single
+10s reading by ±25% (the round-4 artifact published one unlucky pass as
+a phantom 22% regression).  Each query therefore runs
+$SPARK_GRAFT_BENCH_TRIALS times (default 3) and the reported per-query
+number is the MINIMUM — the least-interference estimate; all trials are
+recorded under "trials" so any reading can be audited.  Set
+SPARK_GRAFT_BENCH_TRIALS=1 to reproduce the old single-pass behavior.
 """
 
 from __future__ import annotations
@@ -39,10 +46,15 @@ def _force(df) -> int:
     return 0
 
 
-def run_bench(sf_dir: str, cpus: str, queries=None) -> dict:
+def run_bench(
+    sf_dir: str, cpus: str, queries=None, trials: int | None = None,
+    stop_session: bool = True,
+) -> dict:
     from welldedup.queries import QUERIES
     from welldedup.session import get_spark
 
+    if trials is None:
+        trials = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")), 1)
     spark = get_spark(
         app_name="welldedup-bench",
         master=f"local[{cpus}]",
@@ -51,15 +63,19 @@ def run_bench(sf_dir: str, cpus: str, queries=None) -> dict:
     # warm up the Python UDF workers + JIT so per-query times are steady
     _force(QUERIES["minhash_signatures"](spark, sf_dir))
 
-    per_query: dict[str, float] = {}
+    names = list(queries or HEADLINE)
+    all_trials: dict[str, list[float]] = {name: [] for name in names}
     n_files = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    pipeline_sec = None
-    for name in queries or HEADLINE:
-        t0 = time.monotonic()
-        _force(QUERIES[name](spark, sf_dir))
-        per_query[name] = round(time.monotonic() - t0, 3)
-        if name == "dedup_pipeline_clusters":
-            pipeline_sec = per_query[name]
+    # round-robin over queries per trial pass (not N back-to-back runs of
+    # the same query) so a transient host-load spike contaminates one
+    # PASS, not every reading of one query
+    for _ in range(trials):
+        for name in names:
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, sf_dir))
+            all_trials[name].append(round(time.monotonic() - t0, 3))
+    per_query = {name: min(ts) for name, ts in all_trials.items()}
+    pipeline_sec = per_query.get("dedup_pipeline_clusters")
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -67,12 +83,15 @@ def run_bench(sf_dir: str, cpus: str, queries=None) -> dict:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "trials": all_trials,
+        "n_trials": trials,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "parallelism": cpus,
         "dedup_files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
         "n_files": n_files,
     }
-    spark.stop()
+    if stop_session:  # False for in-process callers (tests share a session)
+        spark.stop()
     return result
 
 

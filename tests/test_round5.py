@@ -1,0 +1,351 @@
+"""Round-5 additions (VERDICT r4 "Next round" + ADVICE items): the
+rows-only regression gate, stale-checkpoint schema versioning, the
+distinct-free sign-LSH pair emit, RocksDB state store posture, bench
+trial protocol, trained IVF centroids, and index cache fingerprinting."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.config import DedupConfig
+from welldedup.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- rows-only regression gate (VERDICT r4 missing #5 / next #3) -------
+#
+# The driver board oracle-checks every ORACLES entry but ran only 3 of
+# the 12 rows-only queries in round 4 — this gate guarantees none of
+# the 12 can silently break between rounds.  Expected counts are pinned
+# where the query is deterministic at sf0.001 (catches not just "runs"
+# but "still finds the same structure"); `> 0` where the count is an
+# estimator detail.
+
+ROWS_ONLY_EXPECTED = {
+    "ann_ivf_indexed": 10,           # top-k probe: exactly k
+    "ann_ivf_topk": 10,
+    "ann_lsh_pairs": None,           # candidate count is estimator-specific
+    "candidate_pairs_minhash": None,
+    "dedup_pipeline_clusters": 500,  # one label per input doc
+    "doc_fingerprints": 500,         # one fingerprint per doc
+    "langid": 500,
+    "lsh_buckets": None,
+    "minhash_signatures": 500,
+    "multimodal_features": 500,
+    "simhash_chunks": 1000,          # 2 chunk buckets per doc
+    "winnow_fingerprints": 500,
+}
+
+
+def test_rows_only_set_is_covered():
+    """Every queries() entry without an oracle has a pinned expectation
+    here — adding a rows-only query without extending the gate fails."""
+    assert set(ROWS_ONLY_EXPECTED) == set(QUERIES) - set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_EXPECTED))
+def test_rows_only_gate(spark, name):
+    n = QUERIES[name](spark, SF).count()
+    expected = ROWS_ONLY_EXPECTED[name]
+    if expected is None:
+        assert n > 0, f"{name} returned no rows at sf0.001"
+    else:
+        assert n == expected, f"{name}: {n} rows, expected {expected}"
+
+
+# --- checkpoint schema versioning (ADVICE r4 medium) --------------------
+
+
+def test_stale_schema_checkpoint_not_resumed(tmp_path, monkeypatch, spark):
+    """A store written by an engine with an older checkpoint SCHEMA (no
+    config knob moved) must be rebuilt, not resumed: round 4 widened the
+    signatures checkpoint, and resuming a pre-widening store raises
+    AnalysisException deep in the pipeline.  PIPELINE_SCHEMA_VERSION is
+    mixed into config_hash, so the old store's manifest simply no longer
+    matches."""
+    import welldedup.config as C
+    from welldedup.io import StageStore
+
+    cfg = DedupConfig()
+    h_now = cfg.config_hash()
+    monkeypatch.setattr(C, "PIPELINE_SCHEMA_VERSION", C.PIPELINE_SCHEMA_VERSION - 1)
+    h_old = cfg.config_hash()
+    monkeypatch.undo()
+    assert h_old != h_now
+    assert cfg.config_hash() == h_now  # monkeypatch fully unwound
+
+    # "old engine" writes a completed stage under its hash
+    old_store = StageStore(root=str(tmp_path), config_hash=h_old)
+    old_store.write("signatures", spark.range(3).select(F.col("id").alias("doc_id")))
+    assert old_store.is_complete("signatures")
+
+    # current engine: same root, same config knobs — must NOT resume
+    new_store = StageStore(root=str(tmp_path), config_hash=h_now)
+    assert not new_store.is_complete("signatures")
+
+
+def test_edit_max_lines_floor_validated():
+    """edit_max_lines <= 3 would silently reject near-dups (the fused
+    edit_prefix exists only for <=3-line docs; ADVICE r4 low)."""
+    with pytest.raises(ValueError, match="edit_max_lines"):
+        DedupConfig(edit_max_lines=3)
+    DedupConfig(edit_max_lines=4)  # floor+1 is legal
+
+
+# --- distinct-free sign-LSH pair emit (VERDICT r4 wrong #4) -------------
+
+
+def test_lsh_bucketed_pairs_first_band_matches_distinct(spark):
+    """The first-matching-band emit must produce EXACTLY the pair set
+    the old `.distinct()` produced (below bucket caps): every pair of
+    vectors agreeing on >= 1 band, once.  Reference computed per-vector
+    signatures via the same UDF, then a pure-Python band scan."""
+    from welldedup.similarity import lsh_bucketed_pairs, make_hyperplane_udf
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    dim, n_planes, n_bands = 64, 16, 4
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+
+    sig_udf = make_hyperplane_udf(dim, n_planes)
+    sigs = {
+        r.vec_id: r.sig
+        for r in e.select("vec_id", sig_udf(F.col("embedding")).alias("sig")).collect()
+    }
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if any(
+                ((sigs[a] >> (j * width)) & mask) == ((sigs[b] >> (j * width)) & mask)
+                for j in range(n_bands)
+            ):
+                expected.add((a, b))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(
+            e, dim=dim, n_planes=n_planes, n_bands=n_bands, max_bucket=10_000
+        ).select("id_a", "id_b").collect()
+    }
+    assert got == expected
+    # uniqueness by construction — the whole point of dropping distinct()
+    assert len(got) == len(expected)
+
+
+# --- RocksDB state store (VERDICT r4 next #6) ----------------------------
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def test_stateful_first_seen_rocksdb_provider(spark, tmp_path):
+    """The 10^12-key posture (streaming.py docstring): per-key state in
+    RocksDB (off-heap/on-disk) instead of the HDFS-backed in-memory map.
+    Output must be identical to the default provider; the checkpoint
+    must actually contain RocksDB artifacts (.sst / snapshot .zip), not
+    the HDFS provider's .delta files."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from welldedup.streaming import read_code_files_stream, stateful_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        dict(repo="r", path=f"f{i}.py", commit="c0", lang="python",
+             content=f"def f{i % 5}(): pass\n")
+        for i in range(15)
+    ]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(src / "b1.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        q = (
+            stateful_first_seen(read_code_files_stream(spark, str(src)), shards=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    emitted = spark.read.parquet(out)
+    assert emitted.count() == 5  # one row per distinct content
+    assert emitted.select("content_sha256").distinct().count() == 5
+
+    state_files = glob.glob(f"{ckpt}/state/**/*", recursive=True)
+    assert any(f.endswith(".sst") or f.endswith(".zip") for f in state_files), (
+        "no RocksDB artifacts in state dir — provider did not take effect"
+    )
+    assert not any(f.endswith(".delta") for f in state_files)
+
+
+# --- bench.py trial protocol (VERDICT r4 next #2) ------------------------
+
+
+def test_run_bench_records_trials_and_takes_min(spark):
+    """run_bench must run each query SPARK_GRAFT_BENCH_TRIALS times,
+    record every reading, and report the per-query minimum (the
+    least-interference estimate on this noisy VM)."""
+    import bench
+
+    r = bench.run_bench(SF, "8", queries=["lineitem_agg"], trials=2,
+                        stop_session=False)
+    assert r["n_trials"] == 2
+    ts = r["trials"]["lineitem_agg"]
+    assert len(ts) == 2
+    assert r["queries"]["lineitem_agg"] == min(ts)
+    assert r["value"] == r["queries"]["lineitem_agg"]
+
+
+# --- write_bench_md robustness (ADVICE r4 lows) ---------------------------
+
+
+def test_load_json_line_skips_empty_and_corrupt(tmp_path, capsys):
+    from tools.write_bench_md import _load_json_line
+
+    empty = tmp_path / "empty.json"
+    empty.write_text("")
+    corrupt = tmp_path / "bad.json"
+    corrupt.write_text("{not json")
+    good = tmp_path / "good.json"
+    good.write_text('ignored preamble\n{"a": 1}\n')
+
+    assert _load_json_line(str(empty)) is None
+    assert _load_json_line(str(corrupt)) is None
+    assert _load_json_line(str(tmp_path / "missing.json")) is None
+    assert _load_json_line(str(good)) == {"a": 1}
+
+
+def test_profile_section_tolerates_differing_methods(tmp_path):
+    """Profile runs collected under different cfg.methods must render
+    (union of methods, dashes for absences) and a cross-run pair-count
+    mismatch must be FLAGGED, not silently taken from runs[0]."""
+    from tools.write_bench_md import profile_section
+
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps({
+        "cpus": 1,
+        "pair_profile": {"minhash": {"sec": 1.0, "pairs": 10},
+                         "substr": {"sec": 2.0, "pairs": 30}},
+    }))
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps({
+        "cpus": 4,
+        "pair_profile": {"minhash": {"sec": 0.5, "pairs": 12},  # mismatch!
+                         "simhash": {"sec": 0.2, "pairs": 7}},
+    }))
+    md = profile_section([str(a), str(b)])
+    for m in ("minhash", "substr", "simhash"):
+        assert m in md
+    assert "—" in md            # absent method rendered as a dash
+    assert "MISMATCH" in md     # differing pair counts flagged
+
+
+# --- trained IVF centroids (VERDICT r4 next #7, stretch) -----------------
+
+
+def _recall_at(centroids: np.ndarray, X: np.ndarray, ids: np.ndarray,
+               queries: list[int], k: int, nprobe: int) -> float:
+    """Driver-side recall evaluation of an IVF layout: fraction of the
+    exact top-k recovered when probing nprobe cells.  numpy mirror of
+    the Spark probe (same argmax assignment, same cosine)."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(Xn @ centroids.T, axis=1)
+    hits = 0
+    for qi in queries:
+        q = Xn[qi]
+        sims = Xn @ q
+        sims[qi] = -np.inf
+        exact = set(ids[np.argsort(-sims)[:k]])
+        probe = set(np.argsort(-(centroids @ q))[:nprobe])
+        mask = np.array([c in probe for c in cells])
+        mask[qi] = False
+        cand = np.where(mask)[0]
+        approx = set(ids[cand[np.argsort(-sims[cand])[:k]]])
+        hits += len(exact & approx)
+    return hits / (k * len(queries))
+
+
+def test_trained_centroids_recall_not_worse(spark):
+    """Spherical k-means refinement (train_centroids — the Spark path:
+    pandas-UDF assignment + native per-dimension avg aggregates) must
+    not lose recall vs the id-hash sample at equal nprobe, and the
+    trained matrix must stay unit-normalized.  Absolute numbers are
+    recorded in SCALE.md."""
+    from welldedup.similarity import sample_centroids, train_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = e.orderBy("vec_id").toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float32) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+
+    sampled = sample_centroids(e, 16)
+    trained = train_centroids(e, 16, iters=3)
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0, atol=1e-5)
+
+    queries = [0, 7, 42, 99, 123, 321]
+    for nprobe in (2, 4):
+        r_s = _recall_at(sampled, X, ids, queries, k=10, nprobe=nprobe)
+        r_t = _recall_at(trained, X, ids, queries, k=10, nprobe=nprobe)
+        # k-means tightens cells around the corpus's real clusters; allow
+        # a hair of slack for tie-order noise but never a regression
+        assert r_t >= r_s - 0.05, f"nprobe={nprobe}: trained {r_t} < sampled {r_s}"
+
+
+def test_build_ivf_index_trained_probe_exhaustive(spark, tmp_path):
+    """train_iters>0 changes the cell LAYOUT only: probing all cells of
+    a trained index still equals brute force exactly (the sidecar keeps
+    probes self-consistent with whatever trained the index)."""
+    from welldedup.similarity import build_ivf_index, cosine_topk, ivf_topk_indexed
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_trained")
+    build_ivf_index(e, idx, n_centroids=8, train_iters=2)
+    q = e.filter(F.col("vec_id") == 0).collect()[0].embedding
+
+    exact = [r.vec_id for r in cosine_topk(e, query_vec_id=0, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_topk_indexed(spark, idx, q, k=10, nprobe=8, exclude_id=0).collect()
+    ]
+    assert full == exact
+
+
+# --- IVF index cache fingerprint (ADVICE r4 low) --------------------------
+
+
+def test_dataset_fingerprint_changes_on_regeneration(tmp_path):
+    """q_ann_ivf_indexed keys its /tmp index cache on the embeddings
+    files' (relpath, size, mtime) — regenerating the source at the same
+    path must change the key so the stale index is rebuilt."""
+    from welldedup.queries import _dataset_fingerprint
+
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"v1-payload")
+    fp1 = _dataset_fingerprint(str(f))
+    assert fp1 == _dataset_fingerprint(str(f))  # stable while unchanged
+
+    os.utime(f, ns=(1, 1))  # same bytes, different mtime → regenerated
+    assert _dataset_fingerprint(str(f)) != fp1
+
+    d = tmp_path / "dir_ds"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 10)
+    fpd = _dataset_fingerprint(str(d))
+    (d / "part-1.parquet").write_bytes(b"y" * 10)
+    assert _dataset_fingerprint(str(d)) != fpd

@@ -47,14 +47,25 @@ def run_level(corpus: str, cpus: int, labels_out: str, attempts: int = 2) -> dic
     has killed a JVM mid-run) is retried rather than aborting the whole
     multi-hour bench.  Full child stderr lands in /tmp for diagnosis."""
     env = dict(os.environ, WELLDEDUP_DRIVER_MEM="56g")
+    # 1M-doc local[1] trials run ~1h clean and longer under exogenous
+    # load (a 3600s cap killed the round-4 campaign via an UNCAUGHT
+    # TimeoutExpired); default generous, overridable per campaign
+    timeout_s = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "10800"))
     last_err = ""
     for attempt in range(attempts):
         load = wait_quiet()
-        out = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "tools", "pipeline_bench.py"),
-             corpus, str(cpus), labels_out],
-            capture_output=True, text=True, timeout=3600, cwd=ROOT, env=env,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "tools", "pipeline_bench.py"),
+                 corpus, str(cpus), labels_out],
+                capture_output=True, text=True, timeout=timeout_s, cwd=ROOT, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"trial timed out after {timeout_s}s"
+            sys.stderr.write(
+                f"pipeline_bench at {cpus} cpus TIMED OUT (attempt {attempt + 1})\n"
+            )
+            continue
         if out.returncode == 0:
             res = json.loads(out.stdout.strip().splitlines()[-1])
             res["loadavg_at_start"] = round(load, 2)
@@ -95,11 +106,22 @@ def main() -> int:
     n = _arg("--n", 2)
     trials = _arg("--trials", 2)
     n4 = n * 4
+    # Each completed trial is appended here immediately: a multi-hour
+    # campaign killed mid-flight (session death, OOM, wall budget — what
+    # lost the round-4 1M run) leaves its finished trials recoverable.
+    progress = os.environ.get("SPARK_GRAFT_PROGRESS", "/tmp/wd_scaling_progress.jsonl")
+
+    def record(level: int, res: dict) -> None:
+        with open(progress, "a") as f:
+            f.write(json.dumps(dict(level=level, corpus=corpus, **res)) + "\n")
+
     raw_n: list[dict] = []
     raw_4n: list[dict] = []
     for _ in range(trials):
         raw_n.append(run_level(corpus, n, "/tmp/wd_labels_n"))
+        record(n, raw_n[-1])
         raw_4n.append(run_level(corpus, n4, "/tmp/wd_labels_4n"))
+        record(n4, raw_4n[-1])
     rn = min(raw_n, key=lambda r: r["wall_sec"])
     r4 = min(raw_4n, key=lambda r: r["wall_sec"])
     hn, h4 = labels_hash("/tmp/wd_labels_n"), labels_hash("/tmp/wd_labels_4n")

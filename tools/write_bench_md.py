@@ -27,6 +27,22 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_json_line(path: str) -> dict | None:
+    """Last JSON line of a bench artifact, or None (with a stderr note)
+    for an empty/corrupt file — an aborted campaign once committed a
+    0-byte pair JSON, which must not crash or silently skew the MD."""
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
+        if not lines:
+            sys.stderr.write(f"write_bench_md: skipping EMPTY artifact {path}\n")
+            return None
+        return json.loads(lines[-1])
+    except (OSError, json.JSONDecodeError) as e:
+        sys.stderr.write(f"write_bench_md: skipping unreadable {path}: {e}\n")
+        return None
+
+
 def pair_section(r: dict) -> str:
     n, n4 = r["n"], r["n"] * 4
     stage_names = list(r["stages_min_n"])
@@ -59,14 +75,15 @@ Per-stage seconds (min across trials per level):
 
 
 def profile_section(files: list[str]) -> str:
-    runs = []
-    for pf in files:
-        with open(pf) as f:
-            runs.append(json.loads(f.read().strip().splitlines()[-1]))
+    runs = [r for r in map(_load_json_line, files) if r]
     runs = [r for r in runs if "pair_profile" in r]
     if not runs:
         return ""
-    methods = list(runs[0]["pair_profile"])
+    # method keys can differ if profile runs used different cfg.methods:
+    # render the union, dash out absences rather than KeyError
+    methods: list[str] = []
+    for r in runs:
+        methods += [m for m in r["pair_profile"] if m not in methods]
     md = (
         "\n## candidate_pairs per-method attribution "
         "(pipeline_bench WELLDEDUP_PROFILE_PAIRS=1)\n\n"
@@ -77,10 +94,17 @@ def profile_section(files: list[str]) -> str:
         + " | pairs |\n|---|" + "---|" * (len(runs) + 1) + "\n"
     )
     for m in methods:
+        profs = [r["pair_profile"].get(m) for r in runs]
+        # pair counts are parallelism-invariant by construction — a
+        # mismatch across runs means the runs weren't comparable
+        counts = {p["pairs"] for p in profs if p}
+        pairs_cell = str(counts.pop()) if len(counts) == 1 else (
+            "MISMATCH: " + "/".join(str(p["pairs"]) if p else "-" for p in profs)
+        )
         md += (
             f"| {m} | "
-            + " | ".join(str(r["pair_profile"][m]["sec"]) for r in runs)
-            + f" | {runs[0]['pair_profile'][m]['pairs']} |\n"
+            + " | ".join(str(p["sec"]) if p else "—" for p in profs)
+            + f" | {pairs_cell} |\n"
         )
     return md
 
@@ -98,10 +122,7 @@ def main() -> int:
         profile_files = args[i + 1].split(",")
         args = args[:i] + args[i + 2:]
     pair_files = [a for a in args if not a.startswith("--")]
-    pairs = []
-    for pf in pair_files:
-        with open(pf) as f:
-            pairs.append(json.loads(f.read().strip().splitlines()[-1]))
+    pairs = [p for p in map(_load_json_line, pair_files) if p]
     cap_md = ""
     if cap_file and os.path.exists(cap_file):
         with open(cap_file) as f:

@@ -26,6 +26,15 @@ from dataclasses import asdict, dataclass, field
 TOKEN_PATTERN = r"[a-z_0-9]+"
 TOKEN_PATTERN_CASED = r"[A-Za-z_0-9]+"
 
+# Checkpoint-format version, mixed into config_hash().  The stage
+# checkpoints' SCHEMA can change between engine versions with no config
+# knob moving (round 4 widened the signatures checkpoint with
+# repo/path/fps/line_sig/edit_prefix); without this, a store written by
+# an older engine passes is_complete() and the resume path then throws
+# AnalysisException selecting columns the old checkpoint never had.
+# Bump whenever any stage's checkpoint schema changes shape.
+PIPELINE_SCHEMA_VERSION = 2
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -118,10 +127,29 @@ class DedupConfig:
             raise ValueError(
                 f"winnow_k({self.winnow_k}) must be a positive multiple of 8"
             )
+        # verify.py's few_lines gate is length(line_sig) <= 3 where the
+        # stored line_sig is truncated to edit_max_lines; at
+        # edit_max_lines <= 3 every long doc would take the char-prefix
+        # fallback with a NULL fused edit_prefix (only stored for docs
+        # with <= 3 real lines), silently rejecting true near-dups
+        if self.edit_max_lines <= 3:
+            raise ValueError(
+                f"edit_max_lines({self.edit_max_lines}) must be > 3: the "
+                "<=3-line char fallback and the line_sig truncation share "
+                "this bound, and the fused edit_prefix is only stored for "
+                "docs with <= 3 lines"
+            )
 
     def config_hash(self) -> str:
-        """Stable hash of all semantic knobs — keys checkpoint manifests."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        """Stable hash of all semantic knobs — keys checkpoint manifests.
+        Mixes in PIPELINE_SCHEMA_VERSION so checkpoints written by an
+        engine with a different stage-checkpoint schema are rebuilt
+        rather than resumed (see the constant's comment)."""
+        payload = json.dumps(
+            dict(asdict(self), _schema_version=PIPELINE_SCHEMA_VERSION),
+            sort_keys=True,
+            default=str,
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -1228,18 +1228,41 @@ SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM wide
 """
 
 
-def q_ann_ivf_indexed(spark, sf_dir):
-    """Rows-only — the AT-REST IVF path: build (once per sf_dir) a
-    partitionBy(cell) index on disk, then probe it with a
-    partition-pruned scan (similarity.ivf_topk_indexed; plan-shape
-    tested in tests/test_round4.py)."""
+def _dataset_fingerprint(path):
+    """Cheap content fingerprint of a parquet file/dir: sha over sorted
+    (relpath, size, mtime_ns) of every data file.  Keys build-once
+    caches so a REGENERATED source at the same path invalidates them —
+    the parquet-footer analog of Iceberg's snapshot id."""
     import hashlib as _hl
     import os as _os
 
-    from .similarity import build_ivf_index, ivf_topk_indexed, load_ivf_centroids
+    h = _hl.sha256(path.encode())
+    if _os.path.isdir(path):
+        for root, _dirs, files in sorted(_os.walk(path)):
+            for f in sorted(files):
+                st = _os.stat(_os.path.join(root, f))
+                rel = _os.path.relpath(_os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif _os.path.exists(path):
+        st = _os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Rows-only — the AT-REST IVF path: build (once per source
+    SNAPSHOT — the cache key fingerprints the embeddings files'
+    size+mtime, not just the path, so a regenerated table rebuilds the
+    index) a partitionBy(cell) index on disk, then probe it with a
+    partition-pruned scan (similarity.ivf_topk_indexed; plan-shape
+    tested in tests/test_round4.py)."""
+    import os as _os
+
+    from .similarity import build_ivf_index, ivf_topk_indexed
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/wd_ivf_index_{_hl.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    fp = _dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    idx = f"/tmp/wd_ivf_index_{fp}"
     if not _os.path.exists(_os.path.join(idx, "_ivf_centroids.json")):
         build_ivf_index(e, idx, n_centroids=16)
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
