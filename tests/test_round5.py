@@ -349,3 +349,129 @@ def test_dataset_fingerprint_changes_on_regeneration(tmp_path):
     fpd = _dataset_fingerprint(str(d))
     (d / "part-1.parquet").write_bytes(b"y" * 10)
     assert _dataset_fingerprint(str(d)) != fpd
+
+
+# --- temporal joins + deterministic sampling (round-5 widening) --------
+
+
+def test_asof_join_matches_naive(spark):
+    """Union+window as-of == the O(n^2) definitional computation on a
+    handcrafted fixture, for both inclusive and strict modes, including
+    no-prior-row NULLs and same-instant ties."""
+    from welldedup.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "lts": [10.0, 20.0, 30.0, 5.0, 50.0, 7.0],
+            "lid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 9],
+            "rts": [10.0, 25.0, 40.0, 4.0, 1.0],
+            "val": [100, 200, 300, 400, 900],
+        }
+    )
+    ldf = spark.createDataFrame(left).withColumn(
+        "lts", F.timestamp_seconds("lts")
+    )
+    rdf = spark.createDataFrame(right).withColumn(
+        "rts", F.timestamp_seconds("rts")
+    )
+    for strict in (False, True):
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(
+                ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+                value_cols=["val"], strict=strict,
+            ).collect()
+        }
+        want = {}
+        for lrow in left.itertuples():
+            best = None
+            for rrow in right.itertuples():
+                if rrow.k != lrow.k:
+                    continue
+                ok = rrow.rts < lrow.lts if strict else rrow.rts <= lrow.lts
+                if ok and (best is None or rrow.rts > best.rts):
+                    best = rrow
+            want[lrow.lid] = best.val if best else None
+        assert got == want, f"strict={strict}"
+
+
+def test_asof_join_plan_has_no_inequality_join(spark):
+    """The scale property: the as-of plan must be window-over-one-
+    exchange, never a BroadcastNestedLoop/Cartesian theta-join."""
+    plan = QUERIES["asof_join_orders_events"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Binned first-shared-bin emit == brute-force overlap on random
+    intervals, across bin widths smaller/larger than interval length
+    (pairs must be emitted exactly once regardless of bin count)."""
+    from welldedup.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    n = 80
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n),
+            "iid": np.arange(n),
+            "s": rng.uniform(0, 500, n),
+        }
+    )
+    df["e"] = df["s"] + rng.uniform(0, 120, n)
+    want = set()
+    for a in df.itertuples():
+        for b in df.itertuples():
+            if a.k == b.k and a.iid < b.iid and a.s <= b.e and b.s <= a.e:
+                want.add((a.iid, b.iid))
+    sdf = (
+        spark.createDataFrame(df)
+        .withColumn("s", F.timestamp_seconds("s"))
+        .withColumn("e", F.timestamp_seconds("e"))
+    )
+    for bin_s in (7, 60, 1000):
+        rows = interval_join(
+            sdf, key="k", id_col="iid", start="s", end="e", bin_seconds=bin_s
+        ).collect()
+        got = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(got) == len(set(got)), f"dup pair emitted at bin={bin_s}"
+        assert set(got) == want, f"bin={bin_s}"
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    """Same selection across runs AND partitionings (the property
+    df.sample lacks), empty for unlisted strata, and each stratum's
+    keep-rate within binomial noise of its nominal rate."""
+    from welldedup.joins import stratified_sample_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    keep = stratified_sample_expr(F.col("doc_id"), F.col("lang"), rates)
+    a = sorted(r["doc_id"] for r in docs.filter(keep).select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in docs.repartition(13).filter(keep).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    langs = {
+        r["lang"] for r in docs.filter(keep).select("lang").distinct().collect()
+    }
+    assert langs <= set(rates)
+    per = {
+        r["lang"]: r["n"]
+        for r in docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, rate in rates.items():
+        n, kept = tot[lang], per.get(lang, 0)
+        sd = (n * rate * (1 - rate)) ** 0.5
+        assert abs(kept - n * rate) < 4 * sd + 1, (lang, kept, n)

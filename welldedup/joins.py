@@ -1,0 +1,175 @@
+"""Temporal joins and deterministic sampling (SURVEY.md §2 widening,
+round 5): the three relational operators a training-data pipeline needs
+that plain equi-join/window SQL doesn't give you directly —
+
+- `asof_join`: for each left row, the most recent right row at or
+  before its timestamp.  Implemented as the UNION + WINDOW form (tag
+  both sides, sort by (key, ts, side), `last(value, ignorenulls)` over
+  an unbounded-preceding frame) — ONE shuffle on the join key, no
+  inequality join, no per-key explosion.  The naive formulation
+  (`l.ts >= r.ts` theta-join + argmax) is a broadcast-nested-loop at
+  scale; this form is O(n log n) per key partition and is how you
+  as-of join 100 TB.
+- `interval_join`: all overlapping [start, end] interval pairs sharing
+  a key.  Scale path is BINNING: explode each interval to the
+  fixed-width time bins it covers, equi-join on (key, bin), and emit
+  each qualifying pair from exactly ONE bin — the bin holding
+  max(start_a, start_b) — so no distinct()/groupBy dedup shuffle on
+  the pair set (same first-match discipline as lsh.py's banded emit).
+- `stratified_sample_expr`: per-stratum Bernoulli sampling that is
+  DETERMINISTIC and engine-portable: md5 of (salt || id) compared
+  lexicographically against a per-stratum hex threshold.  Re-running
+  the pipeline, on any engine with md5 (Spark, DuckDB, Trino...),
+  selects the same rows — the reproducibility property web-scale
+  subsampling needs (and `df.sample()` does not give across plans).
+
+Every operator here is pure Catalyst — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row picks up `value_cols` from the
+    latest right row with right_ts <= left_ts (strict: <) and the same
+    `key`.  Left rows with no prior right row keep NULL values (left
+    outer semantics).
+
+    DETERMINISM CONTRACT: the right side must be unique per
+    (key, right_ts) — ties inside one instant have no defined winner in
+    any as-of engine; pre-reduce with max_by/arg_max first (the query
+    wrappers below do).
+
+    Shape: one exchange hash-partitioned on `key`, one sort
+    (ts, side_tag) inside it, one window pass.  A pathologically hot
+    key serializes into one task like any PARTITION BY; if that bites,
+    pre-split the key by coarse time range and carry the last right row
+    over each boundary.
+    """
+    side = "__wd_is_left"
+    ts = "__wd_ts"
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    # strict (<): left rows sort BEFORE right rows at equal ts, so a
+    # same-instant right row is not yet visible to the frame
+    order = [F.col(ts), F.col(side).asc() if not strict else F.col(side).desc()]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        F.col(key),
+        F.col(ts),
+        F.col(side),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    return filled.filter(F.col(side) == 1).select(
+        *[F.col(c) for c in lcols], *[F.col(c) for c in value_cols]
+    )
+
+
+def interval_join(
+    intervals: DataFrame,
+    key: str,
+    id_col: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Self-join of [start, end] intervals: emit (id_a, id_b) with
+    id_a < id_b for every overlapping pair sharing `key` (closed
+    intervals: touching endpoints overlap).
+
+    `bin_seconds` should be on the order of the TYPICAL interval length:
+    each interval lands in (length / bin_seconds + 1) bins, and a pair
+    is emitted from exactly one bin — the one containing
+    max(start_a, start_b), which both intervals cover whenever they
+    overlap — so the output needs no dedup shuffle.  Cost is the
+    (key, bin) equi-join; degenerate bins behave like any hot join key
+    (AQE skew split applies).
+    """
+    e = F.col(end).cast("timestamp").cast("double")
+    s = F.col(start).cast("timestamp").cast("double")
+    binned = intervals.select(
+        F.col(key),
+        F.col(id_col),
+        s.alias("__s"),
+        e.alias("__e"),
+        F.explode(
+            F.sequence(
+                F.floor(s / bin_seconds).cast("bigint"),
+                F.floor(e / bin_seconds).cast("bigint"),
+            )
+        ).alias("__bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.__bin") == F.col("b.__bin"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        # true overlap, closed endpoints
+        .filter((F.col("a.__s") <= F.col("b.__e")) & (F.col("b.__s") <= F.col("a.__e")))
+        # first-shared-bin emit: only the bin containing max(s_a, s_b)
+        .filter(
+            F.col("a.__bin")
+            == F.floor(F.greatest(F.col("a.__s"), F.col("b.__s")) / bin_seconds).cast(
+                "bigint"
+            )
+        )
+    )
+    return pair.select(
+        F.col(f"a.{key}").alias(key),
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+
+
+def stratified_sample_expr(id_col, stratum_col, rates: dict[str, float], salt: str = "wd"):
+    """Boolean keep-expression for deterministic per-stratum Bernoulli
+    sampling: md5(salt || ':' || id) hex prefix compared against a
+    per-stratum threshold.  md5's hex digest is uniform, so
+    P(prefix < thr) == rate to 1/16^8 resolution; identical on every
+    engine that has md5 (the DuckDB oracle runs the very same
+    predicate).  Unlisted strata are dropped (rate 0)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8)
+    expr = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        thr = format(min(int(rate * 16**8), 16**8 - 1), "08x")
+        expr = expr | ((stratum_col == stratum) & (h < F.lit(thr)))
+    return expr
+
+
+def sample_thresholds_sql(rates: dict[str, float]) -> dict[str, str]:
+    """The same per-stratum hex thresholds for the SQL oracle."""
+    return {
+        s: format(min(int(r * 16**8), 16**8 - 1), "08x") for s, r in sorted(rates.items())
+    }

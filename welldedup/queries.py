@@ -1228,6 +1228,112 @@ SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM wide
 """
 
 
+# --------------------------------------------------------------------
+# round-5 widening: temporal joins + deterministic sampling (joins.py)
+# --------------------------------------------------------------------
+
+def q_asof_join_orders_events(spark, sf_dir):
+    """As-of join (joins.asof_join, the union+window form — one shuffle
+    on the key, no inequality join): each event picks up the customer's
+    most recent order at or before the event instant.  The right side
+    is pre-reduced to unique (custkey, orderdate) per the operator's
+    determinism contract; the oracle is DuckDB's native ASOF JOIN."""
+    from .joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias("last_totalprice"),
+        )
+    )
+    j = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"],
+    )
+    return j.select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+SQL_ASOF_JOIN_ORDERS_EVENTS = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS last_orderkey,
+         round(arg_max(o_totalprice, o_orderkey), 4) AS last_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.last_orderkey, o.last_totalprice
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+def q_interval_overlap_events(spark, sf_dir):
+    """Range/interval join (joins.interval_join, binned equi-join with
+    first-shared-bin emission — no pair-set dedup shuffle): overlapping
+    pairs of 1-hour activity intervals per user.  The oracle is the
+    declarative inequality join DuckDB plans as an IEJoin."""
+    from .joins import interval_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    p = interval_join(
+        e, key="user_id", id_col="event_id", start="start", end="end", bin_seconds=3600
+    )
+    return p.select("user_id", "id_a", "id_b")
+
+
+SQL_INTERVAL_OVERLAP_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 1 HOUR AS te FROM events
+)
+SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.te AND b.s <= a.te
+"""
+
+
+# per-stratum Bernoulli rates for the deterministic sample query; the
+# md5-threshold predicate is identical in both engines, so the selected
+# row set matches bit-for-bit (not just in expectation)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling (joins.stratified_sample_expr):
+    per-lang Bernoulli keep via md5 hex-prefix threshold — reproducible
+    across engines and plans, unlike df.sample().  Unlisted strata
+    (es, zh) drop out."""
+    from .joins import stratified_sample_expr
+
+    d = _t(spark, sf_dir, "documents")
+    keep = stratified_sample_expr(F.col("doc_id"), F.col("lang"), SAMPLE_RATES)
+    return d.filter(keep).select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    from .joins import sample_thresholds_sql
+
+    clauses = " OR ".join(
+        f"(lang = '{s}' AND substr(md5('wd:' || doc_id::VARCHAR), 1, 8) < '{thr}')"
+        for s, thr in sample_thresholds_sql(SAMPLE_RATES).items()
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {clauses}"
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample()
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -1312,6 +1418,10 @@ QUERIES = {
     "priority_list_per_cust": q_priority_list_per_cust,
     "date_arith_orders": q_date_arith_orders,
     "unpivot_lineitem": q_unpivot_lineitem,
+    # round-5 widening: temporal joins + deterministic sampling
+    "asof_join_orders_events": q_asof_join_orders_events,
+    "interval_overlap_events": q_interval_overlap_events,
+    "stratified_sample_docs": q_stratified_sample_docs,
     # events
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -1379,6 +1489,9 @@ ORACLES = {
     "priority_list_per_cust": SQL_PRIORITY_LIST_PER_CUST,
     "date_arith_orders": SQL_DATE_ARITH_ORDERS,
     "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
+    "asof_join_orders_events": SQL_ASOF_JOIN_ORDERS_EVENTS,
+    "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "events_json": SQL_EVENTS_JSON,
     "events_daily": SQL_EVENTS_DAILY,
     "events_sessions": SQL_EVENTS_SESSIONS,
