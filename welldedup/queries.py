@@ -891,11 +891,26 @@ def q_ann_lsh_pairs(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantized ANN (rows-only: probe-set membership is
-    estimator-specific; recall vs brute force is pinned in pytest)."""
-    from .similarity import ivf_topk
+    estimator-specific; recall vs brute force is pinned in pytest).
+
+    Probes the AT-REST index (build-once partitionBy(cell) layout +
+    partition-pruned read — the plan carries no per-query assignment
+    pass; round-4 VERDICT #4).  The demo-only query-time form
+    `similarity.ivf_topk` stays covered by the recall property tests.
+    Same fingerprint-keyed index cache as `q_ann_ivf_indexed`, probed
+    here at a different nprobe so the two queries exercise distinct
+    prune fractions."""
+    import os as _os
+
+    from .similarity import build_ivf_index, ivf_topk_indexed
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, query_vec_id=0, k=10, n_centroids=16, nprobe=4)
+    fp = _dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    idx = f"/tmp/wd_ivf_index_{fp}"
+    if not _os.path.exists(_os.path.join(idx, "_ivf_centroids.json")):
+        build_ivf_index(e, idx, n_centroids=16)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk_indexed(spark, idx, q, k=10, nprobe=4)
 
 
 def q_multimodal_features(spark, sf_dir):
