@@ -1349,6 +1349,92 @@ def _sql_stratified_sample() -> str:
 SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample()
 
 
+def q_token_pack_bins(spark, sf_dir):
+    """Token-budget packing: assign docs to training shards of ~1000
+    tokens each, per source, by start-offset binning (bin = cumulative
+    tokens BEFORE the doc, integer-divided by the budget).  One window
+    pass per source partition — the distributed form of corpus
+    sharding; a global greedy pack would serialize on one task."""
+    budget = 1000
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+    )
+    binned = d.withColumn(
+        "bin", F.floor((F.sum("tok").over(w) - F.col("tok")) / budget).cast("bigint")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("bin_tokens")
+    )
+
+
+SQL_TOKEN_PACK_BINS = """
+WITH d AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+), binned AS (
+  SELECT source, doc_id, tok,
+         CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok)
+                    / 1000) AS BIGINT) AS bin
+  FROM d
+)
+SELECT source, bin, count(*) AS n_docs, sum(tok) AS bin_tokens
+FROM binned GROUP BY source, bin
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: each doc's highest-scoring term.  Shape at scale: one
+    explode + (doc, term) count with map-side combine, a broadcast-able
+    document-frequency dim (distinct terms << corpus), and a window
+    argmax per doc.  Deterministic tiebreak (score desc, term asc)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = terms.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = terms.join(F.broadcast(df_), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")),
+            4,
+        ).alias("score"),
+    )
+    rw = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "score")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM terms GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.w,
+         round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 4)
+           AS score
+  FROM terms t JOIN dfreq d USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS top_term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, w ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -1437,6 +1523,8 @@ QUERIES = {
     "asof_join_orders_events": q_asof_join_orders_events,
     "interval_overlap_events": q_interval_overlap_events,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "token_pack_bins": q_token_pack_bins,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # events
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -1507,6 +1595,8 @@ ORACLES = {
     "asof_join_orders_events": SQL_ASOF_JOIN_ORDERS_EVENTS,
     "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "token_pack_bins": SQL_TOKEN_PACK_BINS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "events_json": SQL_EVENTS_JSON,
     "events_daily": SQL_EVENTS_DAILY,
     "events_sessions": SQL_EVENTS_SESSIONS,
