@@ -131,12 +131,30 @@ def q_word_jaccard_pairs(spark, sf_dir):
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     d = _group_size_guard(d, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("w").alias("wa"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("w").alias("wb"))
-    j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
-    jac = F.size(F.array_intersect("wa", "wb")).cast("double") / F.size(
-        F.array_union("wa", "wb")
+    d = d.withColumn("sw", F.size("w"))
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "source",
+        F.col("w").alias("wa"), F.col("sw").alias("sa"),
     )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "source",
+        F.col("w").alias("wb"), F.col("sw").alias("sb"),
+    )
+    # AllPairs-style length prefilter, exactness-preserving: for sets,
+    # jac = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    # set-size ratio is below the (round-slack-adjusted) threshold can
+    # be dropped BEFORE the expensive array_intersect — this prunes the
+    # bulk of the O(m²) guarded pairs down to near-duplicate-shaped
+    # ones while returning bit-identical rows.
+    j = a.join(b, "source").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.least("sa", "sb").cast("double")
+           >= F.lit(0.49995) * F.greatest("sa", "sb"))
+    )
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    # |A∪B| = |A| + |B| − |A∩B| for deduped arrays: one array kernel
+    # per pair instead of two (array_union dropped)
+    jac = inter / (F.col("sa") + F.col("sb") - inter)
     return j.select(
         "id_a", "id_b", F.round(jac, 4).alias("jac")
     ).filter(F.col("jac") >= 0.5)
@@ -203,14 +221,26 @@ def q_ngram3_jaccard_pairs(spark, sf_dir):
     )
     g = d.select("doc_id", "source", grams.alias("g")).filter(F.size("g") > 0)
     g = _group_size_guard(g, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
-    a = g.select(F.col("doc_id").alias("id_a"), "source", F.col("g").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), "source", F.col("g").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_union("ga", "gb")
+    g = g.withColumn("sg", F.size("g"))
+    a = g.select(
+        F.col("doc_id").alias("id_a"), "source",
+        F.col("g").alias("ga"), F.col("sg").alias("sa"),
     )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), "source",
+        F.col("g").alias("gb"), F.col("sg").alias("sb"),
+    )
+    # same exact length-ratio prune + inclusion–exclusion union as
+    # q_word_jaccard_pairs (jac <= min/max for sets)
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    jac = inter / (F.col("sa") + F.col("sb") - inter)
     return (
         a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("sa", "sb").cast("double")
+               >= F.lit(0.34995) * F.greatest("sa", "sb"))
+        )
         .select("id_a", "id_b", F.round(jac, 4).alias("jac3"))
         .filter(F.col("jac3") >= 0.35)
     )
@@ -1435,6 +1465,75 @@ WHERE rn = 1
 """
 
 
+def q_range_frame_orders(spark, sf_dir):
+    """W2 widening — RANGE frame over a value (day-ordinal) axis, not
+    a ROWS frame: trailing-30-day order count + spend per customer.
+    RANGE frames include tied ordering values on both engines, so the
+    result is deterministic without a unique-key tiebreak.  The date
+    is projected to an integer day ordinal so the frame bound is a
+    plain numeric offset in Spark and DuckDB alike."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day_ord"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_ord").rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("trail30_cnt"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trail30_sum"),
+    )
+
+
+SQL_RANGE_FRAME_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS day_ord
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(count(*) OVER w AS BIGINT) AS trail30_cnt,
+       round(sum(o_totalprice) OVER w, 2) AS trail30_sum
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_lateral_order_stats(spark, sf_dir):
+    """Correlated LATERAL subquery (Catalyst decorrelates it into an
+    aggregate + equi-join — verify via .explain: no nested-loop): per
+    customer, order count and total spend from a lateral aggregate.
+    SQL surface because LATERAL has no DataFrame-API spelling."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("wd_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("wd_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.n_orders, l.total_spend
+        FROM wd_lat_customer c,
+        LATERAL (
+          SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                 round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+          FROM wd_lat_orders o WHERE o.o_custkey = c.c_custkey
+        ) l
+        """
+    )
+
+
+SQL_LATERAL_ORDER_STATS = """
+SELECT c.c_custkey, l.n_orders, l.total_spend
+FROM customer c,
+LATERAL (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+) l
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -1525,6 +1624,8 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "token_pack_bins": q_token_pack_bins,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "range_frame_orders": q_range_frame_orders,
+    "lateral_order_stats": q_lateral_order_stats,
     # events
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -1597,6 +1698,8 @@ ORACLES = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "range_frame_orders": SQL_RANGE_FRAME_ORDERS,
+    "lateral_order_stats": SQL_LATERAL_ORDER_STATS,
     "events_json": SQL_EVENTS_JSON,
     "events_daily": SQL_EVENTS_DAILY,
     "events_sessions": SQL_EVENTS_SESSIONS,
