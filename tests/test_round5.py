@@ -475,3 +475,33 @@ def test_stratified_sample_deterministic_and_calibrated(spark):
         n, kept = tot[lang], per.get(lang, 0)
         sd = (n * rate * (1 - rate)) ** 0.5
         assert abs(kept - n * rate) < 4 * sd + 1, (lang, kept, n)
+
+
+# --- round-5 widening: LATERAL decorrelation + RANGE frame ------------
+
+
+def test_lateral_plan_decorrelates(spark):
+    """Catalyst must rewrite the correlated LATERAL aggregate into an
+    aggregate + equi-join; a BroadcastNestedLoop/Cartesian plan would
+    re-run the subquery per outer row and melt at scale."""
+    plan = (
+        QUERIES["lateral_order_stats"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Aggregate" in plan
+
+
+def test_range_frame_is_range_not_rows(spark):
+    """The trailing-30-day window must be a RANGE frame (ties on the
+    day ordinal share the frame) — a ROWS frame would silently give
+    order-dependent results on tied dates."""
+    plan = (
+        QUERIES["range_frame_orders"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE BETWEEN" in plan
