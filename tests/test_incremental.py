@@ -1,0 +1,93 @@
+"""Incremental update (incremental.update_pipeline): folding a new
+batch into a completed store must reproduce the full-corpus run's
+clusters exactly — the bucket/fingerprint groups the delta touches
+contain the SAME members as a full run's groups, so the capped pair
+emit yields identical pairs minus the both-old ones, whose
+connectivity the old labels already carry."""
+
+from __future__ import annotations
+
+import pytest
+
+from welldedup import DedupConfig, run_pipeline
+from welldedup.fixtures import corpus_to_pandas, make_corpus
+from welldedup.incremental import update_pipeline
+from welldedup.io import StageStore
+
+
+def _labels(res) -> dict:
+    return {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    cf, _truth = corpus_to_pandas(make_corpus(300, seed=42))
+    a, b = cf.iloc[:200], cf.iloc[200:]
+    full = run_pipeline(spark, spark.createDataFrame(cf), cfg)
+    store = StageStore(
+        root=str(tmp_path_factory.mktemp("inc") / "v1"),
+        config_hash=cfg.config_hash(),
+    )
+    run_pipeline(spark, spark.createDataFrame(a), cfg, store=store)
+    return cfg, a, b, full, store
+
+
+@pytest.fixture(scope="module")
+def updated(spark, setup):
+    cfg, _a, b, _full, store = setup
+    return update_pipeline(spark, spark.createDataFrame(b), cfg, store=store)
+
+
+def test_incremental_matches_full_run(spark, setup, updated):
+    _cfg, a, b, full, _store = setup
+    assert _labels(updated) == _labels(full)
+    assert updated.docs.count() == len(a) + len(b)
+
+
+def test_delta_signing_is_delta_sized(spark, setup):
+    """Only genuinely new rows pay the content pass: replaying rows the
+    store already has must sign nothing."""
+    cfg, a, b, _full, store = setup
+    import pandas as pd
+
+    replay = pd.concat([a.iloc[:50], b])  # 50 known + 100 new
+    res = update_pipeline(spark, spark.createDataFrame(replay), cfg, store=store)
+    assert res.stage_seconds.get("signatures_delta") is not None
+    # signatures table = old(200) + delta(100): the 50 replayed rows
+    # were anti-joined away before the Arrow kernel ran
+    assert res.signatures.count() == len(a) + len(b)
+
+
+def test_chained_update_is_idempotent(spark, setup, tmp_path):
+    """update → persist to out_store → replay the same batch against
+    the chained store: no new docs, identical labels."""
+    cfg, _a, b, full, store = setup
+    out = StageStore(root=str(tmp_path / "v2"), config_hash=cfg.config_hash())
+    first = update_pipeline(
+        spark, spark.createDataFrame(b), cfg, store=store, out_store=out
+    )
+    for needed in ("signatures", "docs", "clusters"):
+        assert out.is_complete(needed), needed
+    again = update_pipeline(spark, spark.createDataFrame(b), cfg, store=out)
+    assert _labels(again) == _labels(first) == _labels(full)
+    assert again.docs.count() == first.docs.count()
+
+
+def test_update_requires_complete_store(spark, tmp_path):
+    cfg = DedupConfig()
+    empty = StageStore(root=str(tmp_path / "nope"), config_hash=cfg.config_hash())
+    cf, _ = corpus_to_pandas(make_corpus(10, seed=1))
+    with pytest.raises(ValueError, match="incomplete"):
+        update_pipeline(spark, spark.createDataFrame(cf), cfg, store=empty)
+    with pytest.raises(ValueError, match="store"):
+        update_pipeline(spark, spark.createDataFrame(cf), cfg, store=None)
+
+
+def test_update_plans_read_no_old_content(updated):
+    """The delta is the only content pass: candidate/verify/cluster
+    plans must not reference a content column at all (old checkpoints
+    do not even carry one)."""
+    for df in (updated.candidate_pairs, updated.verified_pairs, updated.clusters):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content#" not in plan

@@ -34,6 +34,7 @@ ROWS_ONLY_EXPECTED = {
     "ann_lsh_pairs": None,           # candidate count is estimator-specific
     "candidate_pairs_minhash": None,
     "dedup_pipeline_clusters": 500,  # one label per input doc
+    "incremental_update_clusters": 500,  # run half + update half: every doc labeled
     "doc_fingerprints": 500,         # one fingerprint per doc
     "langid": 500,
     "lsh_buckets": None,

@@ -1,0 +1,72 @@
+"""Compose a scaling-pair JSON (tools/scaling_bench.py output schema)
+from an incremental progress JSONL that may span several campaign
+invocations (the round-4 lesson: a killed campaign loses its composed
+JSON but not its per-trial progress lines).
+
+    python tools/merge_scaling_progress.py PROGRESS.jsonl N \
+        [--labels-identical true|false] > BENCH/scaling_rX.json
+
+N is the small parallelism level; trials at N and 4N are pooled across
+all lines, per-level minima recomputed exactly as scaling_bench.main
+does.  labels_identical cannot be recomputed from the progress file
+(label dirs are overwritten per trial), so it is passed through from
+the campaign runs' own checks — every constituent campaign must have
+reported True for it to be True here.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def merge(lines: list[dict], n: int, labels_identical: bool) -> dict:
+    n4 = n * 4
+    raw_n = [r for r in lines if r["level"] == n]
+    raw_4n = [r for r in lines if r["level"] == n4]
+    if not raw_n or not raw_4n:
+        raise SystemExit(f"need trials at both {n} and {n4}")
+    corpora = {r["corpus"] for r in lines}
+    if len(corpora) != 1:
+        raise SystemExit(f"mixed corpora in progress file: {corpora}")
+    rn = min(raw_n, key=lambda r: r["wall_sec"])
+    r4 = min(raw_4n, key=lambda r: r["wall_sec"])
+    stage_names = list(rn["stages"])
+    smin_n = {k: min(r["stages"][k] for r in raw_n) for k in stage_names}
+    smin_4 = {k: min(r["stages"][k] for r in raw_4n) for k in stage_names}
+    return dict(
+        corpus=rn["corpus"],
+        n_docs=rn["n_docs"],
+        n=n,
+        t_n_sec=rn["wall_sec"],
+        t_4n_sec=r4["wall_sec"],
+        t_n_trials=[r["wall_sec"] for r in raw_n],
+        t_4n_trials=[r["wall_sec"] for r in raw_4n],
+        files_per_sec_n=rn["files_per_sec"],
+        files_per_sec_4n=r4["files_per_sec"],
+        speedup=round(rn["wall_sec"] / r4["wall_sec"], 3),
+        scaling_efficiency=round(rn["wall_sec"] / r4["wall_sec"] / 4, 3),
+        stage_min_efficiency=round(
+            (sum(smin_n.values()) / sum(smin_4.values())) / 4, 3
+        ),
+        labels_identical=labels_identical,
+        stages_n=rn["stages"],
+        stages_4n=r4["stages"],
+        stages_min_n=smin_n,
+        stages_min_4n=smin_4,
+    )
+
+
+def main() -> int:
+    path, n = sys.argv[1], int(sys.argv[2])
+    li = True
+    if "--labels-identical" in sys.argv:
+        li = sys.argv[sys.argv.index("--labels-identical") + 1].lower() == "true"
+    with open(path) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    print(json.dumps(merge(lines, n, li)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

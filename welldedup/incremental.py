@@ -1,0 +1,260 @@
+"""Incremental batch dedup: fold a NEW batch of code files into an
+existing completed pipeline store without re-reading old content.
+
+The day-2 operation at 10^12-file scale is not "rerun the pipeline" —
+it is "yesterday's corpus is clustered and checkpointed; dedup today's
+delta against it".  Everything needed to compare old docs is already
+in the fused signature checkpoint (minhash, simhash, CDC fingerprints,
+line_sig/edit_prefix — SURVEY.md §1.2, pipeline.py stage order), so
+the update reads OLD data only as compact columnar checkpoints:
+
+  1. sign the delta — the one content pass, over NEW rows only
+     (rows whose doc_id the store already has are anti-joined away,
+     so replayed batches are idempotent);
+  2. candidate pairs = new-vs-new ∪ new-vs-old, never old-vs-old:
+     per method, old bucket rows are semi-joined down to buckets
+     TOUCHED by the delta, then the standard bounded pair-emit runs
+     on (new ∪ touched-old) and both-old pairs are filtered out
+     (their connectivity already lives in the old cluster labels);
+  3. verification runs content-free against the union signature
+     table, exactly as the batch verify stage does;
+  4. clustering re-runs connected components over
+     (old cluster labels as star edges) ∪ (new dup edges) — the old
+     labels are the transitive closure of all old evidence, so the
+     components equal a full rerun's without touching old pairs.
+
+Cost model: content I/O and Python kernels are O(delta); the bucket
+probes are equi-joins of delta-sized streams against bucket/fp
+checkpoints (partition-prunable in prod via Iceberg bucket layout);
+only exact-sha grouping, the label union, and the final CC loop touch
+O(corpus) rows, all compact columns.  In prod the merged
+signature/docs tables are Iceberg appends; in this sandbox
+`out_store` rewrites them (parquet has no transactional append).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cluster as cc
+from . import lsh, prep, signatures, substr, verify
+from .config import DedupConfig
+from .io import StageStore
+from .metrics import StageTimer
+from .pipeline import DOCS_COLS, PipelineResult, dedup_pairs_by_priority
+
+
+def _at_least_one_new(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Drop both-old pairs: old connectivity is already encoded in the
+    old cluster labels.  Two hash joins against the delta id dim (no
+    OR-join); AQE picks broadcast when the delta is small — no explicit
+    hint, because a delta can itself be billions of rows."""
+    na = new_ids.select(F.col("doc_id").alias("_na"))
+    nb = new_ids.select(F.col("doc_id").alias("_nb"))
+    return (
+        pairs.join(na, pairs.id_a == na._na, "left")
+        .join(nb, pairs.id_b == nb._nb, "left")
+        .filter(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+        .drop("_na", "_nb")
+    )
+
+
+def _touched(old_rows: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataFrame:
+    """Old bucket/fingerprint rows living in groups the delta touches —
+    a leftsemi on the group key, so untouched old groups (the vast
+    majority) never leave the scan."""
+    return old_rows.join(new_rows.select(*keys).distinct(), keys, "leftsemi")
+
+
+def update_pipeline(
+    spark: SparkSession,
+    new_code_files: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+    out_store: StageStore | None = None,
+) -> PipelineResult:
+    """Fold `new_code_files` into the completed pipeline in `store`.
+
+    Returns a PipelineResult whose docs/signatures are the MERGED
+    tables, whose candidate/verified pairs are the delta's only, and
+    whose clusters cover the whole (old ∪ new) corpus.  When
+    `out_store` is given, the merged signatures/docs, delta pairs, and
+    full clusters are checkpointed there (same manifest format as
+    run_pipeline — a later update can chain on out_store).
+    """
+    cfg = cfg or DedupConfig()
+    if store is None:
+        raise ValueError("update_pipeline needs the completed store of the prior run")
+    for needed in ("signatures", "docs", "clusters"):
+        if not store.is_complete(needed):
+            raise ValueError(
+                f"store stage '{needed}' is incomplete or was built under a "
+                f"different config — identical shingle/signature config is "
+                f"part of the comparability contract (BASELINE.json)"
+            )
+    if out_store is not None and out_store.root == store.root:
+        raise ValueError(
+            "out_store must differ from store: lazy reads of the old "
+            "checkpoints would race the overwrite (prod: Iceberg append "
+            "updates in place instead)"
+        )
+
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior_arrow_batch = spark.conf.get(_ARROW_BATCH_KEY, None)
+    spark.conf.set(_ARROW_BATCH_KEY, str(cfg.arrow_batch_rows))
+    try:
+        return _update_inner(spark, new_code_files, cfg, store, out_store)
+    finally:
+        if prior_arrow_batch is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, prior_arrow_batch)
+
+
+def _update_inner(
+    spark: SparkSession,
+    new_code_files: DataFrame,
+    cfg: DedupConfig,
+    store: StageStore,
+    out_store: StageStore | None,
+) -> PipelineResult:
+    timer = StageTimer()
+    seconds: dict[str, float] = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        """Materialize one update stage (localCheckpoint, or out_store
+        when the update is persistent) and record wall + rows."""
+        t0 = time.monotonic()
+        if out_store is not None:
+            out = out_store.write(name, df)
+            rows = out_store.read_manifest(name).get("rows")
+        else:
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+        seconds[name] = time.monotonic() - t0
+        timer.record(name, None, rows, int(seconds[name] * 1000))
+        return out
+
+    old_sigs = store.read("signatures", spark)
+    old_docs = store.read("docs", spark)
+    old_clusters = store.read("clusters", spark)
+
+    # --- 1. sign the delta (the only content pass, delta rows only)
+    prepared = prep.prepare_base(new_code_files, cfg)
+    delta = prepared.join(old_docs.select("doc_id"), "doc_id", "left_anti")
+    new_sigs = stage("signatures_delta", signatures.add_signatures_fused(delta, cfg))
+    new_docs = new_sigs.select(*DOCS_COLS)
+    new_ids = new_docs.select("doc_id")
+
+    # --- 2. candidate pairs: new-new ∪ new-old (never old-old)
+    parts: list[DataFrame] = []
+    # exact: only sha groups the delta touches; star edges over the
+    # touched old members ∪ the new members reconnect new docs to the
+    # group min exactly as a full run would
+    touched_sha = _touched(
+        old_docs.select("doc_id", "content_sha256"),
+        new_docs.select("content_sha256"),
+        ["content_sha256"],
+    )
+    parts.append(
+        lsh.exact_dup_pairs(
+            touched_sha.unionByName(new_docs.select("doc_id", "content_sha256"))
+        )
+    )
+    if "minhash" in cfg.methods:
+        bn = lsh.band_buckets(new_sigs, cfg)
+        bo = _touched(
+            lsh.band_buckets(old_sigs, cfg), bn, ["band_id", "band_hash"]
+        )
+        parts.append(
+            lsh.candidate_pairs_from_buckets(bn.unionByName(bo), cfg, "minhash")
+        )
+    if "simhash" in cfg.methods:
+        sn = lsh.simhash_buckets(new_sigs, cfg)
+        so = _touched(
+            lsh.simhash_buckets(old_sigs, cfg), sn, ["band_id", "band_hash"]
+        )
+        parts.append(
+            lsh.candidate_pairs_from_buckets(sn.unionByName(so), cfg, "simhash")
+        )
+    if "substr" in cfg.methods:
+        fn = new_sigs.select("doc_id", F.explode("fps").alias("fp"))
+        fo = _touched(
+            old_sigs.select("doc_id", F.explode("fps").alias("fp")), fn, ["fp"]
+        )
+        # fingerprint_pairs scans its input twice (count phase + list
+        # build) — materialize the semi-joined stream once
+        parts.append(
+            substr.fingerprint_pairs(
+                fn.unionByName(fo).localCheckpoint(eager=True), cfg
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    # _delta names throughout: a full-run resume gate must never
+    # mistake a delta-only pair table for the corpus-wide one
+    pairs = stage(
+        "candidate_pairs_delta",
+        _at_least_one_new(dedup_pairs_by_priority(allp), new_ids),
+    )
+
+    # --- 3. verify (content-free: fused columns carry everything; the
+    # union is strict — a schema drift between the old checkpoint and
+    # this engine version must fail loudly, and config.py's
+    # PIPELINE_SCHEMA_VERSION in config_hash already gates known drifts)
+    sigs_all = old_sigs.unionByName(new_sigs)
+    by_construction = pairs.filter(F.col("src").isin("exact", "substr")).select(
+        "id_a", "id_b", "src",
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+        F.lit(None).cast("double").alias("edit_sim"),
+        F.lit(True).alias("dup"),
+    )
+    near = pairs.filter(~F.col("src").isin("exact", "substr"))
+    verified = stage(
+        "verified_pairs_delta",
+        verify.verify_pairs(near, sigs_all, sigs_all, cfg).unionByName(
+            by_construction
+        ),
+    )
+
+    # --- 4. clusters: old labels (as star edges — the transitive
+    # closure of all old evidence) ∪ new dup edges
+    old_edges = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    new_edges = verified.filter("dup").select("id_a", "id_b")
+    nodes = old_clusters.select("doc_id").unionByName(new_ids)
+    clusters = stage(
+        "clusters", cc.connected_components(nodes, old_edges.unionByName(new_edges), cfg)
+    )
+
+    docs_all = old_docs.unionByName(new_docs)
+    if out_store is not None:
+        # merged tables land under the CANONICAL stage names so a later
+        # update can chain on out_store (its is_complete gate checks
+        # signatures/docs/clusters); the delta-only tables above keep
+        # their _delta names.  No overwrite race: the merged plans read
+        # the OLD store and the _delta checkpoints, never these dirs.
+        sigs_all = out_store.write("signatures", sigs_all)
+        docs_all = out_store.write("docs", docs_all)
+    metrics = timer.to_df(spark)
+    if out_store is not None:
+        metrics = out_store.write("metrics", metrics)
+
+    return PipelineResult(
+        docs=docs_all,
+        signatures=sigs_all,
+        candidate_pairs=pairs,
+        verified_pairs=verified,
+        clusters=clusters,
+        metrics=metrics,
+        stage_seconds=seconds,
+    )

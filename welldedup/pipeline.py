@@ -244,10 +244,15 @@ def build_candidate_pairs(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    # U1: a pair found by several methods keeps ONE row, choosing the
-    # strongest evidence (exact and substr are verified by
-    # construction; minhash/simhash must pass the verify stage) —
-    # deterministic regardless of union order.
+    return dedup_pairs_by_priority(allp)
+
+
+def dedup_pairs_by_priority(allp: DataFrame) -> DataFrame:
+    """U1: a pair found by several methods keeps ONE row, choosing the
+    strongest evidence (exact and substr are verified by construction;
+    minhash/simhash must pass the verify stage) — deterministic
+    regardless of union order.  Shared by the batch pair stage and the
+    incremental update (incremental.py)."""
     prio = (
         F.when(F.col("src") == "exact", 0)
         .when(F.col("src") == "substr", 1)

@@ -966,6 +966,28 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_incremental_update_clusters(spark, sf_dir):
+    """Rows-only — the incremental day-2 path (incremental.py): run the
+    batch pipeline on half the corpus (split deterministically on the
+    natural-key hash), checkpoint it, then fold the other half in with
+    update_pipeline — old content is never re-read; the result is one
+    cluster label per doc across BOTH halves, identical to a full run
+    (equality tested in tests/test_incremental.py)."""
+    import tempfile
+
+    from .incremental import update_pipeline
+    from .io import StageStore
+    from .pipeline import run_pipeline
+
+    cf = docs_as_code_files(spark, sf_dir)
+    half = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0
+    store = StageStore(root=tempfile.mkdtemp(prefix="wd_inc_"),
+                       config_hash=CFG.config_hash())
+    run_pipeline(spark, cf.filter(half), CFG, store=store)
+    res = update_pipeline(spark, cf.filter(~half), CFG, store=store)
+    return res.clusters
+
+
 # --------------------------------------------------------------------
 # round-3 widening: grouping sets, window frames, string/regex/
 # conditional-agg scalar coverage (SURVEY §2 rows P6, G3, W2, O1)
@@ -1652,6 +1674,7 @@ QUERIES = {
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "multimodal_features": q_multimodal_features,
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
+    "incremental_update_clusters": q_incremental_update_clusters,
 }
 
 ORACLES = {
