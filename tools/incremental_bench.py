@@ -1,0 +1,135 @@
+"""Measure the incremental day-2 path against a full rerun.
+
+    python tools/incremental_bench.py <code_files.parquet> <cpus> \
+        [delta_fraction]
+
+Splits the corpus deterministically into base (1-f) and delta (f) on
+the natural-key hash, then times three things at the given
+parallelism:
+
+  wall_full   — run_pipeline over 100% of the corpus (the day-2 cost
+                WITHOUT the incremental path);
+  wall_base   — run_pipeline over the base (day-1 setup; reported for
+                context, not part of the comparison);
+  wall_update — update_pipeline folding the delta into the base store
+                (the day-2 cost WITH it).
+
+and checks that the update's labels are bit-identical to the full
+run's.  Prints one JSON line; the headline is
+speedup_day2 = wall_full / wall_update, and the cost model says it
+should approach 1/f as corpus size grows (content work is O(delta),
+only compact-column joins touch O(corpus)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    inp = sys.argv[1]
+    cpus = sys.argv[2]
+    frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
+
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.incremental import update_pipeline
+    from welldedup.io import StageStore
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name=f"welldedup-incbench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warm-up: absorb Python worker spawn + codegen compile
+    warm, _ = corpus_to_pandas(make_corpus(100, seed=5))
+    run_pipeline(spark, spark.createDataFrame(warm), cfg).clusters.count()
+
+    def _prewarm(path):  # page-cache warm, same rationale as pipeline_bench
+        if os.path.isdir(path):
+            for n in os.listdir(path):
+                _prewarm(os.path.join(path, n))
+        else:
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    _prewarm(inp)
+
+    code_files = spark.read.parquet(inp)
+    # deterministic split on the natural key: ~frac of docs land in the
+    # delta regardless of file layout or parallelism
+    nbins = 1000
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+    is_delta = bucket < int(round(frac * nbins))
+
+    tmp = tempfile.mkdtemp(prefix="wd_incbench_")
+    full_store = StageStore(os.path.join(tmp, "full"), cfg.config_hash())
+    base_store = StageStore(os.path.join(tmp, "base"), cfg.config_hash())
+    out_store = StageStore(os.path.join(tmp, "day2"), cfg.config_hash())
+
+    t0 = time.monotonic()
+    full = run_pipeline(spark, code_files, cfg, store=full_store)
+    n_docs = full.clusters.count()
+    wall_full = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    base = run_pipeline(spark, code_files.filter(~is_delta), cfg, store=base_store)
+    n_base = base.clusters.count()
+    wall_base = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    upd = update_pipeline(
+        spark, code_files.filter(is_delta), cfg, store=base_store, out_store=out_store
+    )
+    n_upd = upd.clusters.count()
+    wall_update = time.monotonic() - t0
+
+    # exact-equality check, distributed (no driver collect of labels)
+    mism = (
+        full.clusters.alias("f")
+        .join(upd.clusters.alias("u"), "doc_id", "full")
+        .filter(
+            F.col("f.cluster_id").isNull()
+            | F.col("u.cluster_id").isNull()
+            | (F.col("f.cluster_id") != F.col("u.cluster_id"))
+        )
+        .count()
+    )
+
+    print(
+        json.dumps(
+            dict(
+                corpus=inp,
+                cpus=int(cpus),
+                n_docs=n_docs,
+                n_base=n_base,
+                n_delta=n_upd - n_base if n_upd >= n_base else n_docs - n_base,
+                delta_fraction=frac,
+                wall_full_sec=round(wall_full, 2),
+                wall_base_sec=round(wall_base, 2),
+                wall_update_sec=round(wall_update, 2),
+                speedup_day2=round(wall_full / wall_update, 2),
+                labels_identical=(mism == 0),
+                stages_full={k: round(v, 2) for k, v in full.stage_seconds.items()},
+                stages_update={k: round(v, 2) for k, v in upd.stage_seconds.items()},
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""Benchmark decontamination: flag training docs sharing word n-grams
+with a held-out evaluation set.
+
+The standard training-data hygiene step (GPT-3 appendix C / LLaMA
+style): any training document that collides with an eval/benchmark
+document on enough n-grams is suspect — it would leak the benchmark
+into the training set.  Production n is ~13 tokens; the synthetic
+docs here are short, so queries.py pins n=3 with a 2-gram overlap
+threshold (knobs, not semantics).
+
+Scale shape (100 TB): benchmarks are MB-scale while the train corpus
+is the 100 TB side, so the eval gram dim is built once, deduped, and
+BROADCAST; the train side streams through explode → broadcast hash
+join → partial-agg count per doc.  No shuffle of the corpus, no
+quadratic pair set — cost is O(train grams) map-side work plus a
+per-doc count, exactly how a 1000-executor decontamination pass
+should look.  (SURVEY.md §2.2 row T3.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams_expr(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct space-joined word n-grams of `split(text, ' ')`.
+
+    Short docs (< n words) get an empty array, mirroring DuckDB's
+    empty `range(1, 1)` — the guard prevents `sequence` descending
+    when size-n+1 < 1 (same pitfall as queries.q_ngram3_jaccard_pairs).
+    """
+    w = F.split(text_col, " ") if isinstance(text_col, str) else F.split(text_col, " ")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Per train doc: distinct n-gram count, how many of those grams
+    occur anywhere in `eval_set`, and the contamination flag
+    (n_overlap >= min_overlap).  Every train row appears in the output
+    (docs too short to produce grams report 0 / false).
+    """
+    grams = word_ngrams_expr(text_col, n)
+    ev = (
+        eval_set.select(F.explode(grams).alias("gram"))
+        .distinct()  # dedup the SMALL side only, before broadcast
+        .withColumn("_hit", F.lit(1))
+    )
+    # ONE pass over train content: explode_outer keeps gram-less docs,
+    # the broadcast left join marks colliding grams, one partial-agg
+    # groupBy folds both the gram count and the overlap count.
+    ex = train.select(
+        id_col, F.size(grams).alias("n_grams"), F.explode_outer(grams).alias("gram")
+    )
+    return (
+        ex.join(F.broadcast(ev), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),  # constant per doc
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -786,6 +786,114 @@ FROM documents
 """
 
 
+def q_decontam_flags(spark, sf_dir):
+    """Benchmark decontamination (contamination.py): docs with
+    doc_id % 20 == 0 play the held-out eval set; every other doc is
+    flagged when >= 2 of its distinct word trigrams occur anywhere in
+    the eval set.  Eval gram dim is broadcast — the train corpus is
+    never shuffled (production n is ~13; n=3 fits the short synthetic
+    docs)."""
+    from .contamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return decontaminate(
+        d.filter(~is_eval), d.filter(is_eval), n=3, min_overlap=2
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAM_FLAGS = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, gs FROM g WHERE doc_id % 20 <> 0),
+ov AS (
+  SELECT tr.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM tr) tr
+  JOIN ev USING (gram) GROUP BY tr.doc_id
+)
+SELECT tr.doc_id, len(tr.gs) AS n_grams,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+FROM tr LEFT JOIN ov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: per doc, the duplicate-line
+    fraction (1 - distinct/total lines) and the share of word-bigram
+    occurrences taken by the single most frequent bigram.  Line stats
+    are pure array exprs (no shuffle); the bigram mode needs one
+    partial-agg shuffle on (doc_id, gram) then a per-doc fold."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.split("text", "\n")
+    w = F.split("text", " ")
+    bi_idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bi_idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )  # NOT distinct: occurrence counts matter here
+    base = d.select(
+        "doc_id",
+        F.round(
+            1 - F.size(F.array_distinct(lines)) / F.size(lines), 4
+        ).alias("dup_line_frac"),
+        F.explode_outer(bigrams).alias("gram"),
+    )
+    counts = base.groupBy("doc_id", "dup_line_frac", "gram").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id", "dup_line_frac")
+        .agg(
+            F.when(
+                F.max(F.col("gram").isNotNull().cast("int")) == 1,
+                F.round(F.max("c") / F.sum("c"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH base AS (
+  SELECT doc_id,
+         round(1 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+               / len(string_split(text, chr(10))), 4) AS dup_line_frac,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, dup_line_frac,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM base
+),
+counts AS (
+  SELECT doc_id, dup_line_frac, gram, count(*) AS c
+  FROM bi GROUP BY doc_id, dup_line_frac, gram
+),
+folded AS (
+  SELECT doc_id, dup_line_frac,
+         round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+  FROM counts GROUP BY doc_id, dup_line_frac
+)
+SELECT b.doc_id, b.dup_line_frac,
+       coalesce(f.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM (SELECT DISTINCT doc_id, dup_line_frac FROM base) b
+LEFT JOIN folded f USING (doc_id, dup_line_frac)
+ORDER BY b.doc_id
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -1656,6 +1764,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_stats": q_lang_stats,
+    "decontam_flags": q_decontam_flags,
+    "repetition_stats": q_repetition_stats,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1729,6 +1839,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_stats": SQL_LANG_STATS,
+    "decontam_flags": SQL_DECONTAM_FLAGS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "binary_meta": SQL_BINARY_META,
