@@ -31,6 +31,14 @@ def parse_args(argv=None):
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--force", action="store_true", help="ignore checkpoints, recompute all stages")
+    p.add_argument(
+        "--update-into",
+        default=None,
+        metavar="STORE",
+        help="existing COMPLETED checkpoint root: treat --input as a new "
+        "batch and fold it in incrementally (old content is never "
+        "re-read; incremental.py); the merged store lands in --output",
+    )
     p.add_argument("--report", action="store_true", help="print cluster-size histogram")
     return p.parse_args(argv)
 
@@ -55,8 +63,15 @@ def main(argv=None) -> int:
     )
     t0 = time.monotonic()
     code_files = read_code_files(spark, args.input)
-    store = StageStore(root=args.output, config_hash=cfg.config_hash())
-    res = run_pipeline(spark, code_files, cfg, store=store, force=args.force)
+    if args.update_into:
+        from welldedup.incremental import update_pipeline
+
+        old = StageStore(root=args.update_into, config_hash=cfg.config_hash())
+        out = StageStore(root=args.output, config_hash=cfg.config_hash())
+        res = update_pipeline(spark, code_files, cfg, store=old, out_store=out)
+    else:
+        store = StageStore(root=args.output, config_hash=cfg.config_hash())
+        res = run_pipeline(spark, code_files, cfg, store=store, force=args.force)
     n_docs = res.docs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     n_dup_docs = n_docs - n_clusters
