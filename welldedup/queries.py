@@ -1664,6 +1664,149 @@ LATERAL (
 """
 
 
+def q_source_quota_cap(spark, sf_dir):
+    """Per-source quota cap — the web-pipeline 'at most K documents
+    per domain' rule (keeps a crawl from being dominated by a few
+    mirror-heavy hosts).  Keep the K longest docs per source,
+    deterministic tiebreak on doc_id.  Shape at scale: one window
+    row_number per source partition — a single shuffle on the domain
+    key; skewed mega-domains are exactly what AQE skew-join/salting
+    handles, and K caps the output per key regardless."""
+    K = 15
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= K)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+SQL_SOURCE_QUOTA_CAP = """
+SELECT source, doc_id, n_chars, rk
+FROM (SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id ASC)
+                  AS BIGINT) AS rk
+      FROM documents)
+WHERE rk <= 15
+"""
+
+
+def q_bigram_lm_quality(spark, sf_dir):
+    """Bigram-LM quality score (CCNet-style perplexity filtering):
+    score each doc by the mean add-one-smoothed bigram log-probability
+    ln((c(w1,w2)+1) / (c(w1)+V)) under a model trained on the corpus
+    itself.  Shape at scale: bigrams come from one arrays_zip of two
+    slices (no posexplode self-join); per-doc bigram counts partial-agg
+    before the join; the count dims aggregate with map-side combine.
+    In production the LM is trained on a sample and broadcast — here
+    the exact corpus counts keep oracle parity."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocab is a 1-row aggregate; broadcast cross-join keeps the whole
+    # plan lazy (no driver collect, single job at action time).
+    vocab = d.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    scored = (
+        doc_big.join(cb, ["w1", "w2"]).join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.col("cb") + 1).cast("double")
+                        / (F.col("c1") + F.col("vocab")).cast("double")
+                    )
+                )
+                / F.sum("n"),
+                4,
+            ).alias("avg_logprob"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return scored
+
+
+SQL_BIGRAM_LM_QUALITY = """
+WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i FROM dw)
+),
+doc_big AS (SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY ALL),
+cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY ALL),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY ALL),
+v AS (SELECT count(DISTINCT w) AS vocab
+      FROM (SELECT unnest(ws) AS w FROM dw))
+SELECT doc_id,
+       round(sum(n * ln(CAST(cb + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE)))
+             / sum(n), 4) AS avg_logprob,
+       CAST(sum(n) AS BIGINT) AS n_bigrams
+FROM doc_big JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source overlap matrix — dedup analytics: for every pair
+    of sources, how many 5-word-prefix fingerprints they share (which
+    domains mirror each other; drives crawl-priority and quota
+    decisions).  Shape at scale: fingerprint → distinct (fp, source)
+    → per-fp source list (bounded by #sources, NOT corpus size) →
+    pair explode.  The pair expansion is quadratic only in sources
+    sharing one fingerprint — never in documents."""
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("fp"),
+        "source",
+    ).distinct()
+    per_fp = fps.groupBy("fp").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    pairs = per_fp.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)), b ->"
+                " struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = """
+WITH fps AS (
+  SELECT DISTINCT array_to_string((string_split(text, ' '))[1:5], ' ') AS fp,
+         source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -1766,6 +1909,9 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "decontam_flags": q_decontam_flags,
     "repetition_stats": q_repetition_stats,
+    "source_quota_cap": q_source_quota_cap,
+    "bigram_lm_quality": q_bigram_lm_quality,
+    "source_overlap_matrix": q_source_overlap_matrix,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1841,6 +1987,9 @@ ORACLES = {
     "lang_stats": SQL_LANG_STATS,
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "repetition_stats": SQL_REPETITION_STATS,
+    "source_quota_cap": SQL_SOURCE_QUOTA_CAP,
+    "bigram_lm_quality": SQL_BIGRAM_LM_QUALITY,
+    "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "binary_meta": SQL_BINARY_META,
