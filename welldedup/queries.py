@@ -1807,6 +1807,168 @@ GROUP BY a.source, b.source
 """
 
 
+def q_span_dedup_stats(spark, sf_dir):
+    """C4-style span dedup accounting: cut each doc into
+    non-overlapping 5-word spans; a span occurrence is a duplicate
+    when the same span text already appeared at any earlier corpus
+    position (doc_id, span_idx).  Per doc: span count, duplicate
+    count, duplicate fraction.  Shape at scale: one window
+    row_number partitioned by span text — high-cardinality key, tiny
+    groups, a single shuffle; no self-join, no pair blowup (this is
+    exactly how C4 removes repeated three-sentence spans)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, cast(ceil(size(ws) / 5.0) AS INT)),"
+                " i -> array_join(slice(ws, (i - 1) * 5 + 1, 5), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("is_dup").cast("long")).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.sum(F.col("is_dup").cast("long")) / F.count("*"), 4
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+SQL_SPAN_DEDUP_STATS = """
+WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, i - 1 AS span_idx,
+         array_to_string(ws[(i - 1) * 5 + 1 : (i - 1) * 5 + 5], ' ') AS span
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CAST(ceil(len(ws) / 5.0) AS BIGINT) + 1)) AS i
+        FROM dw)
+),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) > 1
+           AS is_dup
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CAST(is_dup AS BIGINT)) AS DOUBLE) / count(*), 4)
+         AS dup_span_frac
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Contribution / novelty scoring for dataset curation: the share
+    of a doc's distinct sliding 5-word shingles whose FIRST corpus
+    occurrence (min doc_id) is this doc.  Docs with low novelty add
+    little content beyond earlier docs and are prime pruning
+    candidates.  Shape at scale: distinct (doc, shingle) pairs → one
+    window min over the shingle key → per-doc aggregate; a single
+    shuffle on a high-cardinality key, never quadratic."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 4, 1)),"
+                    " i -> array_join(slice(ws, i, 5), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    first = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count("*"),
+                4,
+            ).alias("novel_frac"),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = """
+WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i : i + 4], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+        FROM dw)
+),
+first AS (
+  SELECT doc_id, shingle,
+         min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novel_frac
+FROM first
+GROUP BY doc_id
+"""
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Training-mixture reweighting (multilingual temperature
+    sampling, alpha = 0.5): per (lang, source) stratum, sampling
+    weight proportional to token_share^alpha, renormalized.  Flattens
+    the head of the distribution so low-resource strata are not
+    drowned — the standard knob for mixing corpus shards into a
+    training run.  Shape at scale: one groupBy over ~|langs×sources|
+    strata plus an unpartitioned window over that TINY aggregate (the
+    window input is the stratum table, never the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    strata = d.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    powed = F.pow(share, F.lit(0.5))
+    return strata.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(powed / F.sum(powed).over(wall), 6).alias("weight"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH strata AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+shares AS (
+  SELECT lang, source, n_tokens,
+         pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 0.5) AS p
+  FROM strata
+)
+SELECT lang, source, n_tokens,
+       round(p / sum(p) OVER (), 6) AS weight
+FROM shares
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -1912,6 +2074,9 @@ QUERIES = {
     "source_quota_cap": q_source_quota_cap,
     "bigram_lm_quality": q_bigram_lm_quality,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "span_dedup_stats": q_span_dedup_stats,
+    "ngram_novelty": q_ngram_novelty,
+    "mixture_weights": q_mixture_weights,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1990,6 +2155,9 @@ ORACLES = {
     "source_quota_cap": SQL_SOURCE_QUOTA_CAP,
     "bigram_lm_quality": SQL_BIGRAM_LM_QUALITY,
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
+    "span_dedup_stats": SQL_SPAN_DEDUP_STATS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "binary_meta": SQL_BINARY_META,
