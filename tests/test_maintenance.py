@@ -1,0 +1,130 @@
+"""Streaming cluster maintenance (maintenance.py): a file stream
+processed one file per micro-batch must leave CURRENT pointing at a
+store whose cluster labels are bit-identical to one batch run over the
+union of all files — the streaming wrapper adds delivery/restart
+semantics, never different dedup semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from welldedup import DedupConfig, run_pipeline
+from welldedup.fixtures import corpus_to_pandas, make_corpus
+from welldedup.maintenance import StoreChain, cluster_maintenance_stream
+from welldedup.streaming import read_code_files_stream
+
+CFG = DedupConfig(methods=("minhash", "simhash", "substr"))
+
+
+def _labels(clusters_df) -> dict:
+    return {r.doc_id: r.cluster_id for r in clusters_df.collect()}
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("maint")
+    src = root / "src"
+    src.mkdir()
+    return {
+        "src": str(src),
+        "chain": str(root / "chain"),
+        "ckpt": str(root / "ckpt"),
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    cf, _truth = corpus_to_pandas(make_corpus(240, seed=77))
+    return cf
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, paths, corpus):
+    """Write 3 source files, run the maintenance stream to completion
+    (one file per micro-batch → bootstrap + 2 incremental folds)."""
+    for i, lo in enumerate(range(0, 240, 80)):
+        corpus.iloc[lo : lo + 80].to_parquet(
+            os.path.join(paths["src"], f"part{i}.parquet"), index=False
+        )
+    stats: dict = {}
+    q = cluster_maintenance_stream(
+        read_code_files_stream(spark, paths["src"], max_files_per_trigger=1),
+        paths["chain"],
+        paths["ckpt"],
+        cfg=CFG,
+        stats=stats,
+    ).start()
+    q.awaitTermination()
+    return stats
+
+
+def test_three_batches_three_versions(streamed, paths):
+    assert len(streamed) == 3
+    epochs = [streamed[k] for k in sorted(streamed)]
+    assert [e["bootstrap"] for e in epochs] == [True, False, False]
+    assert [e["version"] for e in epochs] == [0, 1, 2]
+    with open(os.path.join(paths["chain"], "CURRENT")) as f:
+        assert json.load(f)["version"] == 2
+
+
+def test_labels_match_full_batch_run(spark, streamed, paths, corpus):
+    full = run_pipeline(spark, spark.createDataFrame(corpus), CFG)
+    chain = StoreChain(paths["chain"], CFG.config_hash())
+    cur = chain.current()
+    got = _labels(spark.read.parquet(os.path.join(cur.root, "clusters")))
+    assert got == _labels(full.clusters)
+
+
+def test_old_versions_pruned(streamed, paths):
+    vdirs = sorted(
+        d for d in os.listdir(paths["chain"]) if d.startswith("v")
+    )
+    assert vdirs == ["v1", "v2"]  # keep=2: v0 pruned after the v2 fold
+
+
+def test_restart_without_new_files_is_a_noop(spark, streamed, paths):
+    stats: dict = {}
+    q = cluster_maintenance_stream(
+        read_code_files_stream(spark, paths["src"], max_files_per_trigger=1),
+        paths["chain"],
+        paths["ckpt"],
+        cfg=CFG,
+        stats=stats,
+    ).start()
+    q.awaitTermination()
+    assert stats == {}  # checkpoint says every file was processed
+    chain = StoreChain(paths["chain"], CFG.config_hash())
+    assert chain.current_version() == 2
+
+
+def test_late_file_folds_incrementally(spark, streamed, paths, corpus):
+    extra, _ = corpus_to_pandas(make_corpus(40, seed=78))
+    extra.to_parquet(os.path.join(paths["src"], "part3.parquet"), index=False)
+    stats: dict = {}
+    q = cluster_maintenance_stream(
+        read_code_files_stream(spark, paths["src"], max_files_per_trigger=1),
+        paths["chain"],
+        paths["ckpt"],
+        cfg=CFG,
+        stats=stats,
+    ).start()
+    q.awaitTermination()
+    assert len(stats) == 1
+    (epoch,) = stats.values()
+    assert epoch["bootstrap"] is False and epoch["version"] == 3
+    chain = StoreChain(paths["chain"], CFG.config_hash())
+    both = spark.createDataFrame(__import__("pandas").concat([corpus, extra]))
+    full = run_pipeline(spark, both, CFG)
+    got = _labels(
+        spark.read.parquet(os.path.join(chain.current().root, "clusters"))
+    )
+    assert got == _labels(full.clusters)
+
+
+def test_advance_refuses_incomplete_store(tmp_path):
+    chain = StoreChain(str(tmp_path / "c"), "cfgh")
+    with pytest.raises(ValueError, match="incomplete"):
+        chain.advance(0)

@@ -1,0 +1,172 @@
+"""Continuous cluster maintenance: a Structured Streaming ingest that
+folds every arriving micro-batch into the latest completed pipeline
+store via the incremental delta path (incremental.update_pipeline), so
+cluster labels stay current as the corpus grows — without ever
+re-reading old content.
+
+This is the composition of the two day-2 surfaces the engine already
+has: Structured Streaming gives exactly-once file delivery + restart
+recovery (the streaming checkpoint), and the incremental update gives
+labels bit-identical to a full rerun at delta cost (tests/
+test_incremental.py).  What's new here is only the STORE CHAIN:
+`update_pipeline` must write to a fresh root (lazy reads of the old
+checkpoints race an in-place overwrite), so maintenance keeps a
+versioned chain of stores under one root with an atomically-swapped
+CURRENT pointer:
+
+    root/
+      CURRENT          <- json {"version": k}, os.replace()-swapped
+      v0/ v1/ ... vk/  <- ordinary StageStore roots
+
+Crash anatomy: the pointer is advanced only after the new store's
+stages are all committed (their manifests are written last by
+StageStore.write), so a crash mid-update leaves CURRENT on the old
+complete version and the half-built v(k+1) is simply overwritten when
+the epoch replays.  A replayed epoch whose docs already landed is
+harmless: update_pipeline anti-joins known doc_ids away and re-emits
+the same labels (tests/test_incremental.py::
+test_chained_update_is_idempotent).
+
+In prod the chain is one Iceberg table and versions are snapshots —
+CURRENT is the catalog's snapshot pointer and pruning is snapshot
+expiry; this module is the filesystem analog at parquet level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from .config import DedupConfig
+from .io import StageStore
+
+# stages a store must have committed before the pointer may advance
+_REQUIRED_STAGES = ("docs", "signatures", "clusters")
+
+
+class StoreChain:
+    """Versioned chain of StageStores with an atomic CURRENT pointer."""
+
+    def __init__(self, root: str, config_hash: str):
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def store(self, version: int) -> StageStore:
+        return StageStore(
+            root=os.path.join(self.root, f"v{version}"),
+            config_hash=self.config_hash,
+        )
+
+    def current(self) -> StageStore | None:
+        v = self.current_version()
+        return None if v is None else self.store(v)
+
+    def advance(self, version: int) -> None:
+        """Atomically swap CURRENT to `version` — but only if that
+        store actually completed all pipeline stages (the pointer must
+        never name a half-built store)."""
+        st = self.store(version)
+        missing = [s for s in _REQUIRED_STAGES if not st.is_complete(s)]
+        if missing:
+            raise ValueError(
+                f"refusing to advance CURRENT to v{version}: incomplete "
+                f"stages {missing}"
+            )
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._pointer_path())
+
+    def prune(self, keep: int = 2) -> list[int]:
+        """Drop store versions older than the newest `keep` (never the
+        current one).  Returns pruned version numbers."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        to_drop = [v for v in versions if v < cur][: max(0, len(versions) - keep)]
+        for v in to_drop:
+            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+        return to_drop
+
+
+def cluster_maintenance_stream(
+    stream: DataFrame,
+    chain_root: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    keep_versions: int = 2,
+    stats: dict | None = None,
+):
+    """stream(code_files) → per micro-batch, fold into the store chain.
+
+    First non-empty batch bootstraps v0 with the full run_pipeline;
+    every later batch runs the delta path against CURRENT and advances
+    the pointer.  Returns an un-started writeStream (availableNow
+    trigger) — call `.start()` and awaitTermination as usual.
+
+    `stats` (optional dict) receives, per epoch:
+    {"version": new current version, "n_clusters": rows in its
+    clusters stage, "bootstrap": bool}.
+    """
+    cfg = cfg or DedupConfig()
+    chain = StoreChain(chain_root, cfg.config_hash())
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cur_v = chain.current_version()
+        # imports deferred: pipeline/incremental pull in the heavy kernel
+        # modules, which must resolve from the shipped zip on executors
+        if cur_v is None:
+            from .pipeline import run_pipeline
+
+            new_v = 0
+            res = run_pipeline(spark, batch_df, cfg, store=chain.store(new_v))
+            bootstrap = True
+        else:
+            from .incremental import update_pipeline
+
+            new_v = cur_v + 1
+            res = update_pipeline(
+                spark,
+                batch_df,
+                cfg,
+                store=chain.store(cur_v),
+                out_store=chain.store(new_v),
+            )
+            bootstrap = False
+        chain.advance(new_v)
+        chain.prune(keep=keep_versions)
+        if stats is not None:
+            stats[int(epoch_id)] = {
+                "version": new_v,
+                "n_clusters": res.clusters.count(),
+                "bootstrap": bootstrap,
+            }
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
