@@ -1,0 +1,123 @@
+"""Curation funnel (curate.py): every planted defect is dropped at the
+EARLIEST applicable stage with the right reason, survivors keep their
+original rows, and the funnel histogram accounts for every input doc
+exactly once."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from welldedup import DedupConfig
+from welldedup.curate import CurateConfig, CurateResult, curate
+
+LONG = "def load " + " ".join(f"tok{i} value{i}" for i in range(40))
+
+
+def _docs(spark):
+    rows = [
+        # kept, ordinary
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "srcA"),
+        (2, "one two three four five six seven eight nine", "en", "srcA"),
+        # validity: empty
+        (3, "", "en", "srcA"),
+        # language: not in allowlist (also short — validity wins ordering
+        # is checked separately with doc 3)
+        (4, "hola mundo como estas hoy amigo", "fr", "srcA"),
+        # repetition: one bigram dominates
+        (5, "spam spam spam spam spam spam spam spam", "en", "srcA"),
+        # contaminated: contains the eval doc's trigrams
+        (6, "held out eval trigram here and held out eval again padding", "en", "srcA"),
+        # near-dup pair: identical text, smaller id is the representative
+        (7, LONG, "en", "srcB"),
+        (8, LONG, "en", "srcB"),
+        # quota: srcC capped at 2, shortest of the three goes
+        (9, " ".join(f"w{i}" for i in range(30)), "en", "srcC"),
+        (10, " ".join(f"x{i}" for i in range(20)), "en", "srcC"),
+        (11, " ".join(f"y{i}" for i in range(10)), "en", "srcC"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark) -> CurateResult:
+    eval_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["held out eval trigram here and"]})
+    )
+    cfg = CurateConfig(
+        min_chars=1,
+        allowed_langs=("en",),
+        max_top_bigram_frac=0.5,
+        decontam_ngram=3,
+        decontam_min_overlap=2,
+        dedup=DedupConfig(methods=("minhash",)),
+        quota_per_source=2,
+    )
+    return curate(spark, _docs(spark), cfg, eval_docs=eval_docs)
+
+
+def test_reasons(result):
+    got = {r.doc_id: r.drop_reason for r in result.decisions.collect()}
+    assert got == {
+        1: None,
+        2: None,
+        3: "validity",
+        4: "language",
+        5: "repetition",
+        6: "contaminated",
+        7: None,          # representative (min doc_id) of the 7/8 pair
+        8: "near_dup",
+        9: None,
+        10: None,
+        11: "quota",      # shortest of srcC's three
+    }
+
+
+def test_kept_rows_keep_original_columns(result):
+    kept = result.kept.orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept] == [1, 2, 7, 9, 10]
+    assert set(result.kept.columns) == {"doc_id", "text", "lang", "source"}
+
+
+def test_funnel_accounts_for_every_doc(result):
+    f = {r.drop_reason: r.n for r in result.funnel.collect()}
+    assert f == {
+        "kept": 5,
+        "validity": 1,
+        "language": 1,
+        "repetition": 1,
+        "contaminated": 1,
+        "near_dup": 1,
+        "quota": 1,
+    }
+    assert sum(f.values()) == 11
+
+
+def test_earliest_stage_wins(spark):
+    # a doc failing validity AND language is reported as validity only
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "text": [""], "lang": ["fr"], "source": ["s"]}
+        )
+    )
+    res = curate(spark, docs, CurateConfig(allowed_langs=("en",)))
+    assert [r.drop_reason for r in res.decisions.collect()] == ["validity"]
+
+
+def test_all_stages_optional(spark):
+    # default config: no langs/decontam/dedup/quota — everything sails
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e", "a b c d e"],
+                "lang": ["en", "fr"],
+                "source": ["s", "s"],
+            }
+        )
+    )
+    res = curate(spark, docs, CurateConfig())
+    assert res.kept.count() == 2
+    assert {r.drop_reason: r.n for r in res.funnel.collect()} == {"kept": 2}

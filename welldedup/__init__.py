@@ -9,7 +9,16 @@ and per-partition metrics.  See SURVEY.md for the design blueprint.
 """
 
 from .config import DEFAULT, DedupConfig
+from .curate import CurateConfig, CurateResult, curate
 from .pipeline import PipelineResult, run_pipeline
 
-__all__ = ["DedupConfig", "DEFAULT", "run_pipeline", "PipelineResult"]
+__all__ = [
+    "DedupConfig",
+    "DEFAULT",
+    "run_pipeline",
+    "PipelineResult",
+    "CurateConfig",
+    "CurateResult",
+    "curate",
+]
 __version__ = "0.1.0"

@@ -1,0 +1,220 @@
+"""End-to-end corpus curation: the filter funnel a web-scale
+training-data pipeline applies before training, composed as ONE
+configurable pass over a `documents`-shaped table
+(doc_id, text, lang, source).
+
+Stage order is cost order — each stage shrinks the next, more
+expensive stage's input (the standard production layout):
+
+  1. validity     — length bounds, null/empty text       (per-row)
+  2. language     — allowlist on the lang column          (per-row)
+  3. repetition   — Gopher-style duplicate-line fraction
+                    and top-bigram occupancy              (per-row;
+                    the bigram mode is a sorted-array run-length
+                    fold in Catalyst — NO shuffle, unlike the
+                    oracle-parity query which counts via groupBy)
+  4. decontam     — ≥K shared word n-grams with a held-out
+                    eval set (contamination.decontaminate:
+                    eval gram dim broadcast, train never shuffled)
+  5. near-dedup   — full MinHash/SimHash/CDC pipeline on the
+                    survivors; keep one representative per
+                    cluster (min doc_id)
+  6. quota        — at most K docs per source, longest first
+
+Every dropped doc records the FIRST stage that rejected it, so the
+output funnel is a per-reason histogram from one aggregation — the
+observability a 100 TB curation run needs to answer "where did my
+corpus go?".
+
+Scale shape: stages 1-3 are whole-stage-codegen expressions; stage 4
+is one broadcast join; stage 5 is the bounded dedup pipeline (SURVEY
+§2.2); stage 6 is one window per source key with output capped at K
+per key regardless of skew.  Nothing here is quadratic in documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .contamination import decontaminate
+
+# drop reasons, in stage order (funnel rows sort by this)
+REASONS = (
+    "validity",
+    "language",
+    "repetition",
+    "contaminated",
+    "near_dup",
+    "quota",
+)
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    min_chars: int = 1
+    max_chars: int = 1_000_000
+    allowed_langs: tuple[str, ...] | None = None
+    max_dup_line_frac: float = 0.9
+    max_top_bigram_frac: float = 0.9
+    decontam_ngram: int = 3
+    decontam_min_overlap: int = 2
+    dedup: DedupConfig | None = field(default=None)
+    quota_per_source: int | None = None
+
+
+@dataclass
+class CurateResult:
+    kept: DataFrame       # surviving rows, original columns
+    decisions: DataFrame  # doc_id, drop_reason (null = kept)
+    funnel: DataFrame     # drop_reason, n — one row per active reason + 'kept'
+
+
+def _top_bigram_frac() -> F.Column:
+    """Share of bigram occurrences taken by the most frequent bigram,
+    as a pure per-row expression: sort the (non-distinct) bigram array
+    and fold it for the longest equal run.  O(b log b) per row inside
+    codegen; the oracle-parity query (queries.q_repetition_stats)
+    computes the same number with a (doc, gram) groupBy shuffle."""
+    bg = (
+        "CASE WHEN size(_ws) >= 2 THEN "
+        "transform(sequence(1, size(_ws) - 1),"
+        " i -> concat_ws(' ', element_at(_ws, i), element_at(_ws, i + 1))) "
+        "ELSE array() END"
+    )
+    best = (
+        f"aggregate(array_sort({bg}),"
+        " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+        " (acc, x) -> struct("
+        "   x AS prev,"
+        "   IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L) AS run,"
+        "   greatest(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)) AS best),"
+        " acc -> acc.best)"
+    )
+    return F.expr(
+        f"IF(size(_ws) < 2, CAST(0.0 AS DOUBLE),"
+        f" CAST({best} AS DOUBLE) / (size(_ws) - 1))"
+    )
+
+
+def _dup_line_frac() -> F.Column:
+    lines = F.split("text", "\n")
+    return 1 - F.size(F.array_distinct(lines)) / F.size(lines)
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CurateConfig | None = None,
+    eval_docs: DataFrame | None = None,
+) -> CurateResult:
+    """Run the curation funnel.  `docs` needs (doc_id, text, lang,
+    source); `eval_docs` (needs text) enables the decontam stage."""
+    cfg = cfg or CurateConfig()
+
+    # ---- stages 1-3: one per-row expression pass -------------------
+    rowwise = docs.withColumn("_ws", F.split("text", " ")).withColumn(
+        "_reason",
+        F.when(
+            F.col("text").isNull()
+            | (F.length("text") < cfg.min_chars)
+            | (F.length("text") > cfg.max_chars),
+            F.lit("validity"),
+        )
+        .when(
+            F.lit(cfg.allowed_langs is not None)
+            & ~F.col("lang").isin(*(cfg.allowed_langs or ("_",))),
+            F.lit("language"),
+        )
+        .when(
+            (_dup_line_frac() > cfg.max_dup_line_frac)
+            | (_top_bigram_frac() > cfg.max_top_bigram_frac),
+            F.lit("repetition"),
+        ),
+    )
+    dropped = [rowwise.filter(F.col("_reason").isNotNull()).select("doc_id", "_reason")]
+    alive = rowwise.filter(F.col("_reason").isNull()).drop("_ws", "_reason")
+
+    # ---- stage 4: decontamination (broadcast eval gram dim) --------
+    if eval_docs is not None:
+        flags = decontaminate(
+            alive,
+            eval_docs,
+            n=cfg.decontam_ngram,
+            min_overlap=cfg.decontam_min_overlap,
+        ).select("doc_id", "contaminated")
+        alive = (
+            alive.join(flags, "doc_id", "left")
+            .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+        )
+        dropped.append(
+            alive.filter("contaminated").select(
+                "doc_id", F.lit("contaminated").alias("_reason")
+            )
+        )
+        alive = alive.filter(~F.col("contaminated")).drop("contaminated")
+
+    # ---- stage 5: near-dedup, keep cluster representative ----------
+    if cfg.dedup is not None:
+        from .pipeline import run_pipeline
+        from .prep import with_doc_id
+
+        code_files = alive.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        res = run_pipeline(spark, code_files, cfg.dedup)
+        # map the pipeline's hash ids back to original doc_ids via the
+        # same natural-key hash the pipeline derives them from
+        mapping = with_doc_id(
+            code_files.select("repo", "path", "commit")
+        ).select(
+            F.col("doc_id").alias("pipe_id"),
+            F.regexp_extract("path", r"doc/(-?\d+)", 1).cast("long").alias("doc_id"),
+        )
+        labeled = res.clusters.withColumnRenamed("doc_id", "pipe_id").join(
+            mapping, "pipe_id"
+        )
+        reps = labeled.groupBy("cluster_id").agg(F.min("doc_id").alias("rep_id"))
+        non_reps = (
+            labeled.join(reps, "cluster_id")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select("doc_id", F.lit("near_dup").alias("_reason"))
+        )
+        dropped.append(non_reps)
+        alive = alive.join(non_reps.select("doc_id"), "doc_id", "left_anti")
+
+    # ---- stage 6: per-source quota, longest first ------------------
+    if cfg.quota_per_source is not None:
+        w = Window.partitionBy("source").orderBy(
+            F.length("text").desc(), F.col("doc_id").asc()
+        )
+        ranked = alive.withColumn("_rk", F.row_number().over(w))
+        dropped.append(
+            ranked.filter(F.col("_rk") > cfg.quota_per_source).select(
+                "doc_id", F.lit("quota").alias("_reason")
+            )
+        )
+        alive = ranked.filter(F.col("_rk") <= cfg.quota_per_source).drop("_rk")
+
+    # ---- decisions + funnel ----------------------------------------
+    all_dropped = dropped[0]
+    for d in dropped[1:]:
+        all_dropped = all_dropped.unionByName(d)
+    decisions = docs.select("doc_id").join(all_dropped, "doc_id", "left").select(
+        "doc_id", F.col("_reason").alias("drop_reason")
+    )
+    funnel = (
+        decisions.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("drop_reason")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return CurateResult(kept=alive, decisions=decisions, funnel=funnel)

@@ -1969,6 +1969,67 @@ FROM shares
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (curate.curate) with the
+    SQL-expressible stages on: validity (≥60 chars) → language
+    allowlist → repetition (top-bigram occupancy > 0.12) → per-source
+    quota (18 longest).  Per-doc first-failing-stage decision — the
+    oracle recomputes the same funnel in SQL, so the stage ORDERING
+    semantics (earliest stage wins; quota ranks survivors only) are
+    what this query locks down.  The Spark side computes bigram
+    occupancy as a per-row sorted-array fold (no shuffle); the oracle
+    uses a (doc, gram) groupBy — same number, independent route."""
+    from .curate import CurateConfig, curate
+
+    cfg = CurateConfig(
+        min_chars=60,
+        allowed_langs=("en", "es", "zh", "de"),
+        max_top_bigram_frac=0.12,
+        quota_per_source=18,
+    )
+    res = curate(spark, _t(spark, sf_dir, "documents"), cfg)
+    return res.decisions.select(
+        "doc_id", F.coalesce("drop_reason", F.lit("kept")).alias("decision")
+    )
+
+
+SQL_CURATION_FUNNEL = """
+WITH d AS (
+  SELECT doc_id, lang, source, length(text) AS lc,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                i -> w[i] || ' ' || w[i+1])) AS g
+  FROM d
+),
+cnt AS (SELECT doc_id, g, count(*) AS n FROM bi GROUP BY ALL),
+frac AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS f
+         FROM cnt GROUP BY doc_id),
+r1 AS (
+  SELECT d.doc_id, d.source, d.lc,
+         CASE WHEN d.lc < 60 THEN 'validity'
+              WHEN d.lang NOT IN ('en', 'es', 'zh', 'de') THEN 'language'
+              WHEN coalesce(frac.f, 0) > 0.12 THEN 'repetition'
+         END AS reason
+  FROM d LEFT JOIN frac USING (doc_id)
+),
+q AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY lc DESC, doc_id ASC) AS rk
+  FROM r1 WHERE reason IS NULL
+)
+SELECT r1.doc_id,
+       coalesce(r1.reason,
+                CASE WHEN q.rk > 18 THEN 'quota' END,
+                'kept') AS decision
+FROM r1 LEFT JOIN q USING (doc_id)
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -2077,6 +2138,7 @@ QUERIES = {
     "span_dedup_stats": q_span_dedup_stats,
     "ngram_novelty": q_ngram_novelty,
     "mixture_weights": q_mixture_weights,
+    "curation_funnel": q_curation_funnel,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2158,6 +2220,7 @@ ORACLES = {
     "span_dedup_stats": SQL_SPAN_DEDUP_STATS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "binary_meta": SQL_BINARY_META,
