@@ -2030,6 +2030,90 @@ FROM r1 LEFT JOIN q USING (doc_id)
 """
 
 
+def q_props_map_stats(spark, sf_dir):
+    """Map-typed column surface: parse the events `props` JSON into
+    map<string,double>, explode to (key, value) rows, aggregate per
+    key.  Generalizes to arbitrary-key property bags (the schema-free
+    half of event pipelines); with from_json the parse stays JVM-side.
+    Shape at scale: explode then one partial-agg shuffle on the
+    (small) key domain."""
+    e = _t(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,double>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+    )
+
+
+SQL_PROPS_MAP_STATS = """
+WITH kv AS (
+  SELECT unnest(json_keys(props::JSON)) AS k,
+         CAST(props::JSON ->> unnest(json_keys(props::JSON)) AS DOUBLE) AS v
+  FROM events
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 4) AS avg_v,
+       round(min(v), 4) AS min_v,
+       round(max(v), 4) AS max_v
+FROM kv GROUP BY k
+"""
+
+
+def q_events_daily_gapfill(spark, sf_dir):
+    """Date-spine gap fill: daily high-value event counts per type,
+    with missing (type, day) combinations zero-filled over the full
+    corpus date range — the time-series densification every metrics
+    rollup needs before window math.  Shape at scale: the spine is
+    |types| × |days| (tiny, built from a 1-row min/max aggregate
+    broadcast through sequence+explode), left-joined against the real
+    aggregate; the fact table is shuffled once on (type, day)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 180)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        # string day: DuckDB's pandas bridge renders DATE as datetime,
+        # so both sides emit the formatted day (repo convention,
+        # see events_daily)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+SQL_EVENTS_DAILY_GAPFILL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value > 180
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT t.event_type, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds) g
+)
+SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN daily USING (event_type, day)
+"""
+
+
 def _dataset_fingerprint(path):
     """Cheap content fingerprint of a parquet file/dir: sha over sorted
     (relpath, size, mtime_ns) of every data file.  Keys build-once
@@ -2139,6 +2223,8 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "mixture_weights": q_mixture_weights,
     "curation_funnel": q_curation_funnel,
+    "props_map_stats": q_props_map_stats,
+    "events_daily_gapfill": q_events_daily_gapfill,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2221,6 +2307,8 @@ ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "curation_funnel": SQL_CURATION_FUNNEL,
+    "props_map_stats": SQL_PROPS_MAP_STATS,
+    "events_daily_gapfill": SQL_EVENTS_DAILY_GAPFILL,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "binary_meta": SQL_BINARY_META,
