@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -40,7 +41,53 @@ def parse_args(argv=None):
         "re-read; incremental.py); the merged store lands in --output",
     )
     p.add_argument("--report", action="store_true", help="print cluster-size histogram")
+    p.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the curation funnel instead of dedup-only: --input is a "
+        "documents(doc_id, text, lang, source) parquet; writes kept/, "
+        "decisions/, funnel/ under --output (curate.py)",
+    )
+    p.add_argument(
+        "--eval-docs",
+        default=None,
+        help="curate: held-out eval-set parquet (needs a text column) — "
+        "enables the decontamination stage",
+    )
+    p.add_argument("--quota-per-source", type=int, default=None)
+    p.add_argument(
+        "--allowed-langs", default=None, help="curate: comma-separated allowlist"
+    )
+    p.add_argument("--min-chars", type=int, default=1)
     return p.parse_args(argv)
+
+
+def run_curate(spark, args, cfg) -> dict:
+    from pyspark.sql import functions as F
+
+    from welldedup.curate import CurateConfig, curate
+
+    ccfg = CurateConfig(
+        min_chars=args.min_chars,
+        allowed_langs=(
+            tuple(args.allowed_langs.split(",")) if args.allowed_langs else None
+        ),
+        dedup=cfg,
+        quota_per_source=args.quota_per_source,
+    )
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+    res = curate(spark, docs, ccfg, eval_docs=eval_docs)
+    res.kept.write.mode("overwrite").parquet(os.path.join(args.output, "kept"))
+    res.decisions.write.mode("overwrite").parquet(
+        os.path.join(args.output, "decisions")
+    )
+    res.funnel.write.mode("overwrite").parquet(os.path.join(args.output, "funnel"))
+    funnel = {
+        r["drop_reason"]: r["n"]
+        for r in spark.read.parquet(os.path.join(args.output, "funnel")).collect()
+    }
+    return dict(funnel=funnel, output=args.output)
 
 
 def main(argv=None) -> int:
@@ -62,6 +109,11 @@ def main(argv=None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     t0 = time.monotonic()
+    if args.curate:
+        summary = run_curate(spark, args, cfg)
+        summary["wall_sec"] = round(time.monotonic() - t0, 2)
+        print(json.dumps(summary))
+        return 0
     code_files = read_code_files(spark, args.input)
     if args.update_into:
         from welldedup.incremental import update_pipeline

@@ -106,6 +106,71 @@ def test_earliest_stage_wins(spark):
     assert [r.drop_reason for r in res.decisions.collect()] == ["validity"]
 
 
+def test_top_bigram_fold_matches_python_reference(spark):
+    """The per-row sorted-array fold must equal the obvious Python
+    mode-count on adversarial word arrays (empty, 1 word, all-equal,
+    runs at both ends)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from welldedup.curate import _top_bigram_frac
+
+    cases = [
+        "",
+        "solo",
+        "a a a a a",
+        "a b a b a b",
+        "x x y y y z",
+        "t u v w x y z t u",
+        "m m m n n m m m",
+    ]
+
+    def ref(text: str) -> float:
+        ws = text.split(" ")
+        bg = [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
+        return max(Counter(bg).values()) / len(bg) if bg else 0.0
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": cases})
+    ).withColumn("_ws", F.split("text", " "))
+    got = [r.f for r in df.select(_top_bigram_frac().alias("f")).collect()]
+    assert got == pytest.approx([ref(c) for c in cases])
+
+
+def test_cli_curate(spark, tmp_path):
+    from main import main as cli_main
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta", "alpha beta gamma delta", ""],
+            "lang": ["en", "en", "en"],
+            "source": ["s", "s", "s"],
+        }
+    ).to_parquet(src, index=False)
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--curate",
+            "--input",
+            str(src),
+            "--output",
+            str(out),
+            "--methods",
+            "minhash",
+        ]
+    )
+    assert rc == 0
+    funnel = {
+        r.drop_reason: r.n
+        for r in spark.read.parquet(str(out / "funnel")).collect()
+    }
+    assert funnel == {"kept": 1, "near_dup": 1, "validity": 1}
+    assert spark.read.parquet(str(out / "kept")).count() == 1
+
+
 def test_all_stages_optional(spark):
     # default config: no langs/decontam/dedup/quota — everything sails
     docs = spark.createDataFrame(
