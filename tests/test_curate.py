@@ -171,6 +171,30 @@ def test_cli_curate(spark, tmp_path):
     assert spark.read.parquet(str(out / "kept")).count() == 1
 
 
+def test_rowwise_stages_compile_shuffle_free(spark):
+    """Stages 1-3 (validity/language/repetition) must stay a pure
+    per-row pass: the kept-docs plan with no optional stages enabled
+    contains no Exchange — the Gopher bigram occupancy is a per-row
+    fold, never a (doc, gram) shuffle."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["a b c"],
+                "lang": ["en"],
+                "source": ["s"],
+            }
+        )
+    )
+    res = curate(
+        spark,
+        docs,
+        CurateConfig(allowed_langs=("en",), max_top_bigram_frac=0.5),
+    )
+    plan = res.kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_all_stages_optional(spark):
     # default config: no langs/decontam/dedup/quota — everything sails
     docs = spark.createDataFrame(
