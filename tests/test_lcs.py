@@ -1,0 +1,108 @@
+"""Exact longest-common-substring verifier (round 5; SURVEY.md §2 row
+S9's exact complement, substr.exact_substring_verify).
+
+The kernel (hashed binary search on the answer length, byte-confirmed)
+is property-checked against an O(nm) DP reference and against planted
+cores with disjoint flank alphabets; the Spark operator is checked
+end-to-end on the planted corpus: every vendored-substring truth pair
+surfaced by the CDC candidate filter must verify exactly, and
+unrelated docs must not.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup import prep, substr
+from welldedup.config import DedupConfig
+from welldedup.fixtures import corpus_to_pandas
+from welldedup.substr import lcs_length
+
+CFG = DedupConfig(methods=("substr",))
+
+
+def _lcs_dp(a: bytes, b: bytes) -> int:
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_lcs_kernel_matches_dp():
+    rng = random.Random(7)
+    for _ in range(150):
+        a = bytes(rng.choice(b"abc") for _ in range(rng.randint(0, 60)))
+        b = bytes(rng.choice(b"abc") for _ in range(rng.randint(0, 60)))
+        assert lcs_length(a, b) == _lcs_dp(a, b), (a, b)
+
+
+def test_lcs_kernel_planted_core():
+    """Disjoint flank alphabets ('ab' vs 'cd') make the planted 'xyz'
+    core the unique maximal common substring — exact length recovered."""
+    rng = random.Random(11)
+    for _ in range(40):
+        core = bytes(rng.choice(b"xyz") for _ in range(rng.randint(1, 400)))
+        a = (
+            bytes(rng.choice(b"ab") for _ in range(rng.randint(0, 300)))
+            + core
+            + bytes(rng.choice(b"ab") for _ in range(rng.randint(0, 300)))
+        )
+        b = (
+            bytes(rng.choice(b"cd") for _ in range(rng.randint(0, 300)))
+            + core
+            + bytes(rng.choice(b"cd") for _ in range(rng.randint(0, 300)))
+        )
+        assert lcs_length(a, b) == len(core)
+
+
+def test_lcs_kernel_edges():
+    assert lcs_length(b"", b"abc") == 0
+    assert lcs_length(b"abc", b"") == 0
+    assert lcs_length(b"abc", b"abc") == 3
+    assert lcs_length(b"abc", b"xyz") == 0
+    assert lcs_length(b"a" * 5000, b"b" * 4000 + b"a" * 100) == 100
+
+
+def test_exact_substring_verify_e2e(spark, corpus300):
+    """CDC candidates → exact LCS verify: planted vendored pairs all
+    confirm (lcs >= substr_min_len); an unrelated control pair does
+    not."""
+    cf, truth = corpus_to_pandas(corpus300)
+    docs = prep.prepare_docs(spark.createDataFrame(cf), CFG)
+    pairs = substr.substr_candidate_pairs(docs, CFG)
+    verified = {
+        (r.id_a, r.id_b): (r.lcs_len, r.substr_ok)
+        for r in substr.exact_substring_verify(pairs, docs, CFG).collect()
+    }
+    assert verified, "CDC filter found no candidates on the planted corpus"
+    key2id = {
+        f"{r.repo}|{r.path}|{r['commit']}": r.doc_id
+        for r in docs.select("repo", "path", "commit", "doc_id").collect()
+    }
+    vendored = [t for t in truth.itertuples() if t.kind == "vendored"]
+    assert vendored, "fixture must plant vendored pairs"
+    for t in vendored:
+        ia, ib = sorted((key2id[t.key_a], key2id[t.key_b]))
+        assert (ia, ib) in verified, f"vendored pair {t.key_a}/{t.key_b} missed"
+        lcs, ok = verified[(ia, ib)]
+        assert ok and lcs >= CFG.substr_min_len, (t.key_a, t.key_b, lcs)
+
+    # negative control: two single (non-planted) docs share no long run
+    planted = {key2id[t.key_a] for t in truth.itertuples()}
+    planted |= {key2id[t.key_b] for t in truth.itertuples()}
+    planted |= {key2id[k] for g in corpus300.truth_groups for k in g}
+    singles = sorted(set(key2id.values()) - planted)[:2]
+    ctrl = spark.createDataFrame(
+        [(singles[0], singles[1])], "id_a long, id_b long"
+    )
+    row = substr.exact_substring_verify(ctrl, docs, CFG).head()
+    assert not row.substr_ok and row.lcs_len < CFG.substr_min_len

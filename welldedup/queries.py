@@ -2155,12 +2155,71 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, idx, q, k=10, nprobe=4, exclude_id=0)
 
 
+def q_lcs_exact_pairs(spark, sf_dir):
+    """Exact longest-common-substring verification (SURVEY.md §2 row
+    S9's exact complement; substr.exact_substring_verify) over planted
+    pairs with ANALYTIC ground truth, so the kernel's output is
+    value-hash-checked against closed-form SQL:
+
+    - family A (id_b = id + 100000): b = text ∥ marker — containment,
+      lcs == n_chars (marker bytes \\x01\\x02 never occur in the
+      synthetic text, verified at all SFs);
+    - family B (id_b = id + 200000): b = prefix(text, n_chars//2) ∥
+      marker — every marker-free substring of b is a substring of that
+      prefix, so lcs == n_chars // 2 exactly.
+
+    The Spark side COMPUTES lcs with the hashed-binary-search kernel;
+    the oracle states the planted truth.  substr_ok at threshold 100
+    splits both ways across the 44..560-char corpus, exercising both
+    branches of the predicate."""
+    from dataclasses import replace
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    marker = F.lit("\x01\x02\x01\x02")
+    originals = d.select("doc_id", F.col("text").alias("content"))
+    fam_a = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), marker).alias("content"),
+    )
+    fam_b = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, n_chars div 2)"), marker
+        ).alias("content"),
+    )
+    docs = originals.unionByName(fam_a).unionByName(fam_b)
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 200000).alias("id_b"),
+        )
+    )
+    cfg = replace(CFG, substr_min_len=100)
+    return substr.exact_substring_verify(pairs, docs, cfg)
+
+
+SQL_LCS_EXACT_PAIRS = """
+WITH fam AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+         CAST(n_chars AS BIGINT) AS lcs_len
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 200000, CAST(n_chars // 2 AS BIGINT)
+  FROM documents
+)
+SELECT id_a, id_b, lcs_len, lcs_len >= 100 AS substr_ok FROM fam
+"""
+
+
 QUERIES = {
     # dedup / clustering (oracled)
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dup_star_edges": q_exact_dup_star_edges,
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
+    "lcs_exact_pairs": q_lcs_exact_pairs,
     "cc_clusters": q_cc_clusters,
     "ngram3_jaccard_pairs": q_ngram3_jaccard_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -2251,6 +2310,7 @@ ORACLES = {
     "exact_dup_star_edges": SQL_EXACT_DUP_STAR_EDGES,
     "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "lcs_exact_pairs": SQL_LCS_EXACT_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "ngram3_jaccard_pairs": SQL_NGRAM3_JACCARD_PAIRS,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,

@@ -318,3 +318,137 @@ def make_winnow_udf(cfg: DedupConfig):
         )
 
     return winnow_udf
+
+# --------------------------------------------------------------------
+# Exact longest-common-substring verification (round 5)
+# --------------------------------------------------------------------
+#
+# The CDC fingerprint filter above confirms pairs PROBABILISTICALLY
+# (shared-selection count, Chernoff tail).  This section is the exact
+# complement — the suffix-structure verifier the north_star's
+# "suffix-array substring dedup" names (SURVEY.md §2 row S9; the A5
+# "exact-ish verify" analog): for a CANDIDATE PAIR, compute the true
+# longest common substring length and accept iff >= substr_min_len.
+# Like V2 exact Jaccard it is bounded to pairs (|pairs| << |docs|
+# after the CDC filter), so it never touches corpus-scale content —
+# the scalable shape is index-bounds-who-gets-compared, exact check
+# only inside the bound.
+#
+# Per pair the kernel is binary search on the answer length with a
+# rolling-hash m-gram set intersection per probe — O((|a|+|b|) log^2)
+# — instead of a suffix array + LCP walk: the hash probe is fully
+# numpy-vectorized (prefix hashes in O(n), one searchsorted per
+# probe), while SA-IS/Kasai are inherently sequential per-char Python
+# here.  Hash hits are confirmed by direct byte comparison, so a
+# 2^-64 collision can never inflate the answer.
+
+_LCS_B = np.uint64(0x9E3779B97F4A7C15)            # odd => invertible mod 2^64
+_LCS_BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _lcs_prefix_hashes(a: np.ndarray, pows: np.ndarray, ipows: np.ndarray):
+    """Q[t] = polynomial hash of a[:t] (leading coeff B^{t-1}), mod
+    2^64.  Vectorized via the modular inverse of B: Q[t] = B^{t-1} *
+    cumsum(a_j * B^{-j})[t-1], so the sequential Horner recurrence
+    becomes cumsum + elementwise products."""
+    n = a.shape[0]
+    s = np.cumsum(a.astype(np.uint64) * ipows[:n], dtype=np.uint64)
+    q = np.empty(n + 1, dtype=np.uint64)
+    q[0] = 0
+    np.multiply(pows[:n], s, out=q[1:])
+    return q
+
+
+def _lcs_check(qa, qb, pows, a, b, m: int) -> bool:
+    """True iff a and b share an m-byte substring (byte-confirmed)."""
+    ha = qa[m:] - qa[: qa.shape[0] - m] * pows[m]
+    hb = qb[m:] - qb[: qb.shape[0] - m] * pows[m]
+    order = np.argsort(ha, kind="stable")
+    has = ha[order]
+    pos = np.searchsorted(has, hb)
+    ok = pos < has.shape[0]
+    ok &= has[np.minimum(pos, has.shape[0] - 1)] == hb
+    for j in np.flatnonzero(ok)[:64]:        # byte-confirm (collision guard)
+        i = order[pos[j]]
+        if np.array_equal(a[i : i + m], b[j : j + m]):
+            return True
+    return False
+
+
+def lcs_length(a: bytes, b: bytes) -> int:
+    """Exact longest-common-substring length of two byte strings."""
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    hi = min(aa.shape[0], bb.shape[0])
+    if hi == 0:
+        return 0
+    n = max(aa.shape[0], bb.shape[0])
+    pows = np.empty(n + 1, dtype=np.uint64)
+    pows[0] = 1
+    np.cumprod(np.full(n, _LCS_B, dtype=np.uint64), out=pows[1:])
+    ipows = np.empty(n, dtype=np.uint64)
+    if n:
+        ipows[0] = 1
+        np.cumprod(np.full(n - 1, _LCS_BINV, dtype=np.uint64), out=ipows[1:])
+    qa = _lcs_prefix_hashes(aa, pows, ipows)
+    qb = _lcs_prefix_hashes(bb, pows, ipows)
+    lo = 0                                    # LCS existence is monotone in m
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _lcs_check(qa, qb, pows, aa, bb, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def make_lcs_udf():
+    """(content_a, content_b) -> exact LCS length in bytes.  Row loop in
+    Python, but each row's work is the vectorized numpy kernel above —
+    the same bounded-to-pairs discipline as verify.py's char fallback."""
+
+    @F.pandas_udf(T.LongType())
+    def lcs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = [
+            lcs_length(
+                (x if x is not None else "").encode("utf-8", "ignore"),
+                (y if y is not None else "").encode("utf-8", "ignore"),
+            )
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype="int64")
+
+    return lcs_udf
+
+
+def exact_substring_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    content_col: str = "content",
+) -> DataFrame:
+    """pairs(id_a, id_b) × docs(doc_id, content) → (id_a, id_b,
+    lcs_len, substr_ok): exact verification of the CDC-filtered
+    candidates.  Content is gathered ONLY for pair endpoints via two
+    hash joins (AQE broadcasts the pair side when small); default-off
+    exactness path like cfg.verify_exact_jaccard — the probabilistic
+    shared-fp threshold decides at scale, this decides when exactness
+    matters (golden tests, audits, small corpora)."""
+    sides = docs.select(F.col("doc_id"), F.col(content_col).alias("_c"))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            sides.withColumnRenamed("doc_id", "id_a").withColumnRenamed("_c", "_ca"),
+            "id_a",
+        )
+        .join(
+            sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed("_c", "_cb"),
+            "id_b",
+        )
+    )
+    udf = make_lcs_udf()
+    return j.select(
+        "id_a",
+        "id_b",
+        udf("_ca", "_cb").alias("lcs_len"),
+    ).withColumn("substr_ok", F.col("lcs_len") >= F.lit(cfg.substr_min_len))
