@@ -40,6 +40,7 @@ ROWS_ONLY_EXPECTED = {
     "lsh_buckets": None,
     "minhash_signatures": 500,
     "multimodal_features": 500,
+    "semantic_dedup_keep": 1000,     # 500 originals + 500 planted copies
     "simhash_chunks": 1000,          # 2 chunk buckets per doc
     "winnow_fingerprints": 500,
 }

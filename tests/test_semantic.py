@@ -1,0 +1,112 @@
+"""SemDeDup-style semantic dedup (similarity.semantic_dedup, round 5).
+
+The synthetic embeddings corpus has NO natural near-duplicates (max
+off-diagonal cosine 0.48 at sf0.001), so every assertion here is
+against planted structure: within-cell pair parity vs a driver-side
+brute force, exact-copy dedup through the full operator, edge-cap
+clique chaining, and partitioning invariance.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.similarity import (
+    ivf_assign,
+    semantic_dedup,
+    semantic_pairs_in_cells,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _planted_df(spark, n_base=120, n_near=60, dim=16, seed=0):
+    """n_base random unit-ish vectors + n_near small perturbations of
+    the first n_near of them (cos mostly > 0.95)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim)).astype(np.float32)
+    near = base[:n_near] + 0.05 * rng.normal(size=(n_near, dim)).astype(np.float32)
+    vecs = np.concatenate([base, near])
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_same_cell_pairs(rows, tau):
+    ids = np.array([r.vec_id for r in rows])
+    cell = np.array([r.cell for r in rows])
+    m = np.stack([np.asarray(r.embedding, np.float32) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    g = m @ m.T
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and g[i, j] >= tau:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j]), g[i, j]))
+    return out
+
+
+def test_cell_pairs_match_bruteforce(spark):
+    tau = 0.9
+    cells, _ = ivf_assign(_planted_df(spark), 6)
+    rows = cells.collect()
+    want = {(a, b) for a, b, c in _brute_same_cell_pairs(rows, tau)}
+    boundary = {
+        (a, b)
+        for a, b, c in _brute_same_cell_pairs(rows, tau - 1e-4)
+        if abs(c - tau) <= 2e-4
+    }
+    got = {
+        (r.id_a, r.id_b) for r in semantic_pairs_in_cells(cells, tau).collect()
+    }
+    # float32 Gram blocking may flip pairs sitting exactly on τ; any
+    # other disagreement is a bug
+    assert (got ^ want) <= boundary, (got ^ want) - boundary
+    assert len(want) > 20, "fixture must plant enough near pairs"
+
+
+def test_exact_copies_deduped(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    u = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    res = semantic_dedup(u, n_centroids=8, threshold=0.99).collect()
+    assert len(res) == 1000
+    by_id = {r.vec_id: r for r in res}
+    for vid in range(500):
+        orig, copy = by_id[vid], by_id[vid + 100000]
+        assert orig.sem_cluster_id == copy.sem_cluster_id == vid
+        assert orig.keep and not copy.keep
+
+
+def test_edge_cap_keeps_clique_connected(spark):
+    """200 identical vectors, row_edge_cap far below the clique size:
+    successor chaining must still yield ONE component."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = df.withColumn("cell", F.lit(0))
+    pairs = semantic_pairs_in_cells(cells, 0.99, row_edge_cap=4)
+    from welldedup.cluster import connected_components
+
+    labels = connected_components(
+        df.select(F.col("vec_id").alias("doc_id")),
+        pairs.select("id_a", "id_b"),
+    )
+    assert labels.select("cluster_id").distinct().count() == 1
+    # and the cap actually bit: full clique would be 200*199/2 edges
+    assert pairs.count() < 200 * 4
+
+
+def test_partitioning_invariance(spark):
+    df = _planted_df(spark)
+    a = sorted(
+        (r.vec_id, r.sem_cluster_id, r.keep)
+        for r in semantic_dedup(df.repartition(1), 6, 0.9).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.sem_cluster_id, r.keep)
+        for r in semantic_dedup(df.repartition(7), 6, 0.9).collect()
+    )
+    assert a == b

@@ -2155,6 +2155,25 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, idx, q, k=10, nprobe=4, exclude_id=0)
 
 
+def q_semantic_dedup_keep(spark, sf_dir):
+    """Rows-only — SemDeDup-style semantic dedup (similarity.
+    semantic_dedup; Abbas et al. arXiv:2303.09540): IVF cells bound the
+    quadratic, within-cell cosine >= τ pairs feed connected components,
+    keep = component-min representative.  Planted: every embedding is
+    unioned with an id-shifted copy (cos == 1), so exactly the 500
+    planted copies must come back keep=false; the natural corpus has no
+    pairs at τ=0.99 (max off-diagonal cosine 0.48, measured).  1000
+    rows pinned in the rows-only gate; keep-semantics pinned in
+    tests/test_semantic.py."""
+    from .similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return semantic_dedup(u, n_centroids=8, threshold=0.99)
+
+
 def q_lcs_exact_pairs(spark, sf_dir):
     """Exact longest-common-substring verification (SURVEY.md §2 row
     S9's exact complement; substr.exact_substring_verify) over planted
@@ -2220,6 +2239,7 @@ QUERIES = {
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "lcs_exact_pairs": q_lcs_exact_pairs,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
     "cc_clusters": q_cc_clusters,
     "ngram3_jaccard_pairs": q_ngram3_jaccard_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,

@@ -419,3 +419,120 @@ def lsh_bucketed_pairs(
             F.round(_dot(F.col("v_a"), F.col("v_b")) / (na * nb), 4).alias("cos"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Semantic dedup (round 5) — SemDeDup-style embedding-space dedup
+# --------------------------------------------------------------------
+#
+# Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" (arXiv:2303.09540, public): cluster
+# embeddings coarsely (k-means), then call documents duplicates iff
+# their cosine similarity exceeds a threshold WITHIN a cluster — the
+# quadratic comparison is deliberately confined to cells, which is
+# exactly the reference's shape (index bounds who gets compared;
+# SURVEY.md §2.1 A2/A5 analog, here with IVF cells as the
+# "neighborhood").  Cross-cell near-duplicates are out of scope BY
+# DEFINITION of the method — that is what makes it tractable at
+# 10^9+ documents.
+#
+# Scale posture: pick n_centroids ∝ corpus_size / target_cell so the
+# per-cell Gram block fits an executor (cells shuffle ONCE on the
+# cell key; the Gram matrix is computed in `block`-row slabs, so peak
+# memory is O(block · cell · 4B) regardless of cell size).  The edge
+# stream feeding connected components is capped per row
+# (`row_edge_cap` lowest-higher-id neighbors): dense near-duplicate
+# cliques stay chained (each row keeps its successors), so components
+# survive the cap; only pathological non-transitive stars beyond the
+# cap could split, and at threshold ≥0.9 the co-neighbor cosine bound
+# (2τ²−1) makes those clique-like anyway.
+
+
+def semantic_pairs_in_cells(
+    cells: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+    row_edge_cap: int = 64,
+) -> DataFrame:
+    """cells(id, vec, cell) → (id_a, id_b, cos) for same-cell pairs
+    with cosine >= threshold, id_a < id_b.  One shuffle (groupBy cell);
+    inside each cell a blocked normalized Gram matrix — no Python row
+    loop, no cross-cell pairs."""
+    schema = "id_a long, id_b long, cos double"
+
+    def emit(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        m = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf[vec_col].iloc[order]]
+        )
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, block):
+            g = m[s : s + block] @ m.T  # (slab, n)
+            rows, cols = np.nonzero(g >= threshold)
+            keep = (rows + s) < cols  # strict upper triangle, sorted-id order
+            rows, cols = rows[keep], cols[keep]
+            if row_edge_cap and rows.size:
+                # per-row cap: keep the row_edge_cap LOWEST higher ids
+                # (successor chaining preserves clique connectivity)
+                by_row = np.lexsort((cols, rows))
+                rows, cols = rows[by_row], cols[by_row]
+                rank = np.arange(rows.size) - np.searchsorted(
+                    rows, rows, side="left"
+                )
+                capped = rank < row_edge_cap
+                rows, cols = rows[capped], cols[capped]
+            out_a.append(ids[rows + s])
+            out_b.append(ids[cols])
+            out_c.append(g[rows, cols].astype(np.float64))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(emit, schema)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cfg=None,
+    train_iters: int = 0,
+) -> DataFrame:
+    """embeddings → (vec_id, sem_cluster_id, keep): SemDeDup over IVF
+    cells.  sem_cluster_id = min id of the within-cell cosine>=τ
+    component (the house determinism rule — stable across cluster
+    sizes, same as doc_id labeling); keep = (id == representative).
+    Centroids come from the deterministic id-hash sample (optionally
+    k-means-refined via train_iters, same machinery as the IVF
+    index)."""
+    from .cluster import connected_components
+
+    if train_iters > 0:
+        c = train_centroids(embeddings, n_centroids, train_iters, id_col, vec_col)
+        assign = make_ivf_assign_udf(c)
+        cells = embeddings.withColumn("cell", assign(F.col(vec_col)))
+    else:
+        cells, _ = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    pairs = semantic_pairs_in_cells(cells, threshold, id_col, vec_col)
+    nodes = embeddings.select(F.col(id_col).alias("doc_id"))
+    labels = connected_components(nodes, pairs.select("id_a", "id_b"), cfg)
+    return labels.select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("sem_cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
