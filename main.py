@@ -114,7 +114,14 @@ def main(argv=None) -> int:
         summary["wall_sec"] = round(time.monotonic() - t0, 2)
         print(json.dumps(summary))
         return 0
-    code_files = read_code_files(spark, args.input)
+    from welldedup.io import split_corrupt
+
+    raw = read_code_files(spark, args.input)
+    code_files, rejects = split_corrupt(raw)
+    # reject accounting only when the source can actually produce
+    # rejects (text formats); for parquet/iceberg this is a 0-row
+    # local relation and the count is free
+    n_rejects = rejects.count() if "_corrupt_record" in raw.columns else 0
     if args.update_into:
         from welldedup.incremental import update_pipeline
 
@@ -132,6 +139,7 @@ def main(argv=None) -> int:
         docs=n_docs,
         clusters=n_clusters,
         duplicate_docs=n_dup_docs,
+        corrupt_rejects=n_rejects,
         wall_sec=round(wall, 2),
         files_per_sec=round(n_docs / wall, 1) if wall > 0 else None,
         stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},

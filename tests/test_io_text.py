@@ -1,0 +1,109 @@
+"""Text-format sources (round 5): JSONL/CSV/TSV ingestion with
+corrupt-record capture via from_json/from_csv over spark.read.text —
+the plan stays legal for reject counting (no cache), unlike the
+file-scan PERMISSIVE reader's internal corrupt column.
+"""
+
+import gzip
+import json
+import subprocess
+import sys
+
+import pytest
+
+from welldedup.io import read_code_files, split_corrupt
+
+ROWS = [
+    dict(repo="r1", path="a.py", commit="c1", lang="py", content="x = 1\n"),
+    dict(repo="r2", path="b.py", commit="c2", lang="py", content='s = "a,b"\n'),
+]
+
+
+def _check(spark, src, n_bad=1):
+    good, bad = split_corrupt(read_code_files(spark, str(src)))
+    got = {(r.repo, r.content) for r in good.collect()}
+    assert got == {(r["repo"], r["content"]) for r in ROWS}
+    assert bad.count() == n_bad
+    return [r[0] for r in bad.collect()]
+
+
+def test_jsonl_with_corrupt_line(spark, tmp_path):
+    p = tmp_path / "src.jsonl"
+    lines = [json.dumps(r) for r in ROWS]
+    lines.insert(1, "{not valid json")
+    p.write_text("\n".join(lines) + "\n")
+    raw = _check(spark, p)
+    assert raw == ["{not valid json"]
+
+
+def test_jsonl_gz(spark, tmp_path):
+    p = tmp_path / "src.jsonl.gz"
+    body = "\n".join(json.dumps(r) for r in ROWS) + "\nbroken\n"
+    with gzip.open(p, "wt") as f:
+        f.write(body)
+    _check(spark, p)
+
+
+def test_csv_with_header_and_corrupt(spark, tmp_path):
+    p = tmp_path / "src.csv"
+    p.write_text(
+        "repo,path,commit,lang,content\n"
+        'r1,a.py,c1,py,"x = 1\\n"\n'
+        '"unterminated,oops\n'
+        'r2,b.py,c2,py,"s = ""a,b""\\n"\n'
+    )
+    good, bad = split_corrupt(read_code_files(spark, str(p)))
+    # csv cannot carry raw newlines in the text path; the fixture uses
+    # literal \n — compare unescaped
+    got = {(r.repo, r.content.replace("\\n", "\n")) for r in good.collect()}
+    assert got == {(r["repo"], r["content"]) for r in ROWS}
+    assert bad.count() == 1
+
+
+def test_tsv(spark, tmp_path):
+    p = tmp_path / "src.tsv"
+    p.write_text(
+        "repo\tpath\tcommit\tlang\tcontent\n"
+        "r1\ta.py\tc1\tpy\tx = 1\\n\n"
+        "r2\tb.py\tc2\tpy\ts = \"a,b\"\\n\n"
+    )
+    good, bad = split_corrupt(read_code_files(spark, str(p)))
+    assert good.count() == 2 and bad.count() == 0
+
+
+def test_parquet_has_no_rejects(spark, sf_dir):
+    good, bad = split_corrupt(
+        read_code_files(spark, f"{sf_dir}/documents.parquet")
+    )
+    assert "_corrupt_record" not in good.columns
+    assert bad.count() == 0
+
+
+def test_cli_reports_rejects(tmp_path):
+    """main.py on a JSONL source: corrupt lines are counted in the
+    summary, good rows run the full pipeline."""
+    p = tmp_path / "src.jsonl"
+    lines = [json.dumps(r) for r in ROWS] + ["none of this parses"]
+    p.write_text("\n".join(lines) + "\n")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "main.py",
+            "--input",
+            str(p),
+            "--output",
+            str(tmp_path / "out"),
+            "--master",
+            "local[2]",
+            "--shuffle-partitions",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["corrupt_rejects"] == 1
+    assert summary["docs"] == 2

@@ -111,15 +111,123 @@ def is_table_identifier(source: str) -> bool:
     return bool(_TABLE_IDENT.match(source)) and not os.path.exists(source)
 
 
+#: canonical input schema (BASELINE.json:15) + a corrupt-record slot
+#: for the text formats.  NEVER inferred: schema inference is a full
+#: extra pass over the source — at 100 TB that is a second scan for
+#: zero information we don't already have.
+_CORRUPT_COL = "_corrupt_record"
+
+
+def _code_files_text_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ("repo", "path", "commit", "lang", "content", _CORRUPT_COL)]
+    )
+
+
 def read_code_files(spark: SparkSession, source: str) -> DataFrame:
     """S1/S2 — read the input table.  `source` is a table identifier
-    (Iceberg in prod; any session-catalog table in tests) or a parquet
-    path/dir.  Column pruning and predicate pushdown are Catalyst
+    (Iceberg in prod; any session-catalog table in tests) or a path:
+    parquet (default), `.jsonl`/`.json[.gz]` (JSON Lines), or
+    `.csv[.gz]`.  Column pruning and predicate pushdown are Catalyst
     built-ins either way; partition pruning comes from the table's
-    partition spec (Iceberg hidden partitioning in prod)."""
+    partition spec (Iceberg hidden partitioning in prod).
+
+    Text formats are read as `spark.read.text` (newline-splittable,
+    parallel) and parsed with `from_json` / `from_csv` carrying the
+    corrupt-record slot INSIDE the parsed struct.  This is deliberate:
+    the file-scan PERMISSIVE reader makes `_corrupt_record` an
+    internal column that Spark refuses to query on its own
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    whole parse is cached — a non-starter at corpus scale.  As a
+    struct field produced by an expression it is an ordinary column:
+    `split_corrupt` can count/checkpoint rejects lazily with no cache
+    and no second scan.  Schema is always explicit — inference is a
+    full extra pass for zero information (the code_files shape is
+    pinned by BASELINE.json:15).  Malformed lines land in the reject
+    stream instead of failing the job: at web scale some are a
+    certainty, and FAILFAST on line 10^11 wastes the run.  CSV/TSV is
+    headerless-or-canonical-header (the fixed header line is dropped
+    wherever it appears, which is also what makes multi-file globs
+    with per-file headers work)."""
     if is_table_identifier(source):
         return spark.read.table(source)
+    low = source.lower().rstrip("/")
+    for ext in (".gz", ".zst", ".bz2"):
+        low = low[: -len(ext)] if low.endswith(ext) else low
+    cols = ["repo", "path", "commit", "lang", "content"]
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        parsed = spark.read.text(source).select(
+            F.from_json(
+                "value",
+                _code_files_text_schema(),
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+            ).alias("r"),
+            F.col("value"),
+        )
+        # from_json yields a null struct (or a struct with the corrupt
+        # field set) for malformed lines; normalize both to one shape
+        return parsed.select(
+            *[F.col(f"r.{c}").alias(c) for c in cols],
+            F.when(
+                F.col("r").isNull() | F.col(f"r.{_CORRUPT_COL}").isNotNull(),
+                F.col("value"),
+            ).alias(_CORRUPT_COL),
+        )
+    if low.endswith((".csv", ".tsv")):
+        sep = "\t" if low.endswith(".tsv") else ","
+        header = sep.join(cols)
+        parsed = (
+            spark.read.text(source)
+            .filter(F.col("value") != header)
+            .select(
+                F.from_csv(
+                    "value",
+                    ", ".join(
+                        f"{c} string" for c in cols + [_CORRUPT_COL]
+                    ),
+                    {
+                        "mode": "PERMISSIVE",
+                        "columnNameOfCorruptRecord": _CORRUPT_COL,
+                        "sep": sep,
+                        "quote": '"',
+                        "escape": '"',
+                    },
+                ).alias("r"),
+                F.col("value"),
+            )
+        )
+        return parsed.select(
+            *[F.col(f"r.{c}").alias(c) for c in cols],
+            F.when(
+                F.col("r").isNull() | F.col(f"r.{_CORRUPT_COL}").isNotNull(),
+                F.col("value"),
+            ).alias(_CORRUPT_COL),
+        )
     return spark.read.parquet(source)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, corrupt_rows) — the accounting
+    seam for text sources.  The reject stream keeps the raw line plus
+    (repo, path) so it can be checkpointed for audit (per-partition
+    lineage posture, BASELINE.json:6) without duplicating good data.
+    Because read_code_files produces `_corrupt_record` as an ordinary
+    expression column (from_json/from_csv over text — see its
+    docstring), both branches here are plain lazy filters: no cache,
+    no second scan, and counting rejects is legal (the file-scan
+    PERMISSIVE reader's internal corrupt column would forbid it)."""
+    if _CORRUPT_COL not in df.columns:
+        return df, df.sparkSession.createDataFrame(
+            [], f"{_CORRUPT_COL} string, repo string, path string"
+        )
+    good = df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).select(
+        _CORRUPT_COL, "repo", "path"
+    )
+    return good, bad
 
 
 # AnalysisException conditions that mean "this catalog/table can't take
