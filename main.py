@@ -42,6 +42,16 @@ def parse_args(argv=None):
     )
     p.add_argument("--report", action="store_true", help="print cluster-size histogram")
     p.add_argument(
+        "--export",
+        default=None,
+        metavar="PATH",
+        help="after dedup, export the cluster REPRESENTATIVES (content "
+        "re-read from --input semi-joined to kept ids) as "
+        "deterministically shuffled size-balanced shards (export.py)",
+    )
+    p.add_argument("--export-shards", type=int, default=None)
+    p.add_argument("--export-seed", type=int, default=0)
+    p.add_argument(
         "--curate",
         action="store_true",
         help="run the curation funnel instead of dedup-only: --input is a "
@@ -146,6 +156,19 @@ def main(argv=None) -> int:
         config_hash=cfg.config_hash(),
         output=args.output,
     )
+    if args.export:
+        from pyspark.sql import functions as F
+
+        from welldedup.export import export_corpus
+        from welldedup.prep import with_doc_id
+
+        reps = res.clusters.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id")
+        keep = with_doc_id(code_files).join(reps, "doc_id", "left_semi")
+        summary["export"] = export_corpus(
+            keep, args.export, n_shards=args.export_shards, seed=args.export_seed
+        )
     print(json.dumps(summary))
     if args.report:
         cluster_report(res).show(50, truncate=False)

@@ -1,0 +1,68 @@
+"""Export sink (export.py, round 5): deterministic pseudorandom order,
+size-balanced shards, reproducible across runs and reshuffled by seed.
+"""
+
+from pyspark.sql import functions as F
+
+from welldedup.export import export_corpus, shuffled_shards
+
+
+def _read_order(spark, path):
+    """doc_ids in (shard, within-shard) order; shard index from the
+    stable part-NNNNN file name prefix."""
+    df = (
+        spark.read.parquet(path)
+        .withColumn("_f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    rows = df.select("_f", "doc_id").collect()
+    rows.sort(key=lambda r: r._f)
+    return [r.doc_id for r in rows]
+
+
+def test_export_is_deterministic_and_balanced(spark, sf_dir, tmp_path):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    info = export_corpus(d, p1, n_shards=4)
+    assert info["n_shards"] == 4
+    export_corpus(d, p2, n_shards=4)
+    o1, o2 = _read_order(spark, p1), _read_order(spark, p2)
+    assert o1 == o2, "same seed must give byte-identical shard order"
+    assert sorted(o1) == sorted(r.doc_id for r in d.select("doc_id").collect())
+
+    # balance: uniform hash ranges → no shard dominates
+    sizes = (
+        spark.read.parquet(p1)
+        .groupBy(F.input_file_name())
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 4
+    assert max(counts) < 2 * min(counts), counts
+
+
+def test_seed_reshuffles(spark, sf_dir, tmp_path):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1, p2 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    export_corpus(d, p1, n_shards=2, seed=0)
+    export_corpus(d, p2, n_shards=2, seed=1)
+    assert _read_order(spark, p1) != _read_order(spark, p2)
+
+
+def test_order_matches_hash_key(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffled_shards(d, 3, seed=7)
+    rows = out.select(
+        F.spark_partition_id().alias("p"), "_shuffle_key", "doc_id"
+    ).collect()
+    # within every partition the rows arrive key-sorted, and partition
+    # ranges are disjoint and increasing
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.p, []).append(r._shuffle_key)
+    bounds = []
+    for p, keys in sorted(by_p.items()):
+        assert keys == sorted(keys), f"partition {p} not sorted"
+        bounds.append((min(keys), max(keys)))
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, "range partitions must be disjoint ordered"

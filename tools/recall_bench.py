@@ -1,0 +1,164 @@
+"""Measure dup-pair recall AND pairwise precision of the full pipeline
+on a planted corpus large enough to expose tail behavior.
+
+    python tools/recall_bench.py [n_docs] [cpus]
+
+Prints one JSON line:
+  {n_docs, wall_sec, declared, recall, predicted_pairs, tp, fp,
+   tolerated, precision}
+
+- recall: fraction of planted pairs the pinned config DECLARES
+  duplicates (exact clones, vendored substrings, near clones with true
+  shingle-Jaccard >= threshold) that land in one cluster — the
+  BASELINE.json >= 0.99 criterion, measured instead of merely gated.
+- precision: predicted same-cluster pairs judged against GROUND
+  similarity, not just the planted truth list — the fixture's
+  adversarial skew block (repeated tiny files, shared boilerplate
+  headers) creates real duplicates that are deliberately unlabeled,
+  so a pair outside the truth closure is re-judged by recomputing:
+  content equality → TP; true shingle-Jaccard >= threshold → TP;
+  Jaccard in [0.5, threshold) → 'gray' (edit-distance may
+  legitimately call it); else a hard false positive.  precision =
+  TP / (TP + hard FP).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p.setdefault(x, x)
+        while p != self.p[p]:
+            self.p[p] = self.p[self.p[p]]
+            p = self.p[p]
+        self.p[x] = p
+        return p
+
+    def union(self, a, b):
+        self.p[self.find(a)] = self.find(b)
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "8"
+
+    from welldedup.config import DedupConfig
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name="welldedup-recall",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    corpus = make_corpus(n_docs, seed=1234)
+    cf, truth = corpus_to_pandas(corpus)
+    t0 = time.time()
+    res = run_pipeline(spark, spark.createDataFrame(cf), cfg)
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    wall = time.time() - t0
+    key2id = {
+        f"{r.repo}|{r.path}|{r['commit']}": r.doc_id
+        for r in res.docs.select("repo", "path", "commit", "doc_id").collect()
+    }
+
+    declared, tolerated_edges = [], []
+    for t in truth.itertuples():
+        e = (key2id[t.key_a], key2id[t.key_b])
+        if t.kind in ("exact", "vendored") or t.true_jaccard >= cfg.jaccard_threshold:
+            declared.append(e)
+        else:
+            tolerated_edges.append(e)
+    group_edges = [
+        (key2id[g[0]], key2id[k])
+        for g in corpus.truth_groups
+        for k in g[1:]
+    ]
+
+    # recall over declared pairs
+    rec = sum(labels[a] == labels[b] for a, b in declared)
+
+    # truth closure (declared + tolerated + groups) for precision
+    uf = _UF()
+    for a, b in declared + tolerated_edges + group_edges:
+        uf.union(a, b)
+    tol_pair = set()
+    for a, b in tolerated_edges:
+        tol_pair.add((min(a, b), max(a, b)))
+
+    from welldedup.fixtures import py_jaccard
+
+    content = {
+        key2id[f"{r.repo}|{r.path}|{r.commit}"]: r.content
+        for r in cf.itertuples()
+    }
+    jcache: dict = {}
+
+    by_label = defaultdict(list)
+    for d, l in labels.items():
+        by_label[l].append(d)
+    tp = fp = tol = gray = 0
+    for members in by_label.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if uf.find(a) == uf.find(b):
+                    if (a, b) in tol_pair:
+                        tol += 1
+                    else:
+                        tp += 1
+                    continue
+                # outside the planted closure: judge by ground
+                # similarity (the skew block plants real dups on
+                # purpose without listing them)
+                ca, cb = content[a], content[b]
+                if ca == cb:
+                    tp += 1
+                    continue
+                key = (ca, cb) if ca <= cb else (cb, ca)
+                jac = jcache.get(key)
+                if jac is None:
+                    jac = jcache[key] = py_jaccard(ca, cb, cfg)
+                if jac >= cfg.jaccard_threshold:
+                    tp += 1
+                elif jac >= 0.5:
+                    gray += 1
+                else:
+                    fp += 1
+    predicted = tp + fp + tol + gray
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "cpus": int(cpus),
+                "wall_sec": round(wall, 1),
+                "declared": len(declared),
+                "recall": round(rec / max(len(declared), 1), 5),
+                "predicted_pairs": predicted,
+                "tp": tp,
+                "fp_hard": fp,
+                "gray": gray,
+                "tolerated": tol,
+                "precision": round(tp / max(tp + fp, 1), 5),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

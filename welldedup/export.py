@@ -1,0 +1,78 @@
+"""Training-corpus export: deterministic global shuffle + size-balanced
+shards (SURVEY.md §2 row T14, round 5).
+
+The last step of a curation pipeline is delivering the surviving docs
+to a trainer, and trainers want two properties the upstream layout
+doesn't have:
+
+1. **a global pseudorandom order** — upstream partitioning correlates
+   with source/repo/time, and sequential readers would see long
+   single-domain runs (bad for SGD).  Order here is
+   `xxhash64(doc_id, seed)`: deterministic (same seed → byte-identical
+   shard contents on any cluster size — the same determinism rule as
+   doc_id/cluster labels), reshuffled by changing `seed`, and never a
+   `rand()` column (non-reproducible under task retry).
+2. **bounded, even shards** — downstream loaders parallelize by file.
+   `repartitionByRange(n_shards)` on the hash key gives tight row
+   balance (hash is uniform, so range bounds are equi-depth by
+   construction) and each output file is one sorted range;
+   `maxRecordsPerFile` caps stragglers if rows/shard exceeds it.
+
+Shuffle accounting: exactly ONE exchange (the range repartition) —
+the per-shard `sortWithinPartitions` is shuffle-free.  At 100 TB,
+n_shards follows corpus_bytes / target_shard_bytes; the range
+boundaries come from Spark's reservoir sampling of the hash column,
+which is uniform, so no shard skew regardless of source skew.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffled_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    order_col: str = "_shuffle_key",
+) -> DataFrame:
+    """df → df + deterministic shuffle key, range-partitioned into
+    n_shards and sorted within each (one exchange, no global sort)."""
+    keyed = df.withColumn(
+        order_col, F.xxhash64(F.col("doc_id"), F.lit(seed))
+    )
+    return keyed.repartitionByRange(n_shards, order_col).sortWithinPartitions(
+        order_col
+    )
+
+
+def export_corpus(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    rows_per_shard: int = 100_000,
+    seed: int = 0,
+    fmt: str = "parquet",
+) -> dict:
+    """Write the corpus as pseudorandomly-ordered, size-balanced
+    shards; returns {n_rows, n_shards, seed}.  n_shards defaults to
+    ceil(n_rows / rows_per_shard) — the one count() here is the
+    export's own sizing pass, not a data path (callers that already
+    know the row count pass n_shards explicitly and skip it)."""
+    if n_shards is None:
+        n_rows = df.count()
+        n_shards = max(1, math.ceil(n_rows / rows_per_shard))
+    else:
+        n_rows = None
+    out = shuffled_shards(df, n_shards, seed)
+    (
+        out.drop("_shuffle_key")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .format(fmt)
+        .save(path)
+    )
+    return {"n_rows": n_rows, "n_shards": n_shards, "seed": seed}
