@@ -66,3 +66,18 @@ def test_order_matches_hash_key(spark, sf_dir):
         bounds.append((min(keys), max(keys)))
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2, "range partitions must be disjoint ordered"
+
+
+def test_export_plan_single_exchange(spark, sf_dir):
+    """The export plan carries exactly ONE Exchange (the range
+    repartition); the within-shard sort must not add another."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        shuffled_shards(d, 4)
+        .drop("_shuffle_key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan.lower(), plan
