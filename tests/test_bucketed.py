@@ -1,0 +1,54 @@
+"""Bucketed co-located joins (io.write_bucketed, round 5): tables
+bucketed the same way join with ZERO Exchange — the shuffle was paid
+once at write time.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.io import write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = d.select("doc_id", "lang", "n_chars")
+    right = d.select("doc_id", "source")
+    write_bucketed(left, "wd_bkt_left", ["doc_id"], 4, sort_cols=["doc_id"])
+    write_bucketed(right, "wd_bkt_right", ["doc_id"], 4, sort_cols=["doc_id"])
+    yield "wd_bkt_left", "wd_bkt_right"
+    spark.sql("DROP TABLE IF EXISTS wd_bkt_left")
+    spark.sql("DROP TABLE IF EXISTS wd_bkt_right")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(lt).join(spark.table(rt), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == spark.table(lt).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """Aggregation on the bucket key also reuses the at-rest
+    partitioning."""
+    lt, _ = bucketed_tables
+    agg = spark.table(lt).groupBy("doc_id").agg(F.sum("n_chars").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_mismatched_bucketing_still_correct(spark, sf_dir, bucketed_tables):
+    """Joining a bucketed table against a plain dataframe falls back
+    to a normal shuffle join — correctness is never bucketing-dependent."""
+    lt, _ = bucketed_tables
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    j = spark.table(lt).join(plain, "doc_id")
+    assert j.count() == plain.count()
