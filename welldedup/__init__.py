@@ -10,6 +10,7 @@ and per-partition metrics.  See SURVEY.md for the design blueprint.
 
 from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
+from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "CurateConfig",
     "CurateResult",
     "curate",
+    "export_corpus",
 ]
 __version__ = "0.1.0"
