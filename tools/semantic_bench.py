@@ -1,0 +1,119 @@
+"""Semantic dedup at amortized scale: 10^6 synthetic embeddings with
+planted duplicates, timed end-to-end.
+
+    python tools/semantic_bench.py [n_vecs] [cpus] [n_centroids]
+
+Prints one JSON line {n_vecs, cpus, n_centroids, wall_sec, vecs_per_sec,
+planted, deduped, planted_recall, n_kept}.
+
+Vectors are generated DETERMINISTICALLY from vec_id (counter-mode
+hashing, no driver-side data): dim-64 float32, iid-ish via xxhash-style
+mixing — distribution details don't matter, only that near-duplicates
+are planted explicitly (every `plant_every`-th vector is repeated with
+id+10^9 and must come back keep=false)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+PLANT_EVERY = 100
+COPY_OFFSET = 1_000_000_000
+
+
+def main() -> int:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "8"
+    n_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else max(
+        16, n_vecs // 1000
+    )
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from welldedup.session import get_spark
+    from welldedup.similarity import semantic_dedup
+
+    spark = get_spark(
+        app_name=f"welldedup-semantic-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 4, 8),
+    )
+
+    def gen(batches):
+        # counter-mode vector generator: mix(vec_id, j) -> float32 in
+        # [-1, 1); same id -> same vector on any partitioning
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            base = np.where(
+                ids >= COPY_OFFSET, ids - COPY_OFFSET, ids
+            ).astype(np.uint64)
+            j = np.arange(DIM, dtype=np.uint64)
+            x = base[:, None] * np.uint64(0x9E3779B97F4A7C15) + (
+                j[None, :] + np.uint64(1)
+            ) * np.uint64(0xC2B2AE3D27D4EB4F)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            vecs = (
+                x.astype(np.float64) / float(1 << 63) - 1.0
+            ).astype(np.float32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype("int64")),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(vecs.reshape(-1)), DIM
+                    ).cast(pa.list_(pa.float32())),
+                ],
+                ["vec_id", "embedding"],
+            )
+
+    originals = spark.range(n_vecs).select(F.col("id"))
+    copies = (
+        spark.range(0, n_vecs, PLANT_EVERY)
+        .select((F.col("id") + COPY_OFFSET).alias("id"))
+    )
+    emb = (
+        originals.unionByName(copies)
+        .repartition(int(cpus) * 4)
+        .mapInArrow(gen, "vec_id long, embedding array<float>")
+    )
+
+    t0 = time.time()
+    res = semantic_dedup(
+        emb, n_centroids=n_centroids, threshold=0.99
+    )
+    dropped = res.filter(~F.col("keep"))
+    # planted copies have keep=false and cluster to their original
+    planted_ok = dropped.filter(
+        (F.col("vec_id") >= COPY_OFFSET)
+        & (F.col("sem_cluster_id") == F.col("vec_id") - COPY_OFFSET)
+    ).count()
+    n_kept = res.filter("keep").count()
+    wall = time.time() - t0
+    n_planted = (n_vecs + PLANT_EVERY - 1) // PLANT_EVERY
+    print(
+        json.dumps(
+            {
+                "n_vecs": n_vecs,
+                "cpus": int(cpus),
+                "n_centroids": n_centroids,
+                "wall_sec": round(wall, 1),
+                "vecs_per_sec": round((n_vecs + n_planted) / wall, 1),
+                "planted": n_planted,
+                "planted_recall": round(planted_ok / n_planted, 5),
+                "n_kept": n_kept,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
