@@ -124,26 +124,51 @@ def main(argv=None) -> int:
         summary["wall_sec"] = round(time.monotonic() - t0, 2)
         print(json.dumps(summary))
         return 0
-    from welldedup.io import split_corrupt
+    from welldedup.io import _CORRUPT_COL, split_corrupt
 
     raw = read_code_files(spark, args.input)
-    code_files, rejects = split_corrupt(raw)
-    # reject accounting only when the source can actually produce
-    # rejects (text formats); for parquet/iceberg this is a 0-row
-    # local relation and the count is free
-    n_rejects = rejects.count() if "_corrupt_record" in raw.columns else 0
+    # Reject accounting rides the pipeline's own first pass via
+    # observe() — an eager rejects.count() here would re-read and
+    # re-parse the whole text source, doubling input I/O on exactly
+    # the formats whose reader exists to avoid a second scan.
+    obs = None
+    if _CORRUPT_COL in raw.columns:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("wd_rejects")
+        raw = raw.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col(_CORRUPT_COL).isNotNull().cast("long")), F.lit(0)
+            ).alias("n"),
+        )
+    code_files, _rejects = split_corrupt(raw)
+    input_scanned = True
     if args.update_into:
         from welldedup.incremental import update_pipeline
 
         old = StageStore(root=args.update_into, config_hash=cfg.config_hash())
         out = StageStore(root=args.output, config_hash=cfg.config_hash())
+        input_scanned = not out.is_complete("signatures")
         res = update_pipeline(spark, code_files, cfg, store=old, out_store=out)
     else:
         store = StageStore(root=args.output, config_hash=cfg.config_hash())
+        # a resumed first stage never re-reads the input, so the
+        # observation would have nothing to report
+        input_scanned = args.force or not store.is_complete("signatures")
         res = run_pipeline(spark, code_files, cfg, store=store, force=args.force)
     n_docs = res.docs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     n_dup_docs = n_docs - n_clusters
+    # by now the pipeline's write actions have executed over the scan
+    # (unless the stage was resumed); null = "input not re-read"
+    if obs is None:
+        n_rejects = 0
+    elif input_scanned:
+        n_rejects = int(obs.get["n"])
+    else:
+        n_rejects = None
     wall = time.monotonic() - t0
     summary = dict(
         docs=n_docs,

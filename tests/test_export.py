@@ -1,21 +1,23 @@
 """Export sink (export.py, round 5): deterministic pseudorandom order,
-size-balanced shards, reproducible across runs and reshuffled by seed.
+size-balanced shards, reproducible across runs AND input partitionings,
+reshuffled by seed.
 """
 
 from pyspark.sql import functions as F
 
-from welldedup.export import export_corpus, shuffled_shards
+from welldedup.export import SHARD_COL, export_corpus, shuffled_shards
 
 
 def _read_order(spark, path):
-    """doc_ids in (shard, within-shard) order; shard index from the
-    stable part-NNNNN file name prefix."""
+    """doc_ids in (shard, file, row) order; shard from the directory
+    name, file from the stable part-NNNNN prefix.  Python's stable sort
+    keeps within-file row order as collected."""
     df = (
         spark.read.parquet(path)
         .withColumn("_f", F.element_at(F.split(F.input_file_name(), "/"), -1))
     )
-    rows = df.select("_f", "doc_id").collect()
-    rows.sort(key=lambda r: r._f)
+    rows = df.select(SHARD_COL, "_f", "doc_id").collect()
+    rows.sort(key=lambda r: (r[SHARD_COL], r._f))
     return [r.doc_id for r in rows]
 
 
@@ -29,16 +31,24 @@ def test_export_is_deterministic_and_balanced(spark, sf_dir, tmp_path):
     assert o1 == o2, "same seed must give byte-identical shard order"
     assert sorted(o1) == sorted(r.doc_id for r in d.select("doc_id").collect())
 
-    # balance: uniform hash ranges → no shard dominates
-    sizes = (
-        spark.read.parquet(p1)
-        .groupBy(F.input_file_name())
-        .count()
-        .collect()
-    )
+    # balance: uniform hash + equal-width arithmetic shards → no shard
+    # dominates
+    sizes = spark.read.parquet(p1).groupBy(SHARD_COL).count().collect()
     counts = [r["count"] for r in sizes]
     assert len(counts) == 4
     assert max(counts) < 2 * min(counts), counts
+
+
+def test_export_invariant_to_input_partitioning(spark, sf_dir, tmp_path):
+    """The determinism contract: the SAME corpus arriving with a
+    DIFFERENT input split (different cluster size / file layout) must
+    export byte-identical shards.  A sampled range partitioner fails
+    this near boundaries; the arithmetic shard id cannot."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1, p2 = str(tmp_path / "i3"), str(tmp_path / "i11")
+    export_corpus(d.repartition(3), p1, n_shards=4)
+    export_corpus(d.repartition(11), p2, n_shards=4)
+    assert _read_order(spark, p1) == _read_order(spark, p2)
 
 
 def test_seed_reshuffles(spark, sf_dir, tmp_path):
@@ -53,24 +63,28 @@ def test_order_matches_hash_key(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = shuffled_shards(d, 3, seed=7)
     rows = out.select(
-        F.spark_partition_id().alias("p"), "_shuffle_key", "doc_id"
+        F.spark_partition_id().alias("p"), SHARD_COL, "_shuffle_key", "doc_id"
     ).collect()
-    # within every partition the rows arrive key-sorted, and partition
-    # ranges are disjoint and increasing
-    by_p = {}
+    # within every (task, shard) the rows arrive key-sorted, and shard
+    # key ranges are disjoint and increasing with the shard id
+    by_ps, by_shard = {}, {}
     for r in rows:
-        by_p.setdefault(r.p, []).append(r._shuffle_key)
-    bounds = []
-    for p, keys in sorted(by_p.items()):
-        assert keys == sorted(keys), f"partition {p} not sorted"
-        bounds.append((min(keys), max(keys)))
+        by_ps.setdefault((r.p, r[SHARD_COL]), []).append(r._shuffle_key)
+        by_shard.setdefault(r[SHARD_COL], []).append(r._shuffle_key)
+    for (p, s), keys in by_ps.items():
+        assert keys == sorted(keys), f"task {p} shard {s} not sorted"
+    bounds = [(min(v), max(v)) for _, v in sorted(by_shard.items())]
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
-        assert hi1 <= lo2, "range partitions must be disjoint ordered"
+        assert hi1 < lo2, "shard key ranges must be disjoint ordered"
+    # every shard owned by exactly one task (what makes files
+    # byte-identical regardless of input layout)
+    assert len(by_ps) == len(by_shard)
 
 
 def test_export_plan_single_exchange(spark, sf_dir):
-    """The export plan carries exactly ONE Exchange (the range
-    repartition); the within-shard sort must not add another."""
+    """The export plan carries exactly ONE Exchange (the deterministic
+    hash repartition on the shard id); the within-shard sort must not
+    add another, and no sampled range partitioning may appear."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (
         shuffled_shards(d, 4)
@@ -80,4 +94,5 @@ def test_export_plan_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "hashpartitioning" in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -1,0 +1,120 @@
+"""Regression tests for the round-5 self-review findings: as-of NULL
+atomicity, export determinism under input repartitioning (in
+test_export.py), curate NULL-lang / non-bigint doc_id, stratified
+rate=1.0, JSONL corrupt-key collision, IVF query self-exclusion."""
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_asof_join_null_values_not_resurrected(spark):
+    """The matched right row must be selected ATOMICALLY: a legit NULL
+    in a value column of the latest right row stays NULL (not filled
+    from an older row), and two value columns never stitch together
+    fields of different right rows."""
+    from welldedup.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "lts": [30.0], "lid": [0]})
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    rdf = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": [1, 1],
+                    "rts": [10.0, 20.0],
+                    "v": [5.0, None],
+                    "u": [None, 7.0],
+                }
+            )
+        )
+        .withColumn("rts", F.timestamp_seconds("rts"))
+    )
+    row = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts", value_cols=["v", "u"]
+    ).collect()[0]
+    # latest right row is (ts=20, v=NULL, u=7): v must be NULL, not 5
+    assert row["v"] is None, "stale non-null value resurrected"
+    assert row["u"] == 7.0
+
+
+def test_stratified_rate_one_keeps_everything(spark):
+    from welldedup.joins import _hex_threshold, stratified_sample_expr
+
+    assert _hex_threshold(1.0) == "g"
+    d = spark.range(5000).select(
+        F.col("id"), F.lit("en").alias("lang")
+    )
+    kept = d.filter(
+        stratified_sample_expr(F.col("id"), F.col("lang"), {"en": 1.0})
+    ).count()
+    assert kept == 5000
+
+
+def test_curate_rejects_null_lang(spark):
+    from welldedup.curate import CurateConfig, curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plenty of text here", "en", "s"),
+            (2, "plenty of text here", None, "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    res = curate(spark, docs, CurateConfig(allowed_langs=("en",)))
+    reasons = {r.doc_id: r.drop_reason for r in res.decisions.collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "language", "NULL lang must fail the allowlist"
+
+
+def test_curate_dedup_with_string_doc_ids(spark):
+    """Non-bigint doc_ids must still dedup (the old regexp round-trip
+    mapped them to NULL and silently dropped nothing)."""
+    from welldedup.config import DedupConfig
+    from welldedup.curate import CurateConfig, curate
+
+    txt = "def f(x):\n    return x + 1\n" * 8
+    docs = spark.createDataFrame(
+        [
+            ("a1", txt, "py", "s"),
+            ("b2", txt, "py", "s"),
+            ("c3", "\n".join(f"unique_{i} = {i}" for i in range(20)), "py", "s"),
+        ],
+        "doc_id string, text string, lang string, source string",
+    )
+    res = curate(
+        spark, docs, CurateConfig(dedup=DedupConfig(methods=("exact",)))
+    )
+    reasons = {r.doc_id: r.drop_reason for r in res.decisions.collect()}
+    assert reasons["b2"] == "near_dup", reasons
+    assert reasons["a1"] is None and reasons["c3"] is None
+
+
+def test_jsonl_corrupt_key_collision_is_not_a_reject(spark, tmp_path):
+    """A well-formed row whose payload legitimately contains a
+    '_corrupt_record' key must parse as a good row."""
+    from welldedup.io import read_code_files, split_corrupt
+
+    p = tmp_path / "src.jsonl"
+    row = {
+        "repo": "r",
+        "path": "p",
+        "commit": "c",
+        "lang": "py",
+        "content": "x",
+        "_corrupt_record": "just a data field",
+    }
+    p.write_text(json.dumps(row) + "\n" + "not json at all\n")
+    good, bad = split_corrupt(read_code_files(spark, str(p)))
+    assert good.count() == 1
+    assert bad.count() == 1
+
+
+def test_ann_ivf_topk_excludes_query_vector(spark):
+    from welldedup.queries import QUERIES
+
+    rows = QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != 0 for r in rows), "query vector ranked itself"

@@ -31,7 +31,19 @@ def merge(lines: list[dict], n: int, labels_identical: bool) -> dict:
         raise SystemExit(f"mixed corpora in progress file: {corpora}")
     rn = min(raw_n, key=lambda r: r["wall_sec"])
     r4 = min(raw_4n, key=lambda r: r["wall_sec"])
-    stage_names = list(rn["stages"])
+    # intersect stage sets across ALL pooled trials: invocations run
+    # with different cfg.methods record different stages, and a bare
+    # KeyError here would defeat the recover-partial-campaigns purpose
+    stage_sets = [set(r["stages"]) for r in raw_n + raw_4n]
+    common = set.intersection(*stage_sets)
+    dropped = set.union(*stage_sets) - common
+    if dropped:
+        print(
+            f"warning: stages {sorted(dropped)} missing from some trials "
+            f"(mixed cfg.methods?) — excluded from stage minima",
+            file=sys.stderr,
+        )
+    stage_names = [k for k in rn["stages"] if k in common]
     smin_n = {k: min(r["stages"][k] for r in raw_n) for k in stage_names}
     smin_4 = {k: min(r["stages"][k] for r in raw_4n) for k in stage_names}
     return dict(

@@ -30,7 +30,7 @@ def word_ngrams_expr(text_col: str | Column, n: int = 3) -> Column:
     empty `range(1, 1)` — the guard prevents `sequence` descending
     when size-n+1 < 1 (same pitfall as queries.q_ngram3_jaccard_pairs).
     """
-    w = F.split(text_col, " ") if isinstance(text_col, str) else F.split(text_col, " ")
+    w = F.split(text_col, " ")
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

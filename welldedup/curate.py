@@ -126,8 +126,14 @@ def curate(
             F.lit("validity"),
         )
         .when(
+            # an allowlist must REJECT what it cannot prove allowed: a
+            # NULL lang makes ~isin() NULL (branch skipped), so test
+            # null-ness explicitly
             F.lit(cfg.allowed_langs is not None)
-            & ~F.col("lang").isin(*(cfg.allowed_langs or ("_",))),
+            & (
+                F.col("lang").isNull()
+                | ~F.col("lang").isin(*(cfg.allowed_langs or ("_",)))
+            ),
             F.lit("language"),
         )
         .when(
@@ -163,21 +169,24 @@ def curate(
         from .pipeline import run_pipeline
         from .prep import with_doc_id
 
-        code_files = alive.select(
+        keyed = alive.select(
+            F.col("doc_id").alias("orig_id"),
             F.col("source").alias("repo"),
             F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
             F.lit("c0").alias("commit"),
             F.col("lang"),
             F.col("text").alias("content"),
         )
-        res = run_pipeline(spark, code_files, cfg.dedup)
-        # map the pipeline's hash ids back to original doc_ids via the
-        # same natural-key hash the pipeline derives them from
+        res = run_pipeline(spark, keyed.drop("orig_id"), cfg.dedup)
+        # map the pipeline's hash ids back to original doc_ids by
+        # carrying the original id alongside the natural key — works
+        # for ANY doc_id type (a regexp round-trip through the path
+        # would silently map non-numeric ids to NULL and dedup nothing)
         mapping = with_doc_id(
-            code_files.select("repo", "path", "commit")
+            keyed.select("repo", "path", "commit", "orig_id")
         ).select(
             F.col("doc_id").alias("pipe_id"),
-            F.regexp_extract("path", r"doc/(-?\d+)", 1).cast("long").alias("doc_id"),
+            F.col("orig_id").alias("doc_id"),
         )
         labeled = res.clusters.withColumnRenamed("doc_id", "pipe_id").join(
             mapping, "pipe_id"

@@ -8,21 +8,32 @@ doesn't have:
 1. **a global pseudorandom order** — upstream partitioning correlates
    with source/repo/time, and sequential readers would see long
    single-domain runs (bad for SGD).  Order here is
-   `xxhash64(doc_id, seed)`: deterministic (same seed → byte-identical
-   shard contents on any cluster size — the same determinism rule as
-   doc_id/cluster labels), reshuffled by changing `seed`, and never a
-   `rand()` column (non-reproducible under task retry).
+   `xxhash64(doc_id, seed)`: deterministic, reshuffled by changing
+   `seed`, and never a `rand()` column (non-reproducible under task
+   retry).
 2. **bounded, even shards** — downstream loaders parallelize by file.
-   `repartitionByRange(n_shards)` on the hash key gives tight row
-   balance (hash is uniform, so range bounds are equi-depth by
-   construction) and each output file is one sorted range;
-   `maxRecordsPerFile` caps stragglers if rows/shard exceeds it.
+   The shard id is ARITHMETIC, not sampled:
+   `shard = floor((key + 2^63) / ceil(2^64 / n_shards))` — equal-width
+   slices of the int64 hash domain, equi-depth because the hash is
+   uniform.  `repartitionByRange` would estimate its bounds from
+   reservoir samples keyed on the INPUT partitioning, so shard
+   membership near boundaries would change with cluster size / file
+   layout; the arithmetic id is a pure function of (doc_id, seed), so
+   the same corpus exports to byte-identical shards on ANY cluster
+   size or input split — the same determinism rule as doc_id/cluster
+   labels.
 
-Shuffle accounting: exactly ONE exchange (the range repartition) —
-the per-shard `sortWithinPartitions` is shuffle-free.  At 100 TB,
-n_shards follows corpus_bytes / target_shard_bytes; the range
-boundaries come from Spark's reservoir sampling of the hash column,
-which is uniform, so no shard skew regardless of source skew.
+Routing is `repartition(n_shards, shard)` — hash partitioning is a
+fixed function of the shard value (pmod of its hash), deterministic
+regardless of input layout — and the write is `partitionBy(shard)`,
+so every shard is one directory whose single sorted file is written
+by the one task that owns the shard (maxRecordsPerFile splits, when
+they happen, fall at deterministic record offsets of that sorted
+stream).  Shuffle accounting: exactly ONE exchange; the per-shard
+sort is shuffle-free.  At 100 TB, n_shards follows
+corpus_bytes / target_shard_bytes; two shard values hashing to one
+task skews TASKS (bounded, transient) but never shard FILES — loaders
+see equi-depth files either way.
 """
 
 from __future__ import annotations
@@ -32,6 +43,21 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+SHARD_COL = "_shard"
+
+
+def shard_expr(n_shards: int, seed: int = 0, order_col: str = "_shuffle_key"):
+    """Arithmetic shard id over the int64 hash domain: pure function of
+    the key, no sampling.  Decimal(20,0) holds the unsigned offset
+    (int64 + 2^63 overflows bigint)."""
+    # the constants exceed int64 (py4j can't ship them as longs) —
+    # string-cast decimals instead; ceil via integer arithmetic
+    width = (2**64 + n_shards - 1) // n_shards
+    off = F.col(order_col).cast("decimal(20,0)") + F.lit(str(2**63)).cast(
+        "decimal(20,0)"
+    )
+    return F.floor(off / F.lit(str(width)).cast("decimal(20,0)")).cast("int")
+
 
 def shuffled_shards(
     df: DataFrame,
@@ -39,13 +65,14 @@ def shuffled_shards(
     seed: int = 0,
     order_col: str = "_shuffle_key",
 ) -> DataFrame:
-    """df → df + deterministic shuffle key, range-partitioned into
-    n_shards and sorted within each (one exchange, no global sort)."""
+    """df → df + deterministic shuffle key + arithmetic shard id,
+    hash-routed into n_shards tasks and sorted within each (one
+    exchange, no global sort, no sampled boundaries)."""
     keyed = df.withColumn(
         order_col, F.xxhash64(F.col("doc_id"), F.lit(seed))
-    )
-    return keyed.repartitionByRange(n_shards, order_col).sortWithinPartitions(
-        order_col
+    ).withColumn(SHARD_COL, shard_expr(n_shards, seed, order_col))
+    return keyed.repartition(n_shards, F.col(SHARD_COL)).sortWithinPartitions(
+        SHARD_COL, order_col
     )
 
 
@@ -57,11 +84,12 @@ def export_corpus(
     seed: int = 0,
     fmt: str = "parquet",
 ) -> dict:
-    """Write the corpus as pseudorandomly-ordered, size-balanced
-    shards; returns {n_rows, n_shards, seed}.  n_shards defaults to
-    ceil(n_rows / rows_per_shard) — the one count() here is the
-    export's own sizing pass, not a data path (callers that already
-    know the row count pass n_shards explicitly and skip it)."""
+    """Write the corpus as pseudorandomly-ordered, size-balanced shard
+    directories (`_shard=K/`); returns {n_rows, n_shards, seed}.
+    n_shards defaults to ceil(n_rows / rows_per_shard) — the one
+    count() here is the export's own sizing pass, not a data path
+    (callers that already know the row count pass n_shards explicitly
+    and skip it)."""
     if n_shards is None:
         n_rows = df.count()
         n_shards = max(1, math.ceil(n_rows / rows_per_shard))
@@ -72,6 +100,7 @@ def export_corpus(
         out.drop("_shuffle_key")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
+        .partitionBy(SHARD_COL)
         .format(fmt)
         .save(path)
     )

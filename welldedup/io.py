@@ -115,7 +115,12 @@ def is_table_identifier(source: str) -> bool:
 #: for the text formats.  NEVER inferred: schema inference is a full
 #: extra pass over the source — at 100 TB that is a second scan for
 #: zero information we don't already have.
-_CORRUPT_COL = "_corrupt_record"
+# Deliberately obscure: for JSON sources the slot is an ordinary schema
+# field, so a well-formed input object that happened to carry a key of
+# the same name would be misrouted to the reject stream.  "__wd_corrupt"
+# is namespaced to this engine; a real corpus key colliding with it is
+# not a plausible accident.
+_CORRUPT_COL = "__wd_corrupt"
 
 
 def _code_files_text_schema():

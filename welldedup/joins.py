@@ -59,19 +59,30 @@ def asof_join(
     """
     side = "__wd_is_left"
     ts = "__wd_ts"
+    vals = "__wd_vals"
     lcols = left.columns
+    # The matched right row must be carried as ONE unit: filling each
+    # value column independently with last(col, ignorenulls) would (a)
+    # resurrect a stale value when the latest right row holds a
+    # legitimate NULL in that column and (b) stitch different right rows
+    # together column-wise.  A struct is NULL exactly on left-side
+    # placeholder rows, so last(struct, ignorenulls) selects the latest
+    # right ROW atomically and its fields keep their real NULLs.
+    import pyspark.sql.types as T
+
+    val_struct_type = T.StructType([right.schema[c] for c in value_cols])
     tagged_r = right.select(
         F.col(key),
         F.col(right_ts).alias(ts),
         F.lit(0).alias(side),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias(vals),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
     )
     tagged_l = left.select(
         F.col(key),
         F.col(left_ts).alias(ts),
         F.lit(1).alias(side),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(val_struct_type).alias(vals),
         *[F.col(c) for c in lcols if c != key],
     )
     # strict (<): left rows sort BEFORE right rows at equal ts, so a
@@ -83,14 +94,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged_r.unionByName(tagged_l).select(
-        F.col(key),
-        F.col(ts),
         F.col(side),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(vals, ignorenulls=True).over(w).alias(vals),
         *[F.col(c) for c in lcols if c != key],
+        F.col(key),
     )
     return filled.filter(F.col(side) == 1).select(
-        *[F.col(c) for c in lcols], *[F.col(c) for c in value_cols]
+        *[F.col(c) for c in lcols],
+        *[F.col(f"{vals}.{c}").alias(c) for c in value_cols],
     )
 
 
@@ -163,13 +174,20 @@ def stratified_sample_expr(id_col, stratum_col, rates: dict[str, float], salt: s
     h = F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8)
     expr = F.lit(False)
     for stratum, rate in sorted(rates.items()):
-        thr = format(min(int(rate * 16**8), 16**8 - 1), "08x")
-        expr = expr | ((stratum_col == stratum) & (h < F.lit(thr)))
+        expr = expr | ((stratum_col == stratum) & (h < F.lit(_hex_threshold(rate))))
     return expr
+
+
+def _hex_threshold(rate: float) -> str:
+    # rate >= 1.0 must keep EVERY row: a clamped "ffffffff" under strict <
+    # would drop the ~2^-32 of ids whose md5 prefix is exactly that.  "g"
+    # sorts after every hex digit, so `prefix < 'g'` is uniformly true —
+    # on Spark and on every SQL oracle engine alike.
+    if rate >= 1.0:
+        return "g"
+    return format(min(max(int(rate * 16**8), 0), 16**8 - 1), "08x")
 
 
 def sample_thresholds_sql(rates: dict[str, float]) -> dict[str, str]:
     """The same per-stratum hex thresholds for the SQL oracle."""
-    return {
-        s: format(min(int(r * 16**8), 16**8 - 1), "08x") for s, r in sorted(rates.items())
-    }
+    return {s: _hex_threshold(r) for s, r in sorted(rates.items())}

@@ -1036,8 +1036,10 @@ def q_ann_ivf_topk(spark, sf_dir):
     pass; round-4 VERDICT #4).  The demo-only query-time form
     `similarity.ivf_topk` stays covered by the recall property tests.
     Same fingerprint-keyed index cache as `q_ann_ivf_indexed`, probed
-    here at a different nprobe so the two queries exercise distinct
-    prune fractions."""
+    here at a different nprobe (2 vs 4) so the two queries exercise
+    distinct prune fractions; the query vector excludes itself (it
+    would otherwise occupy rank 1 at cos 1.0 and evict the true k-th
+    neighbor)."""
     import os as _os
 
     from .similarity import build_ivf_index, ivf_topk_indexed
@@ -1048,7 +1050,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     if not _os.path.exists(_os.path.join(idx, "_ivf_centroids.json")):
         build_ivf_index(e, idx, n_centroids=16)
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk_indexed(spark, idx, q, k=10, nprobe=4)
+    return ivf_topk_indexed(spark, idx, q, k=10, nprobe=2, exclude_id=0)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2011,7 +2013,8 @@ frac AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS f
 r1 AS (
   SELECT d.doc_id, d.source, d.lc,
          CASE WHEN d.lc < 60 THEN 'validity'
-              WHEN d.lang NOT IN ('en', 'es', 'zh', 'de') THEN 'language'
+              WHEN d.lang IS NULL
+                   OR d.lang NOT IN ('en', 'es', 'zh', 'de') THEN 'language'
               WHEN coalesce(frac.f, 0) > 0.12 THEN 'repetition'
          END AS reason
   FROM d LEFT JOIN frac USING (doc_id)
