@@ -1,0 +1,109 @@
+"""PII/secrets scrubbing and cross-corpus boilerplate-line removal
+(SURVEY.md §2 rows T15/T16, round 5).
+
+Two rewrite passes every production pre-training pipeline runs after
+dedup and before export:
+
+- **PII/secrets scrub**: detect and mask emails, IPv4s, long digit
+  runs (phone-ish), AWS access key ids, and PEM private-key headers.
+  Entirely `regexp_count`/`regexp_replace` — whole-stage codegen, zero
+  shuffle, and the patterns are written in the regex subset that Java
+  (Spark) and RE2 (DuckDB/oracle) interpret identically, so the scrub
+  is engine-portable and oracle-checkable.  This is the shape of the
+  redaction step in open corpus pipelines (e.g. The Stack's PII pass);
+  a model-based NER redactor would slot in as a mapInPandas stage, but
+  the regex tier is what runs over all 100 TB.
+
+- **Boilerplate line removal** (CCNet/RefinedWeb line-level dedup):
+  a line occurring in more than `max_docs` distinct documents is
+  boilerplate (license headers, nav bars, generated banners); strip it
+  from every document, preserving the order of surviving lines.
+  Dataflow: posexplode lines → distinct-doc count per line hash (one
+  partial-agg shuffle keyed on the line hash — never on the document)
+  → the frequent-line dim is TINY (bounded by lines that repeat across
+  > max_docs docs) and broadcasts into the anti-filter → rebuild text
+  with an order-preserving sort_array(collect_list(struct(pos, line))).
+  At 100 TB the only corpus-scale exchanges are the line-hash partial
+  agg and the rebuild groupBy on doc_id; both are single key-local
+  shuffles with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns restricted to syntax Java regex and RE2 share (no
+# backrefs, no lookaround): each compiles and means the same thing on
+# both engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "long_digits": r"\b\d{9,}\b",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+
+def pii_counts(text_col: str | Column) -> list[Column]:
+    """One count column per PII class (n_<name>), via regexp_count —
+    pure Catalyst, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def scrub_expr(text_col: str | Column) -> Column:
+    """Masked text: each PII class replaced by its <TOKEN>.  Chained
+    regexp_replace stays one codegen stage; order matters only in that
+    aws_key/private_key run before long_digits could touch them (they
+    match disjoint character shapes, but keep the specific-first
+    discipline anyway)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in ("email", "aws_key", "private_key", "ipv4", "long_digits"):
+        c = F.regexp_replace(c, PII_PATTERNS[name], f"<{name.upper()}>")
+    return c
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip every line that occurs in more than `max_docs` DISTINCT
+    documents; returns (id_col, clean_text, n_lines_kept,
+    n_lines_dropped).  Documents whose lines are all boilerplate come
+    back with clean_text = '' (never silently dropped)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    # distinct-doc count per line: partial-agg shuffle on the line key
+    # only; the surviving "frequent" dim is small by construction
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("line")
+    )
+    tagged = lines.join(F.broadcast(frequent.withColumn("_bp", F.lit(True))),
+                        "line", "left")
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.col("_bp").isNull().cast("bigint")).alias("n_lines_kept"),
+        F.sum(F.col("_bp").isNotNull().cast("bigint")).alias("n_lines_dropped"),
+    )
+    return rebuilt
