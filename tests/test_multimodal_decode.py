@@ -1,0 +1,99 @@
+"""Real raster decode (multimodal.py, round 5): PPM/PGM/BMP parsed in
+pure numpy; codec-dependent formats fall back to the byte-profile stub,
+tagged via feat_kind."""
+
+import struct
+
+import numpy as np
+
+from welldedup import multimodal as mm
+
+
+def _ppm(w, h, rgb_fn, comment=False):
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# a comment line\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in rgb_fn(x, y)
+    )
+    return hdr + body
+
+
+def _pgm(w, h, g_fn):
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(
+        g_fn(x, y) for y in range(h) for x in range(w)
+    )
+
+
+def _bmp24(w, h, rgb_fn, top_down=False):
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = b"".join(
+            bytes(rgb_fn(x, y)[::-1]) for x in range(w)  # BGR on disk
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    body = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return hdr + dib + body
+
+
+def test_ppm_decode_exact():
+    img = mm.decode_image(_ppm(6, 4, lambda x, y: (x * 10, y * 20, 7), comment=True))
+    assert img.shape == (4, 6, 3)
+    assert img[2, 3, 0] == 30 and img[2, 3, 1] == 40 and img[2, 3, 2] == 7
+
+
+def test_pgm_decode_exact():
+    img = mm.decode_image(_pgm(5, 3, lambda x, y: x + y * 5))
+    assert img.shape == (3, 5)
+    assert img[2, 4] == 14
+
+
+def test_bmp_decode_both_orientations():
+    # top half red, bottom half blue — orientation must come out right
+    def px(x, y):
+        return (255, 0, 0) if y < 2 else (0, 0, 255)
+
+    for td in (False, True):
+        img = mm.decode_image(_bmp24(4, 4, px, top_down=td))
+        assert img.shape == (4, 4, 3)
+        assert tuple(img[0, 0]) == (255, 0, 0), f"top_down={td}"
+        assert tuple(img[3, 3]) == (0, 0, 255), f"top_down={td}"
+
+
+def test_grid_features_constant_image():
+    img = mm.decode_image(_ppm(8, 8, lambda x, y: (100, 100, 100)))
+    f = mm._grid_features(img)
+    assert f.shape == (16,)
+    assert np.allclose(f, 100.0)
+
+
+def test_junk_falls_back_to_stub():
+    assert mm.decode_image(b"\x89PNG\r\n\x1a\nnot really decodable") is None
+    assert mm.decode_image(b"") is None
+    assert mm.decode_image(b"P6\n4 4\n255\n") is None, "truncated raster"
+
+
+def test_extract_features_mixed_batch(spark):
+    rows = [
+        (1, "image", bytearray(_ppm(8, 4, lambda x, y: (x, y, 0))), None, None),
+        (2, "image", bytearray(b"not an image"), None, None),
+        (3, "image", bytearray(_bmp24(4, 8, lambda x, y: (9, 9, 9))), None, None),
+    ]
+    d = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in mm.extract_features(d).collect()}
+    assert got[1].feat_kind == "decoded"
+    assert (got[1].width, got[1].height) == (8, 4)
+    assert len(got[1].feat) == 16
+    assert got[2].feat_kind == "byte_profile"
+    assert got[2].width is None and len(got[2].feat) == 8
+    assert got[3].feat_kind == "decoded"
+    assert (got[3].width, got[3].height) == (4, 8)
+    assert np.allclose(got[3].feat, 9.0)

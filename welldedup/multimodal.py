@@ -2,17 +2,28 @@
 
 Images/audio/video are carried as `binary` columns with a metadata
 struct; decode / feature-extraction run as Arrow-batched pandas UDFs
-over `mapInPandas`.  The decode kernels themselves are STUBBED in this
-environment (no image/audio libraries in the container) behind
-`NotImplementedError` + a deterministic fake, but the Spark-side
-plumbing — schema, batch iteration, partitioning, UDF signatures —
-is real and tested: swapping in PIL/torchaudio later only changes the
-body of `_decode_image_stub`.
+over `mapInPandas`.
+
+Decode status (round 5): **real decoders, zero dependencies**, for the
+self-describing uncompressed raster formats — PPM (P6), PGM (P5), and
+24/32-bit uncompressed BMP — implemented directly in numpy
+(`decode_image`).  Compressed formats (PNG/JPEG/audio/video) need
+codec libraries this container doesn't have; those payloads fall back
+to the clearly-marked deterministic byte-profile stub so the pipeline
+never crashes on a format it can't decode (`feat_kind` column says
+which path produced each row).  Swapping in PIL/torchaudio later only
+adds branches to `decode_image`.
+
+Feature extraction from a decoded image is a 4×4 box-mean luminance
+grid (16 floats, resolution-independent) — the standard cheap
+perceptual fingerprint shape (aHash-style), good enough for exact-ish
+near-dup grouping of decoded media and fully deterministic.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,25 +37,111 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, payload_hash long, "
-    "feat array<float>"
+    "feat_kind string, width int, height int, feat array<float>"
 )
 
-_HAVE_PIL = False
-try:  # pragma: no cover - not installed in this container
-    import PIL.Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    pass
+GRID = 4  # box-mean grid → GRID*GRID feature dims
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake 'decode' (real impl: PIL.Image.open).
+def _parse_pnm(payload: bytes) -> np.ndarray | None:
+    """PPM (P6, RGB) / PGM (P5, gray) — header tokens then raw bytes."""
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    # tokenize the header: magic, width, height, maxval; '#' comments
+    # run to end-of-line; ONE whitespace byte follows maxval, then raster
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < 3 or i >= n:
+        return None
+    try:
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    except ValueError:
+        return None
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None
+    i += 1  # the single whitespace after maxval
+    ch = 3 if payload[:2] == b"P6" else 1
+    need = w * h * ch
+    raster = payload[i : i + need]
+    if len(raster) < need:
+        return None
+    a = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    return a[:, :, 0] if ch == 1 else a
 
-    Produces an 8-dim feature from payload bytes so downstream plumbing
-    (schema, batching, joins) is exercised end-to-end."""
-    if _HAVE_PIL:
-        raise NotImplementedError("wire PIL decode here when the lib exists")
+
+def _parse_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER), bottom-up or
+    top-down; rows padded to 4 bytes; pixels BGR(A)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        (offset,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+    except struct.error:
+        return None
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32) or w <= 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = offset + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        img = img[::-1]
+    # BGR(A) → RGB
+    return img[:, :, 2::-1]
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Real decode for the dependency-free formats; None if the format
+    needs a codec library (caller falls back to the byte-profile stub)."""
+    if len(payload) < 2:
+        return None
+    out = _parse_pnm(payload)
+    if out is None:
+        out = _parse_bmp(payload)
+    return out
+
+
+def _grid_features(img: np.ndarray) -> np.ndarray:
+    """GRID×GRID box-mean luminance grid, resolution independent."""
+    lum = img.astype(np.float32)
+    if lum.ndim == 3:
+        lum = lum.mean(axis=2)
+    feats = np.empty(GRID * GRID, dtype=np.float32)
+    k = 0
+    for rows in np.array_split(lum, GRID, axis=0):
+        for block in np.array_split(rows, GRID, axis=1):
+            feats[k] = block.mean() if block.size else 0.0
+            k += 1
+    return feats
+
+
+def _byte_profile_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fallback 'decode' for codec-dependent formats
+    (PNG/JPEG/audio/video): an 8-dim byte-mean profile so downstream
+    plumbing (schema, batching, joins) still runs end-to-end."""
     arr = np.frombuffer(payload[:1024], dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(8, dtype=np.float32)
@@ -65,14 +162,27 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Batch shape: the iterator yields Arrow-sized pandas chunks; each
     batch is processed column-vectorized except the per-payload decode
-    (inherently per-item — the real libs are per-item too)."""
+    (inherently per-item — codec libraries are per-item too).
+    `feat_kind` records the path: 'decoded' (real raster decode,
+    16-dim grid) or 'byte_profile' (stub fallback, 8-dim)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [
-                _decode_image_stub(p if p is not None else b"") for p in payloads
-            ]
+            feats, kinds, widths, heights = [], [], [], []
+            for p in payloads:
+                b = bytes(p) if p is not None else b""
+                img = decode_image(b)
+                if img is not None:
+                    feats.append(_grid_features(img))
+                    kinds.append("decoded")
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                else:
+                    feats.append(_byte_profile_stub(b))
+                    kinds.append("byte_profile")
+                    heights.append(None)
+                    widths.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -82,6 +192,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     # (Python hash() is SipHash keyed by PYTHONHASHSEED
                     # — different per process; a determinism violation)
                     "payload_hash": payloads.map(_payload_hash),
+                    "feat_kind": kinds,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "feat": feats,
                 }
             )
