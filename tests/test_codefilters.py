@@ -1,0 +1,46 @@
+"""License detection + code-quality stats (codefilters.py, T17/T18)."""
+
+from welldedup.codefilters import license_expr, quality_exprs
+
+
+def test_license_detection(spark):
+    rows = [
+        (1, "# SPDX-License-Identifier: BSD-3-Clause\ncode"),
+        (2, "Permission is hereby granted, free of charge, to any person"),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "This file is part of Foo.\nGNU General Public License v3"),
+        (5, "Redistribution and use in source and binary forms, with or without"),
+        (6, "just code, no license"),
+        # SPDX beats a conflicting phrase
+        (7, "// SPDX-License-Identifier: MIT\nGNU General Public License"),
+        # license text BEYOND the head window is ignored
+        (8, "x" * 3000 + " Permission is hereby granted, free of charge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lic for r in df.select("doc_id", license_expr("text").alias("lic")).collect()}
+    assert got[1] == "BSD-3-Clause"
+    assert got[2] == "MIT"
+    assert got[3] == "Apache-2.0"
+    assert got[4] == "GPL"
+    assert got[5] == "BSD"
+    assert got[6] == "unknown"
+    assert got[7] == "MIT", "SPDX tag must beat phrase match"
+    assert got[8] == "unknown", "head window must bound the scan"
+
+
+def test_quality_stats(spark):
+    rows = [
+        (1, "short\nlonger line\nx"),
+        (2, "// AUTO-GENERATED file, DO NOT EDIT\ncode1"),
+        (3, "1234 5678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select("doc_id", *quality_exprs("text")).collect()}
+    assert got[1].n_lines == 3
+    assert got[1].max_line_len == 11
+    assert abs(got[1].avg_line_len - (5 + 11 + 1) / 3) < 1e-3  # expr rounds to 4dp
+    assert not got[1].autogen
+    assert got[2].autogen
+    # "1234 5678": 0 letters of 9 chars
+    assert got[3].alpha_frac == 0.0
+    assert got[3].n_lines == 1

@@ -2175,6 +2175,115 @@ GROUP BY l.doc_id
 """
 
 
+def q_license_detect(spark, sf_dir):
+    """T17 — license detection for a code corpus: SPDX tag wins, else
+    canonical phrase match in the file head.  Licenses are planted
+    deterministically (the synthetic corpus has none), including a
+    doc class carrying BOTH an SPDX tag and a GPL phrase to lock the
+    precedence rule.  Codegen-only, zero shuffle."""
+    from .codefilters import license_expr
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("// SPDX-License-Identifier: MIT\n"))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.lit("Permission is hereby granted, free of charge\n"))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.lit("Licensed under the Apache License, Version 2.0\n"))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.lit("// SPDX-License-Identifier: Apache-2.0\n"
+                        "GNU General Public License\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", license_expr("text").alias("license"))
+
+
+SQL_LICENSE_DETECT = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN '// SPDX-License-Identifier: MIT' || chr(10)
+              WHEN doc_id % 5 = 1
+                THEN 'Permission is hereby granted, free of charge' || chr(10)
+              WHEN doc_id % 5 = 2
+                THEN 'Licensed under the Apache License, Version 2.0' || chr(10)
+              WHEN doc_id % 5 = 3
+                THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+                     || 'GNU General Public License' || chr(10)
+              ELSE '' END || text AS text
+  FROM documents
+),
+h AS (
+  SELECT doc_id, substring(text, 1, 2000) AS head FROM d
+)
+SELECT doc_id,
+  CASE WHEN regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) <> ''
+         THEN regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+       WHEN contains(lower(head), 'permission is hereby granted, free of charge') THEN 'MIT'
+       WHEN contains(lower(head), 'licensed under the apache license') THEN 'Apache-2.0'
+       WHEN contains(lower(head), 'gnu general public license') THEN 'GPL'
+       WHEN contains(lower(head), 'redistribution and use in source and binary forms') THEN 'BSD'
+       WHEN contains(lower(head), 'mozilla public license') THEN 'MPL-2.0'
+       WHEN contains(lower(head), 'this is free and unencumbered software') THEN 'Unlicense'
+       ELSE 'unknown' END AS license
+FROM h
+"""
+
+
+def q_code_quality(spark, sf_dir):
+    """T18 — per-file code-quality stats (The Stack-style permissive
+    filter features): line counts/lengths, alpha fraction, and an
+    autogenerated-marker flag.  Half the docs are reshaped to
+    multi-line (space→newline) and every 9th gets a generator banner so
+    each stat has real variance to verify against."""
+    from .codefilters import quality_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    shaped = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 9 == 0, F.lit("// generated by tool\n"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.regexp_replace("text", " ", "\n"),
+            ).otherwise(F.col("text")),
+        ).alias("text"),
+    )
+    return shaped.select("doc_id", *quality_exprs("text"))
+
+
+SQL_CODE_QUALITY = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN '// generated by tool' || chr(10) ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN regexp_replace(text, ' ', chr(10), 'g') ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       list_aggregate(list_transform(lines, x -> length(x)), 'max') AS max_line_len,
+       round(CAST(list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS DOUBLE)
+             / len(lines), 4) AS avg_line_len,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CASE WHEN length(text) > 0 THEN length(text) END, 4) AS alpha_frac,
+       (contains(lower(substring(text, 1, 2000)), 'auto-generated')
+        OR contains(lower(substring(text, 1, 2000)), 'do not edit')
+        OR contains(lower(substring(text, 1, 2000)), 'generated by')) AS autogen
+FROM l
+"""
+
+
 def q_props_map_stats(spark, sf_dir):
     """Map-typed column surface: parse the events `props` JSON into
     map<string,double>, explode to (key, value) rows, aggregate per
@@ -2451,6 +2560,8 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "pii_scrub": q_pii_scrub,
     "boilerplate_removed": q_boilerplate_removed,
+    "license_detect": q_license_detect,
+    "code_quality": q_code_quality,
     "events_daily_gapfill": q_events_daily_gapfill,
     # embeddings
     "embedding_norms": q_embedding_norms,
@@ -2539,6 +2650,8 @@ ORACLES = {
     "pii_stats": SQL_PII_STATS,
     "pii_scrub": SQL_PII_SCRUB,
     "boilerplate_removed": SQL_BOILERPLATE_REMOVED,
+    "license_detect": SQL_LICENSE_DETECT,
+    "code_quality": SQL_CODE_QUALITY,
     "events_daily_gapfill": SQL_EVENTS_DAILY_GAPFILL,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
