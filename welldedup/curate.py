@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .codefilters import license_expr
 from .config import DedupConfig
 from .contamination import decontaminate
 
@@ -46,6 +47,8 @@ from .contamination import decontaminate
 REASONS = (
     "validity",
     "language",
+    "license",
+    "quality",
     "repetition",
     "contaminated",
     "near_dup",
@@ -58,12 +61,21 @@ class CurateConfig:
     min_chars: int = 1
     max_chars: int = 1_000_000
     allowed_langs: tuple[str, ...] | None = None
+    # license allowlist (codefilters.license_expr ids, e.g. ("MIT",
+    # "Apache-2.0", "unknown")); None disables the stage
+    allowed_licenses: tuple[str, ...] | None = None
+    # quality gates (codefilters.quality_exprs); None disables each
+    max_line_len: int | None = None
+    min_alpha_frac: float | None = None
+    drop_autogen: bool = False
     max_dup_line_frac: float = 0.9
     max_top_bigram_frac: float = 0.9
     decontam_ngram: int = 3
     decontam_min_overlap: int = 2
     dedup: DedupConfig | None = field(default=None)
     quota_per_source: int | None = None
+    # rewrite (not drop): mask PII/secrets in surviving docs' text
+    scrub_pii: bool = False
 
 
 @dataclass
@@ -106,6 +118,23 @@ def _dup_line_frac() -> F.Column:
     return 1 - F.size(F.array_distinct(lines)) / F.size(lines)
 
 
+def _quality_reject(cfg: "CurateConfig") -> F.Column:
+    """Disjunction of the enabled quality gates (codefilters features);
+    False when none are enabled.  license_expr's output never being
+    NULL makes the isin allowlist above null-safe by construction."""
+    from .codefilters import quality_exprs
+
+    n_lines, max_ll, _avg, alpha, autogen = quality_exprs("text")
+    cond = F.lit(False)
+    if cfg.max_line_len is not None:
+        cond = cond | (max_ll > cfg.max_line_len)
+    if cfg.min_alpha_frac is not None:
+        cond = cond | (alpha < cfg.min_alpha_frac)
+    if cfg.drop_autogen:
+        cond = cond | autogen
+    return cond
+
+
 def curate(
     spark: SparkSession,
     docs: DataFrame,
@@ -135,6 +164,15 @@ def curate(
                 | ~F.col("lang").isin(*(cfg.allowed_langs or ("_",)))
             ),
             F.lit("language"),
+        )
+        .when(
+            F.lit(cfg.allowed_licenses is not None)
+            & ~license_expr("text").isin(*(cfg.allowed_licenses or ("_",))),
+            F.lit("license"),
+        )
+        .when(
+            _quality_reject(cfg),
+            F.lit("quality"),
         )
         .when(
             (_dup_line_frac() > cfg.max_dup_line_frac)
@@ -212,6 +250,12 @@ def curate(
             )
         )
         alive = ranked.filter(F.col("_rk") <= cfg.quota_per_source).drop("_rk")
+
+    # ---- PII scrub: a rewrite of survivors, never a drop ------------
+    if cfg.scrub_pii:
+        from .scrub import scrub_expr
+
+        alive = alive.withColumn("text", scrub_expr("text"))
 
     # ---- decisions + funnel ----------------------------------------
     all_dropped = dropped[0]
