@@ -69,6 +69,21 @@ def parse_args(argv=None):
         "--allowed-langs", default=None, help="curate: comma-separated allowlist"
     )
     p.add_argument("--min-chars", type=int, default=1)
+    p.add_argument(
+        "--allowed-licenses",
+        default=None,
+        help="curate: comma-separated license-id allowlist "
+        "(codefilters.license_expr ids; include 'unknown' to keep "
+        "unmarked files)",
+    )
+    p.add_argument("--max-line-len", type=int, default=None)
+    p.add_argument("--min-alpha-frac", type=float, default=None)
+    p.add_argument("--drop-autogen", action="store_true")
+    p.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="curate: mask PII/secrets in surviving docs' text (scrub.py)",
+    )
     return p.parse_args(argv)
 
 
@@ -82,6 +97,15 @@ def run_curate(spark, args, cfg) -> dict:
         allowed_langs=(
             tuple(args.allowed_langs.split(",")) if args.allowed_langs else None
         ),
+        allowed_licenses=(
+            tuple(args.allowed_licenses.split(","))
+            if args.allowed_licenses
+            else None
+        ),
+        max_line_len=args.max_line_len,
+        min_alpha_frac=args.min_alpha_frac,
+        drop_autogen=args.drop_autogen,
+        scrub_pii=args.scrub_pii,
         dedup=cfg,
         quota_per_source=args.quota_per_source,
     )
