@@ -8,10 +8,12 @@ table, with verification, connected-components clustering, checkpoints
 and per-partition metrics.  See SURVEY.md for the design blueprint.
 """
 
+from .codefilters import license_expr, quality_exprs
 from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
+from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
 
 __all__ = [
     "DedupConfig",
@@ -22,5 +24,10 @@ __all__ = [
     "CurateResult",
     "curate",
     "export_corpus",
+    "license_expr",
+    "quality_exprs",
+    "pii_counts",
+    "scrub_expr",
+    "remove_boilerplate_lines",
 ]
 __version__ = "0.1.0"
