@@ -174,7 +174,8 @@ def main(argv=None) -> int:
 
         old = StageStore(root=args.update_into, config_hash=cfg.config_hash())
         out = StageStore(root=args.output, config_hash=cfg.config_hash())
-        input_scanned = not out.is_complete("signatures")
+        # update_pipeline always signs the delta (out_store stage writes
+        # have no resume gate), so the observation always populates
         res = update_pipeline(spark, code_files, cfg, store=old, out_store=out)
     else:
         store = StageStore(root=args.output, config_hash=cfg.config_hash())

@@ -81,6 +81,24 @@ def test_order_matches_hash_key(spark, sf_dir):
     assert len(by_ps) == len(by_shard)
 
 
+def test_shard_expr_exact_at_boundaries(spark):
+    """Integral DIV, not fractional-decimal rounding: extreme and
+    boundary keys must land inside [0, n_shards)."""
+    from welldedup.export import shard_expr
+
+    keys = [-(2**63), -1, 0, 2**63 - 2, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "_shuffle_key long")
+    got = {
+        r._shuffle_key: r.s
+        for r in df.select("_shuffle_key", shard_expr(4).alias("s")).collect()
+    }
+    assert got[-(2**63)] == 0
+    assert got[-1] == 1, "lower-middle boundary key"
+    assert got[0] == 2
+    assert got[2**63 - 1] == 3, "top-of-domain key must stay in range"
+    assert all(0 <= v < 4 for v in got.values())
+
+
 def test_export_plan_single_exchange(spark, sf_dir):
     """The export plan carries exactly ONE Exchange (the deterministic
     hash repartition on the shard id); the within-shard sort must not

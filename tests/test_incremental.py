@@ -91,3 +91,87 @@ def test_update_plans_read_no_old_content(updated):
     for df in (updated.candidate_pairs, updated.verified_pairs, updated.clusters):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "content#" not in plan
+
+
+def _boiler_docs(n, start=0):
+    """Docs with IDENTICAL token streams (normalize collapses
+    whitespace) but DISTINCT sha256 — minhash buckets collide for every
+    band while the exact path stays out of the way."""
+    import pandas as pd
+
+    body = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
+    return pd.DataFrame(
+        {
+            "repo": [f"r{start + i}" for i in range(n)],
+            "path": [f"boiler/{start + i}.py" for i in range(n)],
+            "commit": ["c0"] * n,
+            "lang": ["py"] * n,
+            # start offsets the suffix too: delta docs must never be
+            # byte-identical to base docs (the exact path would pair
+            # them and mask what this fixture exercises)
+            "content": [body + " " * (start + i + 1) + "\n" for i in range(n)],
+        }
+    )
+
+
+def _filler_docs(n, seed):
+    cf, _ = corpus_to_pandas(make_corpus(n, seed=seed))
+    return cf
+
+
+def test_update_repairs_drop_threshold_crossing(spark, tmp_path):
+    """The scale defect found by tools/incremental_bench.py at 200k
+    docs: a near-dup group under drop_bucket_over at BASE size but over
+    it at MERGED size.  The full rerun drops the bucket (no pairs →
+    singletons); the base run's pairs are baked into old labels.  The
+    update must detect the policy divergence and re-derive the affected
+    cluster under merged policy — labels bit-identical to the full
+    rerun."""
+    import pandas as pd
+
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
+    base = pd.concat([_boiler_docs(6), _filler_docs(40, seed=7)])
+    delta = _boiler_docs(5, start=100)
+    both = pd.concat([base, delta])
+
+    full = run_pipeline(spark, spark.createDataFrame(both), cfg)
+    store = StageStore(
+        root=str(tmp_path / "v1"), config_hash=cfg.config_hash()
+    )
+    run_pipeline(spark, spark.createDataFrame(base), cfg, store=store)
+    upd = update_pipeline(spark, spark.createDataFrame(delta), cfg, store=store)
+
+    full_labels, upd_labels = _labels(full), _labels(upd)
+    assert upd_labels == full_labels
+    # and the full run really did drop the merged group to singletons —
+    # otherwise this test exercises nothing
+    boiler_ids = [
+        r.doc_id
+        for r in run_pipeline(
+            spark, spark.createDataFrame(_boiler_docs(6)), cfg
+        ).docs.collect()
+    ]
+    assert all(full_labels[d] == d for d in boiler_ids), (
+        "fixture drift: merged group no longer crosses drop_bucket_over"
+    )
+
+
+def test_update_repair_noop_below_thresholds(spark, tmp_path):
+    """No threshold crossing → repair scope empty and labels still
+    match the full rerun (the common case must not change)."""
+    import pandas as pd
+
+    cfg = DedupConfig(methods=("minhash",))  # default caps far away
+    base = pd.concat([_boiler_docs(4), _filler_docs(30, seed=11)])
+    delta = _boiler_docs(3, start=100)
+    both = pd.concat([base, delta])
+
+    full = run_pipeline(spark, spark.createDataFrame(both), cfg)
+    store = StageStore(
+        root=str(tmp_path / "v1"), config_hash=cfg.config_hash()
+    )
+    run_pipeline(spark, spark.createDataFrame(base), cfg, store=store)
+    upd = update_pipeline(spark, spark.createDataFrame(delta), cfg, store=store)
+    assert _labels(upd) == _labels(full)
+    # the 7-doc merged group is one cluster in both
+    assert len(set(_labels(full).values())) < len(_labels(full))

@@ -112,9 +112,9 @@ def test_jsonl_corrupt_key_collision_is_not_a_reject(spark, tmp_path):
     assert bad.count() == 1
 
 
-def test_ann_ivf_topk_excludes_query_vector(spark):
+def test_ann_ivf_topk_excludes_query_vector(spark, sf_dir):
     from welldedup.queries import QUERIES
 
-    rows = QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001").collect()
+    rows = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r.vec_id != 0 for r in rows), "query vector ranked itself"

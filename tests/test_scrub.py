@@ -54,6 +54,30 @@ def test_remove_boilerplate_lines(spark):
     assert len(out) == 4, "no document silently dropped"
 
 
+def test_remove_boilerplate_trivial_lines_never_stripped(spark):
+    """Ubiquitous SHORT lines (blank lines, '}', 'import os') are
+    structure, not boilerplate — the min_line_chars floor must keep
+    them no matter how many docs they appear in."""
+    docs = spark.createDataFrame(
+        [(i, "alpha_%d\n\n}\nimport os\nomega_%d" % (i, i)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(docs, max_docs=2)
+    row = out.filter("doc_id = 3").collect()[0]
+    assert row.clean_text == "alpha_3\n\n}\nimport os\nomega_3"
+    assert row.n_lines_dropped == 0
+
+
+def test_remove_boilerplate_null_text_not_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "some real text line here"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, max_docs=5).collect()}
+    assert 2 in out, "NULL-text doc silently dropped"
+    assert out[2].clean_text == ""
+
+
 def test_remove_boilerplate_keeps_rare_lines(spark):
     docs = spark.createDataFrame(
         [(i, "shared\nunique_%d" % i) for i in range(10)],

@@ -46,17 +46,21 @@ from pyspark.sql import functions as F
 SHARD_COL = "_shard"
 
 
-def shard_expr(n_shards: int, seed: int = 0, order_col: str = "_shuffle_key"):
+def shard_expr(n_shards: int, order_col: str = "_shuffle_key"):
     """Arithmetic shard id over the int64 hash domain: pure function of
     the key, no sampling.  Decimal(20,0) holds the unsigned offset
-    (int64 + 2^63 overflows bigint)."""
-    # the constants exceed int64 (py4j can't ship them as longs) —
-    # string-cast decimals instead; ceil via integer arithmetic
+    (int64 + 2^63 overflows bigint); the constants exceed int64 too
+    (py4j can't ship them as longs), so they arrive as string-cast
+    decimals.  Integral `DIV`, never `/` + floor: fractional decimal
+    division rounds HALF_UP at scale 18 first, which pushed boundary
+    keys one shard too high (top-of-domain keys landed in a shard id
+    == n_shards, outside the contract)."""
     width = (2**64 + n_shards - 1) // n_shards
-    off = F.col(order_col).cast("decimal(20,0)") + F.lit(str(2**63)).cast(
-        "decimal(20,0)"
+    return F.expr(
+        f"CAST((CAST({order_col} AS DECIMAL(20,0)) + "
+        f"CAST('{2**63}' AS DECIMAL(20,0))) DIV "
+        f"CAST('{width}' AS DECIMAL(20,0)) AS INT)"
     )
-    return F.floor(off / F.lit(str(width)).cast("decimal(20,0)")).cast("int")
 
 
 def shuffled_shards(
@@ -70,7 +74,7 @@ def shuffled_shards(
     exchange, no global sort, no sampled boundaries)."""
     keyed = df.withColumn(
         order_col, F.xxhash64(F.col("doc_id"), F.lit(seed))
-    ).withColumn(SHARD_COL, shard_expr(n_shards, seed, order_col))
+    ).withColumn(SHARD_COL, shard_expr(n_shards, order_col))
     return keyed.repartition(n_shards, F.col(SHARD_COL)).sortWithinPartitions(
         SHARD_COL, order_col
     )

@@ -23,6 +23,18 @@ the update reads OLD data only as compact columnar checkpoints:
      labels are the transitive closure of all old evidence, so the
      components equal a full rerun's without touching old pairs.
 
+Bit-identity with a full rerun has ONE structural hazard: the capped/
+dropped pair emit makes a bucket's evidence non-monotone in corpus
+size, so base-era pairs baked into old labels can exceed what the
+merged-corpus policy would emit (first observed at 200k docs — a
+boilerplate bucket under drop_bucket_over at base size crossed it at
+merged size; full run: singletons, naive update: merged cluster).
+`_divergent_keys` detects exactly those touched groups, and the
+repair step re-derives the affected clusters from checkpointed
+signatures — they ride the probe's NEW side, their old closure is
+discarded — restoring label equality at delta-bounded cost (still no
+content pass; tests/test_incremental.py plants the crossing).
+
 Cost model: content I/O and Python kernels are O(delta); the bucket
 probes are equi-joins of delta-sized streams against bucket/fp
 checkpoints (partition-prunable in prod via Iceberg bucket layout);
@@ -67,6 +79,51 @@ def _touched(old_rows: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataF
     a leftsemi on the group key, so untouched old groups (the vast
     majority) never leave the scan."""
     return old_rows.join(new_rows.select(*keys).distinct(), keys, "leftsemi")
+
+
+def _divergent_keys(
+    old_rows: DataFrame, new_rows: DataFrame, keys: list[str], cfg: DedupConfig
+) -> DataFrame:
+    """Touched group keys whose BASE-era skew policy diverges from the
+    merged-corpus policy — the one place an incremental fold can differ
+    from a full rerun.
+
+    The capped/dropped pair emit makes a bucket's evidence a
+    non-monotone function of corpus size: the base run may have emitted
+    pairs (bucket under `drop_bucket_over` then) that the merged-corpus
+    run suppresses (bucket now over the threshold), or capped a
+    different bottom-`max_bucket` membership.  Those base pairs are
+    baked into the old cluster labels, so they must be re-derived under
+    merged policy (see the repair step in `_update_inner`).
+
+    Flags exactly: base emitted pairs (2 ≤ base_n ≤ D) AND (merged
+    crosses the drop threshold OR the base bottom-K list has members
+    the merged bottom-K list lost).  Untouched buckets have identical
+    contents in both runs and can never diverge; the aggregation here
+    runs over touched old rows only.
+    """
+    K, D = cfg.max_bucket, cfg.drop_bucket_over
+    touched_old = _touched(old_rows, new_rows, keys)
+    base = touched_old.groupBy(*keys).agg(
+        F.count("*").alias("_bn"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_bl"),
+    )
+    delta = new_rows.groupBy(*keys).agg(
+        F.count("*").alias("_dn"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_dl"),
+    )
+    j = base.join(delta, keys)
+    merged_list = F.slice(
+        F.sort_array(F.concat(F.col("_bl"), F.col("_dl"))), 1, K
+    )
+    return j.filter(
+        (F.col("_bn") >= 2)
+        & (F.col("_bn") <= D)
+        & (
+            ((F.col("_bn") + F.col("_dn")) > D)
+            | (F.size(F.array_except(F.col("_bl"), merged_list)) > 0)
+        )
+    ).select(*keys, F.col("_bl"))
 
 
 def update_pipeline(
@@ -152,41 +209,115 @@ def _update_inner(
     new_docs = new_sigs.select(*DOCS_COLS)
     new_ids = new_docs.select("doc_id")
 
-    # --- 2. candidate pairs: new-new ∪ new-old (never old-old)
+    # --- 1.5 policy-divergence repair scope: clusters whose base-era
+    # capped/dropped pair evidence the merged-corpus skew policy would
+    # not reproduce must be re-derived from signatures (no content
+    # pass) — otherwise labels drift from a full rerun exactly at the
+    # cap/drop boundaries (observed at 200k docs: a boilerplate bucket
+    # kept at base size crossed drop_bucket_over at merged size)
+    div_parts: list[DataFrame] = []
+    if "minhash" in cfg.methods:
+        div_parts.append(
+            _divergent_keys(
+                lsh.band_buckets(old_sigs, cfg),
+                lsh.band_buckets(new_sigs, cfg),
+                ["band_id", "band_hash"],
+                cfg,
+            ).select(F.explode("_bl").alias("doc_id"))
+        )
+    if "simhash" in cfg.methods:
+        div_parts.append(
+            _divergent_keys(
+                lsh.simhash_buckets(old_sigs, cfg),
+                lsh.simhash_buckets(new_sigs, cfg),
+                ["band_id", "band_hash"],
+                cfg,
+            ).select(F.explode("_bl").alias("doc_id"))
+        )
+    if "substr" in cfg.methods:
+        div_parts.append(
+            _divergent_keys(
+                old_sigs.select("doc_id", F.explode("fps").alias("fp")),
+                new_sigs.select("doc_id", F.explode("fps").alias("fp")),
+                ["fp"],
+                cfg,
+            ).select(F.explode("_bl").alias("doc_id"))
+        )
+    repair = None
+    n_repair = 0
+    if div_parts:
+        a0 = div_parts[0]
+        for d in div_parts[1:]:
+            a0 = a0.unionByName(d)
+        # close over whole old clusters: a divergent doc's baked-in
+        # closure may span docs outside the divergent bucket
+        a_clusters = (
+            old_clusters.join(a0.distinct(), "doc_id", "leftsemi")
+            .select("cluster_id")
+            .distinct()
+        )
+        t0 = time.monotonic()
+        repair = (
+            old_clusters.join(a_clusters, "cluster_id", "leftsemi")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n_repair = repair.count()
+        timer.record(
+            "repair_scope", None, n_repair, int((time.monotonic() - t0) * 1000)
+        )
+
+    # --- 2. candidate pairs: new-new ∪ new-old (never old-old); repair
+    # docs ride the NEW side (their signatures come from the old
+    # checkpoint) so their evidence regenerates under merged policy
+    if n_repair:
+        probe_ids = new_ids.unionByName(repair)
+        a_sigs = old_sigs.join(repair, "doc_id", "leftsemi")
+        probe_sigs = new_sigs.unionByName(a_sigs.select(*new_sigs.columns))
+        old_probe_sigs = old_sigs.join(repair, "doc_id", "left_anti")
+        old_probe_docs = old_docs.join(repair, "doc_id", "left_anti")
+        probe_docs_sha = new_docs.select("doc_id", "content_sha256").unionByName(
+            old_docs.join(repair, "doc_id", "leftsemi").select(
+                "doc_id", "content_sha256"
+            )
+        )
+    else:
+        probe_ids = new_ids
+        probe_sigs = new_sigs
+        old_probe_sigs = old_sigs
+        old_probe_docs = old_docs
+        probe_docs_sha = new_docs.select("doc_id", "content_sha256")
+
     parts: list[DataFrame] = []
     # exact: only sha groups the delta touches; star edges over the
     # touched old members ∪ the new members reconnect new docs to the
     # group min exactly as a full run would
     touched_sha = _touched(
-        old_docs.select("doc_id", "content_sha256"),
-        new_docs.select("content_sha256"),
+        old_probe_docs.select("doc_id", "content_sha256"),
+        probe_docs_sha.select("content_sha256"),
         ["content_sha256"],
     )
-    parts.append(
-        lsh.exact_dup_pairs(
-            touched_sha.unionByName(new_docs.select("doc_id", "content_sha256"))
-        )
-    )
+    parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(probe_docs_sha)))
     if "minhash" in cfg.methods:
-        bn = lsh.band_buckets(new_sigs, cfg)
+        bn = lsh.band_buckets(probe_sigs, cfg)
         bo = _touched(
-            lsh.band_buckets(old_sigs, cfg), bn, ["band_id", "band_hash"]
+            lsh.band_buckets(old_probe_sigs, cfg), bn, ["band_id", "band_hash"]
         )
         parts.append(
             lsh.candidate_pairs_from_buckets(bn.unionByName(bo), cfg, "minhash")
         )
     if "simhash" in cfg.methods:
-        sn = lsh.simhash_buckets(new_sigs, cfg)
+        sn = lsh.simhash_buckets(probe_sigs, cfg)
         so = _touched(
-            lsh.simhash_buckets(old_sigs, cfg), sn, ["band_id", "band_hash"]
+            lsh.simhash_buckets(old_probe_sigs, cfg), sn, ["band_id", "band_hash"]
         )
         parts.append(
             lsh.candidate_pairs_from_buckets(sn.unionByName(so), cfg, "simhash")
         )
     if "substr" in cfg.methods:
-        fn = new_sigs.select("doc_id", F.explode("fps").alias("fp"))
+        fn = probe_sigs.select("doc_id", F.explode("fps").alias("fp"))
         fo = _touched(
-            old_sigs.select("doc_id", F.explode("fps").alias("fp")), fn, ["fp"]
+            old_probe_sigs.select("doc_id", F.explode("fps").alias("fp")), fn, ["fp"]
         )
         # fingerprint_pairs scans its input twice (count phase + list
         # build) — materialize the semi-joined stream once
@@ -202,7 +333,7 @@ def _update_inner(
     # mistake a delta-only pair table for the corpus-wide one
     pairs = stage(
         "candidate_pairs_delta",
-        _at_least_one_new(dedup_pairs_by_priority(allp), new_ids),
+        _at_least_one_new(dedup_pairs_by_priority(allp), probe_ids),
     )
 
     # --- 3. verify (content-free: fused columns carry everything; the
@@ -226,8 +357,17 @@ def _update_inner(
     )
 
     # --- 4. clusters: old labels (as star edges — the transitive
-    # closure of all old evidence) ∪ new dup edges
-    old_edges = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+    # closure of all old evidence) ∪ new dup edges.  Repair-scope
+    # clusters contribute NO old edges: their closure was built under
+    # base-era bucket policy and has been regenerated above under the
+    # merged policy (repair is cluster-closed, so surviving old star
+    # edges never reference a repaired doc)
+    old_keep = (
+        old_clusters.join(repair, "doc_id", "left_anti")
+        if n_repair
+        else old_clusters
+    )
+    old_edges = old_keep.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
     )
     new_edges = verified.filter("dup").select("id_a", "id_b")

@@ -2163,7 +2163,8 @@ l AS (
   )
 ),
 freq AS (
-  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 100
+  SELECT line FROM l WHERE length(line) >= 10
+  GROUP BY line HAVING count(DISTINCT doc_id) > 100
 )
 SELECT l.doc_id,
        coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,

@@ -70,21 +70,35 @@ def scrub_expr(text_col: str | Column) -> Column:
 def remove_boilerplate_lines(
     docs: DataFrame,
     max_docs: int,
+    min_line_chars: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Strip every line that occurs in more than `max_docs` DISTINCT
-    documents; returns (id_col, clean_text, n_lines_kept,
-    n_lines_dropped).  Documents whose lines are all boilerplate come
-    back with clean_text = '' (never silently dropped)."""
+    """Strip every line of length ≥ `min_line_chars` that occurs in
+    more than `max_docs` DISTINCT documents; returns (id_col,
+    clean_text, n_lines_kept, n_lines_dropped).  Documents whose lines
+    are all boilerplate come back with clean_text = '' (never silently
+    dropped); NULL text is treated as '' for the same reason.
+
+    `min_line_chars` is the trivial-line guard: on any real corpus,
+    blank lines, '}', 'import os' and the like occur in more documents
+    than ANY max_docs threshold — without a substance floor they would
+    be classified boilerplate and stripped from every file, collapsing
+    paragraph breaks and corrupting code.  Boilerplate worth removing
+    (license banners, generated headers) is long; ubiquitous short
+    syntax is structure."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     # distinct-doc count per line: partial-agg shuffle on the line key
-    # only; the surviving "frequent" dim is small by construction
+    # only (short lines pre-filtered out of the aggregation entirely);
+    # the surviving "frequent" dim is small by construction
     frequent = (
-        lines.groupBy("line")
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
         .agg(F.count_distinct(id_col).alias("nd"))
         .filter(F.col("nd") > max_docs)
         .select("line")
