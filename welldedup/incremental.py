@@ -104,25 +104,38 @@ def _divergent_keys(
     """
     K, D = cfg.max_bucket, cfg.drop_bucket_over
     touched_old = _touched(old_rows, new_rows, keys)
-    base = touched_old.groupBy(*keys).agg(
-        F.count("*").alias("_bn"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_bl"),
+    # count-first discipline (same as the pair emit's two-phase shape):
+    # lists are collected ONLY for keys that can possibly diverge —
+    # 2 ≤ base_n ≤ D (base emitted pairs, so the list is ≤ D ids) and
+    # merged_n > K (some truncation differs) — never for the huge
+    # over-threshold buckets, whose base evidence is empty by policy
+    bcnt = touched_old.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    dcnt = new_rows.groupBy(*keys).agg(F.count("*").alias("_dn"))
+    cand = (
+        bcnt.join(dcnt, keys)
+        .filter(
+            (F.col("_bn") >= 2)
+            & (F.col("_bn") <= D)
+            & ((F.col("_bn") + F.col("_dn")) > K)
+        )
     )
-    delta = new_rows.groupBy(*keys).agg(
-        F.count("*").alias("_dn"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_dl"),
+    base = (
+        touched_old.join(cand.select(*keys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_bl"))
     )
-    j = base.join(delta, keys)
+    delta = (
+        new_rows.join(cand.select(*keys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_dl"))
+    )
+    j = cand.join(base, keys).join(delta, keys)
     merged_list = F.slice(
         F.sort_array(F.concat(F.col("_bl"), F.col("_dl"))), 1, K
     )
     return j.filter(
-        (F.col("_bn") >= 2)
-        & (F.col("_bn") <= D)
-        & (
-            ((F.col("_bn") + F.col("_dn")) > D)
-            | (F.size(F.array_except(F.col("_bl"), merged_list)) > 0)
-        )
+        ((F.col("_bn") + F.col("_dn")) > D)
+        | (F.size(F.array_except(F.col("_bl"), merged_list)) > 0)
     ).select(*keys, F.col("_bl"))
 
 
