@@ -82,7 +82,7 @@ def _touched(old_rows: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataF
 
 
 def _divergent_keys(
-    old_rows: DataFrame, new_rows: DataFrame, keys: list[str], cfg: DedupConfig
+    touched_old: DataFrame, new_rows: DataFrame, keys: list[str], cfg: DedupConfig
 ) -> DataFrame:
     """Touched group keys whose BASE-era skew policy diverges from the
     merged-corpus policy — the one place an incremental fold can differ
@@ -99,11 +99,15 @@ def _divergent_keys(
     Flags exactly: base emitted pairs (2 ≤ base_n ≤ D) AND (merged
     crosses the drop threshold OR the base bottom-K list has members
     the merged bottom-K list lost).  Untouched buckets have identical
-    contents in both runs and can never diverge; the aggregation here
-    runs over touched old rows only.
+    contents in both runs and can never diverge.
+
+    `touched_old` must be the MATERIALIZED touched-old-rows stream (the
+    caller checkpoints it and reuses it as the probe's old side): the
+    detection reads it twice (counts, then bounded lists), and lazily
+    that would mean re-running the old-bucket scan + semi-join per
+    read — measured at ~2× the probe stage's own wall at 200k docs.
     """
     K, D = cfg.max_bucket, cfg.drop_bucket_over
-    touched_old = _touched(old_rows, new_rows, keys)
     # count-first discipline (same as the pair emit's two-phase shape):
     # lists are collected ONLY for keys that can possibly diverge —
     # 2 ≤ base_n ≤ D (base emitted pairs, so the list is ≤ D ids) and
@@ -227,35 +231,37 @@ def _update_inner(
     # not reproduce must be re-derived from signatures (no content
     # pass) — otherwise labels drift from a full rerun exactly at the
     # cap/drop boundaries (observed at 200k docs: a boilerplate bucket
-    # kept at base size crossed drop_bucket_over at merged size)
-    div_parts: list[DataFrame] = []
-    if "minhash" in cfg.methods:
-        div_parts.append(
-            _divergent_keys(
-                lsh.band_buckets(old_sigs, cfg),
-                lsh.band_buckets(new_sigs, cfg),
-                ["band_id", "band_hash"],
-                cfg,
-            ).select(F.explode("_bl").alias("doc_id"))
+    # kept at base size crossed drop_bucket_over at merged size).
+    # Each method's touched-old stream is materialized ONCE here and,
+    # in the no-repair common case, reused verbatim as the probe's old
+    # side — detection then costs one old-bucket scan per method total.
+    def _method_frames(method: str):
+        if method == "minhash":
+            nb = lsh.band_buckets(new_sigs, cfg)
+            ob = lsh.band_buckets(old_sigs, cfg)
+            keys = ["band_id", "band_hash"]
+        elif method == "simhash":
+            nb = lsh.simhash_buckets(new_sigs, cfg)
+            ob = lsh.simhash_buckets(old_sigs, cfg)
+            keys = ["band_id", "band_hash"]
+        else:  # substr
+            nb = new_sigs.select("doc_id", F.explode("fps").alias("fp"))
+            ob = old_sigs.select("doc_id", F.explode("fps").alias("fp"))
+            keys = ["fp"]
+        touched = _touched(ob, nb, keys).localCheckpoint(eager=True)
+        return nb, touched, keys
+
+    frames = {
+        m: _method_frames(m)
+        for m in ("minhash", "simhash", "substr")
+        if m in cfg.methods
+    }
+    div_parts: list[DataFrame] = [
+        _divergent_keys(touched, nb, keys, cfg).select(
+            F.explode("_bl").alias("doc_id")
         )
-    if "simhash" in cfg.methods:
-        div_parts.append(
-            _divergent_keys(
-                lsh.simhash_buckets(old_sigs, cfg),
-                lsh.simhash_buckets(new_sigs, cfg),
-                ["band_id", "band_hash"],
-                cfg,
-            ).select(F.explode("_bl").alias("doc_id"))
-        )
-    if "substr" in cfg.methods:
-        div_parts.append(
-            _divergent_keys(
-                old_sigs.select("doc_id", F.explode("fps").alias("fp")),
-                new_sigs.select("doc_id", F.explode("fps").alias("fp")),
-                ["fp"],
-                cfg,
-            ).select(F.explode("_bl").alias("doc_id"))
-        )
+        for nb, touched, keys in frames.values()
+    ]
     repair = None
     n_repair = 0
     if div_parts:
@@ -312,33 +318,43 @@ def _update_inner(
     )
     parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(probe_docs_sha)))
     if "minhash" in cfg.methods:
-        bn = lsh.band_buckets(probe_sigs, cfg)
-        bo = _touched(
-            lsh.band_buckets(old_probe_sigs, cfg), bn, ["band_id", "band_hash"]
-        )
+        if n_repair:
+            bn = lsh.band_buckets(probe_sigs, cfg)
+            bo = _touched(
+                lsh.band_buckets(old_probe_sigs, cfg), bn, ["band_id", "band_hash"]
+            )
+        else:  # reuse the detection pass's materialized frames
+            bn, bo = frames["minhash"][0], frames["minhash"][1]
         parts.append(
             lsh.candidate_pairs_from_buckets(bn.unionByName(bo), cfg, "minhash")
         )
     if "simhash" in cfg.methods:
-        sn = lsh.simhash_buckets(probe_sigs, cfg)
-        so = _touched(
-            lsh.simhash_buckets(old_probe_sigs, cfg), sn, ["band_id", "band_hash"]
-        )
+        if n_repair:
+            sn = lsh.simhash_buckets(probe_sigs, cfg)
+            so = _touched(
+                lsh.simhash_buckets(old_probe_sigs, cfg), sn, ["band_id", "band_hash"]
+            )
+        else:
+            sn, so = frames["simhash"][0], frames["simhash"][1]
         parts.append(
             lsh.candidate_pairs_from_buckets(sn.unionByName(so), cfg, "simhash")
         )
     if "substr" in cfg.methods:
-        fn = probe_sigs.select("doc_id", F.explode("fps").alias("fp"))
-        fo = _touched(
-            old_probe_sigs.select("doc_id", F.explode("fps").alias("fp")), fn, ["fp"]
-        )
-        # fingerprint_pairs scans its input twice (count phase + list
-        # build) — materialize the semi-joined stream once
-        parts.append(
-            substr.fingerprint_pairs(
-                fn.unionByName(fo).localCheckpoint(eager=True), cfg
+        if n_repair:
+            fn = probe_sigs.select("doc_id", F.explode("fps").alias("fp"))
+            fo = _touched(
+                old_probe_sigs.select("doc_id", F.explode("fps").alias("fp")),
+                fn,
+                ["fp"],
             )
-        )
+            # fingerprint_pairs scans its input twice (count phase +
+            # list build) — materialize the semi-joined stream once
+            fpin = fn.unionByName(fo).localCheckpoint(eager=True)
+        else:
+            fn, fo = frames["substr"][0], frames["substr"][1]
+            # fo is already materialized; fn reads the delta checkpoint
+            fpin = fn.unionByName(fo)
+        parts.append(substr.fingerprint_pairs(fpin, cfg))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
