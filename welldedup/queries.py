@@ -1450,6 +1450,59 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+def q_asof_join_null_values(spark, sf_dir):
+    """As-of join with a NULLABLE value column: a third of the right
+    rows carry NULL in one value column, and the matched row must come
+    through ATOMICALLY — the NULL stays NULL (no backfill from an older
+    row) and the two value columns always originate from the same right
+    row.  This pins the row-struct semantics against DuckDB's native
+    ASOF JOIN, which is row-atomic by construction (a column-wise
+    last(ignorenulls) fill would diverge here)."""
+    from .joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias("p"),
+        )
+        .select(
+            "user_id",
+            "o_orderdate",
+            "last_orderkey",
+            F.when(F.col("last_orderkey") % 3 != 0, F.col("p")).alias(
+                "nullable_price"
+            ),
+        )
+    )
+    j = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_orderkey", "nullable_price"],
+    )
+    return j.select("event_id", "user_id", "last_orderkey", "nullable_price")
+
+
+SQL_ASOF_JOIN_NULL_VALUES = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS last_orderkey,
+         CASE WHEN max(o_orderkey) % 3 <> 0
+              THEN round(arg_max(o_totalprice, o_orderkey), 4) END
+           AS nullable_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.last_orderkey, o.nullable_price
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
 def q_interval_overlap_events(spark, sf_dir):
     """Range/interval join (joins.interval_join, binned equi-join with
     first-shared-bin emission — no pair-set dedup shuffle): overlapping
@@ -2534,6 +2587,7 @@ QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     # round-5 widening: temporal joins + deterministic sampling
     "asof_join_orders_events": q_asof_join_orders_events,
+    "asof_join_null_values": q_asof_join_null_values,
     "interval_overlap_events": q_interval_overlap_events,
     "stratified_sample_docs": q_stratified_sample_docs,
     "token_pack_bins": q_token_pack_bins,
@@ -2626,6 +2680,7 @@ ORACLES = {
     "date_arith_orders": SQL_DATE_ARITH_ORDERS,
     "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     "asof_join_orders_events": SQL_ASOF_JOIN_ORDERS_EVENTS,
+    "asof_join_null_values": SQL_ASOF_JOIN_NULL_VALUES,
     "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
