@@ -128,3 +128,53 @@ def test_advance_refuses_incomplete_store(tmp_path):
     chain = StoreChain(str(tmp_path / "c"), "cfgh")
     with pytest.raises(ValueError, match="incomplete"):
         chain.advance(0)
+
+
+def test_chain_repairs_threshold_crossing(spark, tmp_path):
+    """A micro-batch that pushes a near-dup group across
+    drop_bucket_over must leave the chain's labels equal to the
+    one-batch run — the incremental repair path works through
+    foreachBatch + StoreChain, not just direct update_pipeline calls."""
+    import pandas as pd
+
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
+    body = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
+
+    def boiler(n, start=0):
+        return pd.DataFrame(
+            {
+                "repo": [f"r{start + i}" for i in range(n)],
+                "path": [f"boiler/{start + i}.py" for i in range(n)],
+                "commit": ["c0"] * n,
+                "lang": ["py"] * n,
+                "content": [body + " " * (start + i + 1) + "\n" for i in range(n)],
+            }
+        )
+
+    filler, _ = corpus_to_pandas(make_corpus(40, seed=13))
+    f0 = pd.concat([boiler(6), filler])
+    f1 = boiler(5, start=100)
+    src = tmp_path / "src"
+    src.mkdir()
+    f0.to_parquet(src / "part0.parquet", index=False)
+    f1.to_parquet(src / "part1.parquet", index=False)
+
+    stats: dict = {}
+    q = cluster_maintenance_stream(
+        read_code_files_stream(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "chain"),
+        str(tmp_path / "ckpt"),
+        cfg=cfg,
+        stats=stats,
+    ).start()
+    q.awaitTermination()
+    assert len(stats) == 2
+
+    full = run_pipeline(
+        spark, spark.createDataFrame(pd.concat([f0, f1])), cfg
+    )
+    chain = StoreChain(str(tmp_path / "chain"), cfg.config_hash())
+    got = _labels(
+        spark.read.parquet(os.path.join(chain.current().root, "clusters"))
+    )
+    assert got == _labels(full.clusters)
