@@ -24,3 +24,24 @@ def corpus300():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def boiler_docs(n, start=0):
+    """Near-dup planted group for threshold-crossing tests: IDENTICAL
+    token streams (normalize collapses whitespace) but DISTINCT sha256
+    — minhash buckets collide for every band while the exact path
+    stays out of the way.  `start` offsets the whitespace suffix too:
+    docs from different calls must never be byte-identical, or the
+    exact path would pair them and mask the scenario."""
+    import pandas as pd
+
+    body = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
+    return pd.DataFrame(
+        {
+            "repo": [f"r{start + i}" for i in range(n)],
+            "path": [f"boiler/{start + i}.py" for i in range(n)],
+            "commit": ["c0"] * n,
+            "lang": ["py"] * n,
+            "content": [body + " " * (start + i + 1) + "\n" for i in range(n)],
+        }
+    )

@@ -93,25 +93,7 @@ def test_update_plans_read_no_old_content(updated):
         assert "content#" not in plan
 
 
-def _boiler_docs(n, start=0):
-    """Docs with IDENTICAL token streams (normalize collapses
-    whitespace) but DISTINCT sha256 — minhash buckets collide for every
-    band while the exact path stays out of the way."""
-    import pandas as pd
-
-    body = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
-    return pd.DataFrame(
-        {
-            "repo": [f"r{start + i}" for i in range(n)],
-            "path": [f"boiler/{start + i}.py" for i in range(n)],
-            "commit": ["c0"] * n,
-            "lang": ["py"] * n,
-            # start offsets the suffix too: delta docs must never be
-            # byte-identical to base docs (the exact path would pair
-            # them and mask what this fixture exercises)
-            "content": [body + " " * (start + i + 1) + "\n" for i in range(n)],
-        }
-    )
+from conftest import boiler_docs as _boiler_docs
 
 
 def _filler_docs(n, seed):
@@ -175,3 +157,21 @@ def test_update_repair_noop_below_thresholds(spark, tmp_path):
     assert _labels(upd) == _labels(full)
     # the 7-doc merged group is one cluster in both
     assert len(set(_labels(full).values())) < len(_labels(full))
+
+
+def test_update_repairs_crossing_when_drop_below_cap(spark, tmp_path):
+    """Review-confirmed gap: with drop_bucket_over < max_bucket, a
+    merged size in (D, K] is a drop crossing the K-only candidate gate
+    missed — the detection must gate on min(K, D)."""
+    import pandas as pd
+
+    cfg = DedupConfig(methods=("minhash",), max_bucket=64, drop_bucket_over=8)
+    base = pd.concat([_boiler_docs(6), _filler_docs(40, seed=7)])
+    delta = _boiler_docs(5, start=100)
+    both = pd.concat([base, delta])
+
+    full = run_pipeline(spark, spark.createDataFrame(both), cfg)
+    store = StageStore(root=str(tmp_path / "v1"), config_hash=cfg.config_hash())
+    run_pipeline(spark, spark.createDataFrame(base), cfg, store=store)
+    upd = update_pipeline(spark, spark.createDataFrame(delta), cfg, store=store)
+    assert _labels(upd) == _labels(full)

@@ -137,19 +137,9 @@ def test_chain_repairs_threshold_crossing(spark, tmp_path):
     foreachBatch + StoreChain, not just direct update_pipeline calls."""
     import pandas as pd
 
-    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
-    body = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
+    from conftest import boiler_docs as boiler
 
-    def boiler(n, start=0):
-        return pd.DataFrame(
-            {
-                "repo": [f"r{start + i}" for i in range(n)],
-                "path": [f"boiler/{start + i}.py" for i in range(n)],
-                "commit": ["c0"] * n,
-                "lang": ["py"] * n,
-                "content": [body + " " * (start + i + 1) + "\n" for i in range(n)],
-            }
-        )
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
 
     filler, _ = corpus_to_pandas(make_corpus(40, seed=13))
     f0 = pd.concat([boiler(6), filler])

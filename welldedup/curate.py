@@ -129,7 +129,10 @@ def _quality_reject(cfg: "CurateConfig") -> F.Column:
     if cfg.max_line_len is not None:
         cond = cond | (max_ll > cfg.max_line_len)
     if cfg.min_alpha_frac is not None:
-        cond = cond | (alpha < cfg.min_alpha_frac)
+        # alpha_frac is NULL on empty text (0/0); a doc with no
+        # characters has no alphabetic content, so it must FAIL the
+        # alpha floor, not slip past a NULL comparison
+        cond = cond | (F.coalesce(alpha, F.lit(0.0)) < cfg.min_alpha_frac)
     if cfg.drop_autogen:
         cond = cond | autogen
     return cond

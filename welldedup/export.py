@@ -57,7 +57,7 @@ def shard_expr(n_shards: int, order_col: str = "_shuffle_key"):
     == n_shards, outside the contract)."""
     width = (2**64 + n_shards - 1) // n_shards
     return F.expr(
-        f"CAST((CAST({order_col} AS DECIMAL(20,0)) + "
+        f"CAST((CAST(`{order_col}` AS DECIMAL(20,0)) + "
         f"CAST('{2**63}' AS DECIMAL(20,0))) DIV "
         f"CAST('{width}' AS DECIMAL(20,0)) AS INT)"
     )

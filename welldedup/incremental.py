@@ -111,8 +111,12 @@ def _divergent_keys(
     # count-first discipline (same as the pair emit's two-phase shape):
     # lists are collected ONLY for keys that can possibly diverge —
     # 2 ≤ base_n ≤ D (base emitted pairs, so the list is ≤ D ids) and
-    # merged_n > K (some truncation differs) — never for the huge
-    # over-threshold buckets, whose base evidence is empty by policy
+    # merged_n exceeds SOME truncation threshold.  min(K, D), not K:
+    # nothing forbids drop_bucket_over < max_bucket, and a merged size
+    # in (D, K] is a drop crossing the K-only gate would miss (found by
+    # review repro: D=8, K=64, merged=11 → full run drops, naive gate
+    # skipped the repair).  Never collects for the huge over-threshold
+    # buckets, whose base evidence is empty by policy.
     bcnt = touched_old.groupBy(*keys).agg(F.count("*").alias("_bn"))
     dcnt = new_rows.groupBy(*keys).agg(F.count("*").alias("_dn"))
     cand = (
@@ -120,7 +124,7 @@ def _divergent_keys(
         .filter(
             (F.col("_bn") >= 2)
             & (F.col("_bn") <= D)
-            & ((F.col("_bn") + F.col("_dn")) > K)
+            & ((F.col("_bn") + F.col("_dn")) > min(K, D))
         )
     )
     base = (
@@ -235,19 +239,19 @@ def _update_inner(
     # Each method's touched-old stream is materialized ONCE here and,
     # in the no-repair common case, reused verbatim as the probe's old
     # side — detection then costs one old-bucket scan per method total.
-    def _method_frames(method: str):
+    def _method_rows(method: str, sigs: DataFrame) -> tuple[DataFrame, list[str]]:
+        """The ONE definition of each method's group-key row stream —
+        detection and probe both derive from it (a second copy would
+        silently desynchronize them)."""
         if method == "minhash":
-            nb = lsh.band_buckets(new_sigs, cfg)
-            ob = lsh.band_buckets(old_sigs, cfg)
-            keys = ["band_id", "band_hash"]
-        elif method == "simhash":
-            nb = lsh.simhash_buckets(new_sigs, cfg)
-            ob = lsh.simhash_buckets(old_sigs, cfg)
-            keys = ["band_id", "band_hash"]
-        else:  # substr
-            nb = new_sigs.select("doc_id", F.explode("fps").alias("fp"))
-            ob = old_sigs.select("doc_id", F.explode("fps").alias("fp"))
-            keys = ["fp"]
+            return lsh.band_buckets(sigs, cfg), ["band_id", "band_hash"]
+        if method == "simhash":
+            return lsh.simhash_buckets(sigs, cfg), ["band_id", "band_hash"]
+        return sigs.select("doc_id", F.explode("fps").alias("fp")), ["fp"]
+
+    def _method_frames(method: str):
+        nb, keys = _method_rows(method, new_sigs)
+        ob, _ = _method_rows(method, old_sigs)
         touched = _touched(ob, nb, keys).localCheckpoint(eager=True)
         return nb, touched, keys
 
@@ -317,43 +321,33 @@ def _update_inner(
         ["content_sha256"],
     )
     parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(probe_docs_sha)))
-    if "minhash" in cfg.methods:
+    def _probe_rows(method: str) -> DataFrame:
+        """(new ∪ touched-old) group rows for one method.  Repair
+        active → rebuilt around the repair scope (repair docs on the
+        new side); otherwise the detection pass's materialized frames
+        are reused verbatim — one old-bucket scan per method total."""
         if n_repair:
-            bn = lsh.band_buckets(probe_sigs, cfg)
-            bo = _touched(
-                lsh.band_buckets(old_probe_sigs, cfg), bn, ["band_id", "band_hash"]
-            )
-        else:  # reuse the detection pass's materialized frames
-            bn, bo = frames["minhash"][0], frames["minhash"][1]
+            nb, keys = _method_rows(method, probe_sigs)
+            ob, _ = _method_rows(method, old_probe_sigs)
+            return nb.unionByName(_touched(ob, nb, keys))
+        nb, touched, _keys = frames[method]
+        return nb.unionByName(touched)
+
+    if "minhash" in cfg.methods:
         parts.append(
-            lsh.candidate_pairs_from_buckets(bn.unionByName(bo), cfg, "minhash")
+            lsh.candidate_pairs_from_buckets(_probe_rows("minhash"), cfg, "minhash")
         )
     if "simhash" in cfg.methods:
-        if n_repair:
-            sn = lsh.simhash_buckets(probe_sigs, cfg)
-            so = _touched(
-                lsh.simhash_buckets(old_probe_sigs, cfg), sn, ["band_id", "band_hash"]
-            )
-        else:
-            sn, so = frames["simhash"][0], frames["simhash"][1]
         parts.append(
-            lsh.candidate_pairs_from_buckets(sn.unionByName(so), cfg, "simhash")
+            lsh.candidate_pairs_from_buckets(_probe_rows("simhash"), cfg, "simhash")
         )
     if "substr" in cfg.methods:
+        fpin = _probe_rows("substr")
         if n_repair:
-            fn = probe_sigs.select("doc_id", F.explode("fps").alias("fp"))
-            fo = _touched(
-                old_probe_sigs.select("doc_id", F.explode("fps").alias("fp")),
-                fn,
-                ["fp"],
-            )
             # fingerprint_pairs scans its input twice (count phase +
-            # list build) — materialize the semi-joined stream once
-            fpin = fn.unionByName(fo).localCheckpoint(eager=True)
-        else:
-            fn, fo = frames["substr"][0], frames["substr"][1]
-            # fo is already materialized; fn reads the delta checkpoint
-            fpin = fn.unionByName(fo)
+            # list build) — materialize the rebuilt stream once (the
+            # no-repair stream's old side is already checkpointed)
+            fpin = fpin.localCheckpoint(eager=True)
         parts.append(substr.fingerprint_pairs(fpin, cfg))
     allp = parts[0]
     for p in parts[1:]:
