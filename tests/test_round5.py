@@ -43,6 +43,8 @@ ROWS_ONLY_EXPECTED = {
     "semantic_dedup_keep": 1000,     # 500 originals + 500 planted copies
     "simhash_chunks": 1000,          # 2 chunk buckets per doc
     "winnow_fingerprints": 500,
+    "suffix_array_spans": 475,      # 500 planted wraps minus sub-64-char
+                                    # docs, plus natural near-dup spans
 }
 
 

@@ -1,0 +1,196 @@
+"""Suffix-array duplicate-span discovery (welldedup/suffixarray.py).
+
+Kernel vs brute force, exact-LCS cross-check against the independent
+hashed-binary-search verifier (substr.lcs_length), sentinel clipping,
+and the Spark operators (span_groups + duplicate_spans, group_lcs).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from welldedup.substr import lcs_length
+from welldedup.suffixarray import (
+    duplicate_spans,
+    duplicate_spans_kernel,
+    group_lcs,
+    lcp_adjacent,
+    span_groups,
+    suffix_array_doubling,
+)
+
+
+def brute_sa(data: bytes):
+    return sorted(range(len(data)), key=lambda i: data[i:])
+
+
+def brute_lcp(a: bytes, b: bytes) -> int:
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_suffix_array_matches_brute_force(data):
+    sa, _ = suffix_array_doubling(np.frombuffer(data, dtype=np.uint8))
+    assert sa.tolist() == brute_sa(data)
+
+
+@given(st.binary(min_size=2, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_lcp_adjacent_matches_brute_force(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    sa, levels = suffix_array_doubling(arr)
+    lcp = lcp_adjacent(levels, sa, len(data))
+    want = [
+        brute_lcp(data[sa[i]:], data[sa[i + 1]:]) for i in range(len(data) - 1)
+    ]
+    assert lcp.tolist() == want
+
+
+# low-entropy alphabet so random strings actually share substrings
+_tw = st.text(alphabet="abcd", min_size=0, max_size=120)
+
+
+@given(_tw, _tw)
+@settings(max_examples=60, deadline=None)
+def test_two_doc_span_equals_exact_lcs(a, b):
+    """With exactly two documents the max adjacent cross-owner clipped
+    LCP IS the longest common substring — cross-checked against the
+    independent hashed-binary-search implementation."""
+    want = lcs_length(a.encode(), b.encode())
+    out = duplicate_spans_kernel([a, b], [1, 2], min_len=1)
+    got = 0 if out.empty else int(out["span_len"].max())
+    assert got == want
+
+
+def test_kernel_planted_span_and_witness_offsets():
+    noise1 = "def f%d(): return %d\n" * 1
+    a = "".join(f"a{i} " for i in range(40)) + "SHARED SEGMENT OF CODE HERE" + "tail-a"
+    b = "prefix-b " + "SHARED SEGMENT OF CODE HERE" + "".join(
+        f"b{i} " for i in range(40)
+    )
+    out = duplicate_spans_kernel([a, b], [7, 9], min_len=10)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.doc_a, row.doc_b) == (7, 9)
+    span = a[int(row.a_off) : int(row.a_off) + int(row.span_len)]
+    assert span == b[int(row.b_off) : int(row.b_off) + int(row.span_len)]
+    assert "SHARED SEGMENT OF CODE HERE" in span
+    assert int(row.span_len) == lcs_length(a.encode(), b.encode())
+    assert noise1  # keep linters honest about the unused template
+
+
+def test_sentinel_never_bridges_documents():
+    """A doc containing the literal sentinel byte must not match a
+    doc-boundary + sentinel + next-doc run in the concatenation."""
+    a, b, c = "abcabc", "defdef", "abcabc\x00defdef"
+    out = duplicate_spans_kernel([a, b, c], [1, 2, 3], min_len=3)
+    got = {(r.doc_a, r.doc_b): r.span_len for r in out.itertuples()}
+    assert got[(1, 3)] == 6  # "abcabc", NOT "abcabc\x00defdef"
+    assert got[(2, 3)] == 6
+    assert (1, 2) not in got
+
+
+def test_identical_docs_span_is_full_length():
+    t = "x = 1\ny = 2\n" * 20
+    out = duplicate_spans_kernel([t, t, t], [3, 1, 2], min_len=8)
+    got = {(r.doc_a, r.doc_b): r.span_len for r in out.itertuples()}
+    # the documented contract: pairwise span is exact for ADJACENT
+    # pairs and a lower bound inside longer chains — so the full-length
+    # pairs alone must connect all three docs (union-find)
+    full = [(a, b) for (a, b), v in got.items() if v == len(t)]
+    parents = {1: 1, 2: 2, 3: 3}
+
+    def find(x):
+        while parents[x] != x:
+            x = parents[x]
+        return x
+
+    for da, db in full:
+        parents[find(da)] = find(db)
+    assert len({find(i) for i in (1, 2, 3)}) == 1
+
+
+def test_same_doc_internal_repetition_flag():
+    t = "HEADER-BLOCK-1234567890" * 2 + "unique tail"
+    out = duplicate_spans_kernel([t], [5], min_len=10, same_doc=True)
+    assert len(out) == 1 and out.iloc[0].doc_a == 5 and out.iloc[0].doc_b == 5
+    assert int(out.iloc[0].span_len) >= len("HEADER-BLOCK-1234567890")
+    # default: internal repetitions are not reported
+    assert duplicate_spans_kernel([t], [5], min_len=10).empty
+
+
+def test_min_len_threshold_filters():
+    a, b = "zz COMMON zz", "yy COMMON yy"
+    assert duplicate_spans_kernel([a, b], [1, 2], min_len=9).empty
+    assert len(duplicate_spans_kernel([a, b], [1, 2], min_len=8)) == 1
+
+
+def _span_docs(spark):
+    shared = "\n".join(f"def util_{i}(x):\n    return x * {i}" for i in range(30))
+    rows = []
+    for d in range(8):
+        rows.append((d, f"unique doc {d} " + f"filler_{d} " * 200))
+    rows.append((100, "intro-a\n" + shared + "\nouttro-a"))
+    rows.append((101, "intro-bbbb\n" + shared + "\nouttro-bbbb"))
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "content"])
+        ),
+        shared,
+    )
+
+
+def test_group_lcs_spark_operator(spark):
+    docs, shared = _span_docs(spark)
+    out = group_lcs(docs, min_len=64).orderBy("doc_a", "doc_b").toPandas()
+    assert [(r.doc_a, r.doc_b) for r in out.itertuples()] == [(100, 101)]
+    assert int(out.iloc[0].span_len) >= len(shared)
+
+
+def test_span_groups_plus_duplicate_spans_finds_planted_pair(spark):
+    docs, shared = _span_docs(spark)
+    grouped = span_groups(docs, m=4)
+    out = duplicate_spans(grouped, min_len=64).toPandas()
+    pairs = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert (100, 101) in pairs
+    row = out[(out.doc_a == 100) & (out.doc_b == 101)].iloc[0]
+    assert int(row.span_len) >= len(shared)
+    # witness offsets index into the ORIGINAL documents
+    a_txt = docs.filter("doc_id = 100").collect()[0].content
+    b_txt = docs.filter("doc_id = 101").collect()[0].content
+    w = a_txt[int(row.a_off) : int(row.a_off) + int(row.span_len)]
+    assert w == b_txt[int(row.b_off) : int(row.b_off) + int(row.span_len)]
+
+
+def test_duplicate_spans_group_cap_is_deterministic(spark):
+    t = "shared-block " * 50
+    pdf = pd.DataFrame(
+        {"group": [1] * 6, "doc_id": [5, 3, 1, 4, 2, 6], "content": [t] * 6}
+    )
+    docs = spark.createDataFrame(pdf)
+    out = duplicate_spans(docs, min_len=16, max_group_docs=3).toPandas()
+    touched = set(out.doc_a) | set(out.doc_b)
+    assert touched <= {1, 2, 3}  # lowest ids kept, higher ids truncated
+    assert len(touched) == 3
+
+
+def test_duplicate_spans_dedups_across_groups(spark):
+    t = "the same long shared content block " * 20
+    pdf = pd.DataFrame(
+        {
+            "group": [10, 10, 20, 20],
+            "doc_id": [1, 2, 1, 2],
+            "content": [t, t + "tail", t, t + "tail"],
+        }
+    )
+    out = duplicate_spans(spark.createDataFrame(pdf), min_len=32).toPandas()
+    assert len(out) == 1  # one row per pair even when found in 2 groups
+    assert int(out.iloc[0].span_len) == len(t)

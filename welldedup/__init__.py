@@ -14,6 +14,7 @@ from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
+from .suffixarray import duplicate_spans, group_lcs, span_groups
 
 __all__ = [
     "DedupConfig",
@@ -29,5 +30,8 @@ __all__ = [
     "pii_counts",
     "scrub_expr",
     "remove_boilerplate_lines",
+    "span_groups",
+    "duplicate_spans",
+    "group_lcs",
 ]
 __version__ = "0.1.0"

@@ -1002,6 +1002,29 @@ def q_simhash_chunks(spark, sf_dir):
     return lsh.simhash_buckets(sigs, CFG)
 
 
+def q_suffix_array_spans(spark, sf_dir):
+    """Exact duplicate-span discovery via the generalized suffix-array
+    kernel (suffixarray.py, SURVEY.md §2 row S9b): plant vendored
+    copies by wrapping each document in fresh boilerplate (distinct
+    sha256, large shared span), co-locate with bottom-m CDC
+    fingerprints, run the SA kernel per group, one max-span row per
+    pair.  Rows-only: exact per-pair LCS is not SQL-expressible."""
+    from . import suffixarray
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("// vendored from upstream\n"),
+            F.col("text"),
+            F.lit("\n// end vendored block\n"),
+        ).alias("text"),
+    )
+    u = d.unionByName(planted).withColumnRenamed("text", "content")
+    grouped = suffixarray.span_groups(u, CFG, m=4, text_col="content")
+    return suffixarray.duplicate_spans(grouped, min_len=64)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     prepared = prep.prepare_docs(docs_as_code_files(spark, sf_dir), CFG)
     udf = substr.make_winnow_udf(CFG)
@@ -2629,6 +2652,7 @@ QUERIES = {
     "candidate_pairs_minhash": q_candidate_pairs_minhash,
     "simhash_chunks": q_simhash_chunks,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "suffix_array_spans": q_suffix_array_spans,
     "langid": q_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_pairs": q_ann_lsh_pairs,

@@ -1,0 +1,320 @@
+"""True suffix-array duplicate-span discovery (SURVEY.md §2 row S9b).
+
+The north_star names "suffix-array substring dedup" explicitly.  The
+corpus-scale path in this engine is the CDC fingerprint filter
+(`substr.py` — content-local selection, groupBy-join, Chernoff-tail
+guarantee) plus the exact hashed-binary-search LCS verifier
+(`substr.exact_substring_verify`).  This module supplies the literal
+suffix structure those two bracket: a NUMPY PREFIX-DOUBLING
+GENERALIZED SUFFIX ARRAY over a bounded group of documents, with
+vectorized LCP between lexicographically adjacent suffixes, emitting
+every cross-document duplicate span >= min_len inside the group.
+
+Why a GROUP kernel and not one global SA: a 10^12-file corpus cannot
+be co-resident, and a distributed SA (prefix-bucketed suffixes) costs
+one row per corpus CHARACTER — the wrong shape on Spark.  The scalable
+composition is index-bounds-who-gets-compared: co-locate documents
+likely to share spans (bottom-m CDC fingerprints — the same 1-perm
+MinHash argument as LSH, helper `span_groups`), then run the exact SA
+kernel per group via `applyInPandas`.  Group bytes are bounded by
+construction (cap + observe-metrics, like every other bucket path in
+this engine); within a group the discovery is EXACT — unlike the
+pairwise LCS verifier it needs no candidate pairs at all, so it also
+surfaces duplicate spans the fingerprint filter's density sampling
+would only catch probabilistically.
+
+Kernel complexity: prefix doubling is O(n log^2 n) in numpy lexsort
+passes (log n levels, each a 2-key radix-ish sort), memory is one
+int32 rank array per level (n * 4 bytes * log2 n).  LCP between
+adjacent suffixes descends the SAME doubling levels (largest power
+first), fully vectorized over all n-1 adjacent pairs — no sequential
+Kasai walk, which would be a per-char Python loop here.
+
+Soundness/completeness of the emission: adjacent suffixes in the SA
+with clipped LCP >= L certify a shared L-char substring (sound —
+byte-equal by construction, clipped at document ends so a span can
+never cross the 0x00 sentinels).  If k documents share a span, their
+suffixes form a contiguous SA block whose adjacent LCPs are all >= L,
+so the emitted adjacency chain connects all k (connected components
+recovers the full duplicate set); the pairwise MAX span is exact for
+adjacent pairs and a lower bound inside longer chains — use
+`substr.exact_substring_verify` when the exact pairwise LCS of a
+non-adjacent pair matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "suffix_array_doubling",
+    "lcp_adjacent",
+    "duplicate_spans_kernel",
+    "span_groups",
+    "duplicate_spans",
+    "group_lcs",
+]
+
+
+def suffix_array_doubling(data: np.ndarray):
+    """Suffix array of `data` (uint8) by prefix doubling.
+
+    Returns (sa, levels): `sa` is the suffix order; `levels[j]` is the
+    int64 rank array of the length-2^j prefixes (levels[0] = byte
+    values), kept for the vectorized LCP descent.  Two suffixes have
+    equal rank at level j iff their length-2^j prefixes are equal as
+    padded strings (end-of-string pads compare equal only to other
+    pads at the same relative offset, the standard -1 trick), which is
+    exactly the predicate `lcp_adjacent` needs.
+    """
+    n = int(data.shape[0])
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), [np.zeros(0, dtype=np.int64)]
+    rank = data.astype(np.int64)
+    levels = [rank]
+    order = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r_ord = rank[order]
+        k_ord = key2[order]
+        diff = np.ones(n, dtype=bool)
+        diff[1:] = (r_ord[1:] != r_ord[:-1]) | (k_ord[1:] != k_ord[:-1])
+        new = np.empty(n, dtype=np.int64)
+        new[order] = np.cumsum(diff) - 1
+        rank = new
+        levels.append(rank)
+        k *= 2
+        if rank[order[-1]] == n - 1:  # all ranks distinct -> order final
+            break
+    return order, levels
+
+
+def lcp_adjacent(levels, sa: np.ndarray, n: int) -> np.ndarray:
+    """LCP between sa[i] and sa[i+1] for all i, vectorized.
+
+    Descends the doubling levels largest-first: where the level-j
+    ranks match, both suffixes share (at least) their next 2^j chars —
+    add 2^j and advance.  If both suffixes END inside the window their
+    ranks also match and 2^j overcounts the true remaining length;
+    callers clip at document ends (duplicate_spans_kernel does), which
+    subsumes that overcount, so no end-length correction is needed
+    here.
+    """
+    m = sa.shape[0] - 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.int64)
+    x = sa[:-1].copy()
+    y = sa[1:].copy()
+    lcp = np.zeros(m, dtype=np.int64)
+    for j in range(len(levels) - 1, -1, -1):
+        k = np.int64(1) << j
+        lev = levels[j]
+        ok = (x < n) & (y < n)
+        idx = np.nonzero(ok)[0]
+        if idx.size == 0:
+            break
+        eq = lev[x[idx]] == lev[y[idx]]
+        hit = idx[eq]
+        lcp[hit] += k
+        x[hit] += k
+        y[hit] += k
+    return lcp
+
+
+def duplicate_spans_kernel(
+    texts, doc_ids, min_len: int, same_doc: bool = False
+) -> pd.DataFrame:
+    """Exact cross-document duplicate spans within one group.
+
+    texts: iterable of str/bytes; doc_ids: parallel int64 ids.
+    Emits one row per lexicographically adjacent cross-document
+    suffix pair with clipped LCP >= min_len, aggregated to the MAX
+    span per unordered (doc_a < doc_b) pair with the witnessing
+    offsets.  `same_doc=True` additionally reports internal
+    repetitions (doc_a == doc_b, distinct offsets).
+    """
+    bufs = []
+    ids = []
+    for t, d in zip(texts, doc_ids):
+        if t is None:
+            t = b""
+        if isinstance(t, str):
+            t = t.encode("utf-8", "ignore")
+        bufs.append(np.frombuffer(t, dtype=np.uint8))
+        ids.append(int(d))
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "span_len": pd.Series([], dtype="int64"),
+            "a_off": pd.Series([], dtype="int64"),
+            "b_off": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(bufs) < 2 and not same_doc:
+        return empty
+    lens = np.array([b.shape[0] for b in bufs], dtype=np.int64)
+    # concat with a 0x00 sentinel after each doc (spans clip at doc
+    # ends, so the sentinel value never needs to be unique)
+    starts = np.zeros(len(bufs), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    ends = starts + lens  # exclusive, sentinel excluded
+    total = int(ends[-1]) + 1 if len(bufs) else 0
+    data = np.zeros(total, dtype=np.uint8)
+    for s, b in zip(starts, bufs):
+        data[s : s + b.shape[0]] = b
+    n = data.shape[0]
+    if n < 2:
+        return empty
+
+    sa, levels = suffix_array_doubling(data)
+    lcp = lcp_adjacent(levels, sa, n)
+
+    x = sa[:-1]
+    y = sa[1:]
+    # owner of each suffix position (sentinel positions belong to the
+    # preceding doc; their clipped span is <= 0 so they never emit)
+    own_x = np.searchsorted(starts, x, side="right") - 1
+    own_y = np.searchsorted(starts, y, side="right") - 1
+    span = np.minimum(lcp, np.minimum(ends[own_x] - x, ends[own_y] - y))
+    keep = span >= min_len
+    if not same_doc:
+        keep &= own_x != own_y
+    if not keep.any():
+        return empty
+
+    ax = np.asarray(ids, dtype=np.int64)
+    da = ax[own_x[keep]]
+    db = ax[own_y[keep]]
+    oa = x[keep] - starts[own_x[keep]]
+    ob = y[keep] - starts[own_y[keep]]
+    sp = span[keep]
+    # canonical unordered pair
+    swap = da > db
+    da2 = np.where(swap, db, da)
+    db2 = np.where(swap, da, db)
+    oa2 = np.where(swap, ob, oa)
+    ob2 = np.where(swap, oa, ob)
+    df = pd.DataFrame(
+        {"doc_a": da2, "doc_b": db2, "span_len": sp, "a_off": oa2, "b_off": ob2}
+    )
+    # max span per pair; deterministic witness = smallest (a_off, b_off)
+    # among max-span rows
+    df = df.sort_values(
+        ["doc_a", "doc_b", "span_len", "a_off", "b_off"],
+        ascending=[True, True, False, True, True],
+        kind="stable",
+    )
+    out = df.drop_duplicates(["doc_a", "doc_b"], keep="first").reset_index(drop=True)
+    return out.astype(
+        {"doc_a": "int64", "doc_b": "int64", "span_len": "int64",
+         "a_off": "int64", "b_off": "int64"}
+    )
+
+
+def span_groups(
+    docs: DataFrame,
+    cfg=None,
+    m: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Co-location keys for the SA kernel: each doc's BOTTOM-m CDC
+    fingerprints (the same content-defined selection as substr.py, so
+    selection is local — a verbatim slice selects identical
+    fingerprints in both documents).  Documents sharing a large span
+    share many selected fingerprints, hence with high probability one
+    of their bottom-m (the 1-perm bottom-k MinHash argument); each doc
+    is replicated to at most m groups, so the blowup is a fixed small
+    constant, not fps-per-doc.  Returns (group, doc_id, content);
+    duplicate_spans dedups pair emissions across groups.
+    """
+    from .config import DedupConfig
+    from .substr import make_winnow_udf
+
+    cfg = cfg or DedupConfig()
+    udf = make_winnow_udf(cfg)
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("content"),
+        F.slice(F.array_sort(F.array_distinct(udf(F.col(text_col)))), 1, m).alias(
+            "_grp_fps"
+        ),
+    )
+    return fps.select(
+        F.explode("_grp_fps").alias("group"), "doc_id", "content"
+    )
+
+
+def duplicate_spans(
+    grouped: DataFrame,
+    min_len: int = 64,
+    group_col: str = "group",
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_group_docs: int = 4096,
+) -> DataFrame:
+    """Spark operator: exact duplicate spans within each group.
+
+    `grouped` carries (group, doc_id, content) — from `span_groups`,
+    from CDC buckets, or any caller co-location.  Per group the numpy
+    SA kernel runs inside `applyInPandas` (one vectorized pass, no
+    per-row Python); groups beyond `max_group_docs` are truncated to
+    the lowest doc_ids (deterministic — same posture as the LSH
+    bucket cap, lsh.py) so one degenerate key can never produce an
+    unbounded kernel input.  Pair emissions are deduped across groups
+    by max span (a pair found via several shared fingerprints is one
+    pair).  Output: doc_a, doc_b, span_len, a_off, b_off.
+    """
+    ml = int(min_len)
+    cap = int(max_group_docs)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            pdf = pdf.nsmallest(cap, id_col)
+        return duplicate_spans_kernel(
+            pdf[text_col].tolist(), pdf[id_col].tolist(), ml
+        )
+
+    schema = "doc_a long, doc_b long, span_len long, a_off long, b_off long"
+    spans = grouped.groupBy(group_col).applyInPandas(fn, schema)
+    # one row per pair: max span, deterministic witness offsets
+    w = (
+        F.struct(
+            F.col("span_len").alias("s"),
+            (-F.col("a_off")).alias("na"),
+            (-F.col("b_off")).alias("nb"),
+        )
+    )
+    agg = spans.groupBy("doc_a", "doc_b").agg(F.max(w).alias("_best"))
+    return agg.select(
+        "doc_a",
+        "doc_b",
+        F.col("_best.s").alias("span_len"),
+        (-F.col("_best.na")).alias("a_off"),
+        (-F.col("_best.nb")).alias("b_off"),
+    )
+
+
+def group_lcs(
+    docs: DataFrame,
+    min_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Single-group exact form: the whole input as ONE suffix array —
+    exact global duplicate-span discovery for bounded corpora (tests,
+    audits, per-repo runs).  NOT the corpus-scale path; that is
+    span_groups + duplicate_spans."""
+    one = docs.select(
+        F.lit(0).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("content"),
+    ).coalesce(1)
+    return duplicate_spans(one, min_len=min_len, max_group_docs=1 << 31)
