@@ -110,3 +110,103 @@ def test_substr_candidate_pairs_end_to_end(spark):
     pairs = substr.substr_candidate_pairs(prepared, CFG).collect()
     want = tuple(sorted((ids["host.py"], ids["vendor.py"])))
     assert [(r.id_a, r.id_b) for r in pairs] == [want]
+
+
+def test_pipeline_substr_exact_verify_rejects_scattered_grams(spark):
+    """cfg.substr_exact_verify e2e: a doc sharing many SCATTERED grams
+    with another (CDC filter accepts) but no contiguous span >=
+    substr_min_len is clustered together with the knob off and split
+    apart with it on; a true vendored copy survives both."""
+    from welldedup.pipeline import run_pipeline
+
+    rng = np.random.Generator(np.random.PCG64(11))
+
+    def rand_text(n):
+        return "".join(chr(int(c)) for c in rng.integers(97, 123, size=n))
+
+    base = rand_text(1000)
+    # 10 verbatim 80-char chunks of base, stitched with junk: ~80
+    # shared fps at density 1/8 (threshold 7), max common span 80 < 200
+    scattered = "".join(base[i : i + 80] + rand_text(20) for i in range(0, 1000, 100))
+    vendored = rand_text(300) + base[:300] + rand_text(300)
+    rows = [
+        dict(repo="r", path="base.py", commit="c", lang="py", content=base),
+        dict(repo="r", path="scat.py", commit="c", lang="py", content=scattered),
+        dict(repo="r", path="vend.py", commit="c", lang="py", content=vendored),
+        dict(repo="r", path="noise.py", commit="c", lang="py", content=rand_text(900)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run(exact):
+        cfg = DedupConfig(
+            methods=("substr",), winnow_k=16, density_bits=3,
+            substr_min_len=200, substr_exact_verify=exact,
+        )
+        res = run_pipeline(spark, df, cfg, store=None)
+        lbl = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+        ids = {
+            r.path: r.doc_id
+            for r in prep.prepare_base(df, cfg).select("path", "doc_id").collect()
+        }
+        return {p: lbl[i] for p, i in ids.items()}, ids, res
+
+    off, _, _ = run(False)
+    assert off["base.py"] == off["scat.py"] == off["vend.py"]  # fp filter alone
+    on, ids, res = run(True)
+    assert on["base.py"] == on["vend.py"]          # true copy survives
+    assert on["scat.py"] != on["base.py"]          # scattered grams rejected
+    assert on["noise.py"] not in (on["base.py"], on["scat.py"])
+    # the LCS-rejected pair goes through the whole-doc near-dup path
+    # (here the estimate prefilter prunes it — these docs are one giant
+    # token each — so it must NOT appear as a dup row)
+    a, b = sorted((ids["base.py"], ids["scat.py"]))
+    row = res.verified_pairs.filter(
+        (F.col("id_a") == a) & (F.col("id_b") == b)
+    ).collect()
+    assert all(r.dup is False for r in row)
+    va, vb = sorted((ids["base.py"], ids["vend.py"]))
+    vrow = res.verified_pairs.filter(
+        (F.col("id_a") == va) & (F.col("id_b") == vb)
+    ).collect()
+    assert len(vrow) == 1 and vrow[0].dup is True
+    assert vrow[0].jaccard_est is None     # passed by exact-LCS construction
+
+
+def test_substr_exact_verify_preserves_near_dup_recall(spark):
+    """Regression for the evidence-priority knock-on: substr may claim
+    a pair that minhash also found; with substr_exact_verify on, an
+    LCS-rejected pair must fall back to whole-doc verification, so
+    every planted truth pair at/above the jaccard threshold stays
+    co-clustered exactly as with the knob off (first cut of the knob
+    dropped 8/108 planted pairs on the 300-doc corpus)."""
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.pipeline import run_pipeline
+
+    cf, truth = corpus_to_pandas(make_corpus(120, seed=42))
+    df = spark.createDataFrame(cf)
+
+    def labels(exact):
+        cfg = DedupConfig(
+            methods=("minhash", "simhash", "substr"), substr_exact_verify=exact
+        )
+        res = run_pipeline(spark, df, cfg, store=None)
+        lbl = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+        k2i = {
+            f"{r.repo}|{r.path}|{r['commit']}": r.doc_id for r in res.docs.collect()
+        }
+        return lbl, k2i, cfg
+
+    lbl_off, k2i, cfg = labels(False)
+    lbl_on, k2i_on, _ = labels(True)
+    assert k2i == k2i_on
+    den = 0
+    for t in truth.itertuples():
+        if not (
+            t.kind in ("exact", "vendored") or t.true_jaccard >= cfg.jaccard_threshold
+        ):
+            continue
+        den += 1
+        same_off = lbl_off[k2i[t.key_a]] == lbl_off[k2i[t.key_b]]
+        same_on = lbl_on[k2i[t.key_a]] == lbl_on[k2i[t.key_b]]
+        assert same_on == same_off, (t.key_a, t.key_b, t.kind)
+    assert den > 20, "fixture must plant enough true pairs"

@@ -97,6 +97,13 @@ class DedupConfig:
     # OPH estimate (±0.03) plus the edit check decides; enable for
     # small corpora / golden tests where exactness matters more.
     verify_exact_jaccard: bool = False
+    # exact LCS refinement of substr candidates (substr.
+    # exact_substring_verify): the ONE deliberate exception to the
+    # single-content-pass invariant — a pair-endpoint-bounded content
+    # re-read (|substr pairs| << corpus after the CDC filter).  Default
+    # off: the shared-fp Chernoff threshold decides at scale; enable
+    # when scattered-gram false positives matter (audits, golden runs).
+    substr_exact_verify: bool = False
 
     # --- connected components (cluster.py)
     cc_max_rounds: int = 50

@@ -175,14 +175,53 @@ def _run_pipeline_inner(
         # substr pairs: verified by shared-fingerprint count at emit
         # time (substr.fp_shared_threshold) — whole-doc jaccard/edit
         # checks would wrongly reject a 2kB slice inside a 50kB file.
-        by_construction = pairs.filter(F.col("src").isin("exact", "substr")).select(
-            "id_a", "id_b", "src",
-            F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
-            F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
-            F.lit(None).cast("double").alias("edit_sim"),
-            F.lit(True).alias("dup"),
-        )
+        def _by_construction(p):
+            return p.select(
+                "id_a", "id_b", "src",
+                F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+                F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+                F.lit(None).cast("double").alias("edit_sim"),
+                F.lit(True).alias("dup"),
+            )
+
         near = pairs.filter(~F.col("src").isin("exact", "substr"))
+        if cfg.substr_exact_verify and "substr" in cfg.methods:
+            # exact LCS refinement (cfg knob, default off): the one
+            # deliberate exception to the content-free downstream
+            # invariant — content is re-read for SUBSTR PAIR ENDPOINTS
+            # only (two hash joins against the prepared scan; |pairs|
+            # << corpus after the CDC filter).  A scattered-gram
+            # candidate with no contiguous >=substr_min_len span is NOT
+            # dropped outright: evidence-priority dedup may have claimed
+            # a pair that minhash/simhash also found, so LCS-rejected
+            # pairs fall back to the whole-doc near-dup verification
+            # path (measured: dropping them cost 8/108 planted recall).
+            sub = pairs.filter(F.col("src") == "substr")
+            ev = substr.exact_substring_verify(sub, prepared, cfg)
+            sub_pass = sub.join(
+                ev.filter(F.col("substr_ok")).select("id_a", "id_b"),
+                ["id_a", "id_b"],
+                "left_semi",
+            ).select(
+                "id_a", "id_b", "src",
+                F.lit(None).cast("double").alias("jaccard_est"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(None).cast("double").alias("edit_sim"),
+                F.lit(True).alias("dup"),
+            )
+            sub_fail = sub.join(
+                ev.filter(F.col("substr_ok")).select("id_a", "id_b"),
+                ["id_a", "id_b"],
+                "left_anti",
+            )
+            by_construction = _by_construction(
+                pairs.filter(F.col("src") == "exact")
+            ).unionByName(sub_pass)
+            near = near.unionByName(sub_fail.select(*near.columns))
+        else:
+            by_construction = _by_construction(
+                pairs.filter(F.col("src").isin("exact", "substr"))
+            )
         # the fused signature checkpoint carries line_sig/edit_prefix,
         # so verification reads NO content — the docs argument IS the
         # signature table (verify.py branches on the precomputed cols)
