@@ -17,7 +17,9 @@ from welldedup.suffixarray import (
     duplicate_spans_kernel,
     group_lcs,
     lcp_adjacent,
+    lcp_adjacent_bytes,
     span_groups,
+    suffix_array,
     suffix_array_doubling,
 )
 
@@ -52,6 +54,42 @@ def test_lcp_adjacent_matches_brute_force(data):
         brute_lcp(data[sa[i]:], data[sa[i + 1]:]) for i in range(len(data) - 1)
     ]
     assert lcp.tolist() == want
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_fast_suffix_array_matches_reference(data):
+    """Subset-refinement Manber–Myers ≡ the full-lexsort reference."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ref, _ = suffix_array_doubling(arr)
+    assert suffix_array(arr).tolist() == ref.tolist()
+
+
+@given(st.binary(min_size=2, max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_blockwise_lcp_matches_brute_force(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    sa = suffix_array(arr)
+    lcp = lcp_adjacent_bytes(arr, sa, block=7)  # off-size block: edge paths
+    want = [
+        brute_lcp(data[sa[i]:], data[sa[i + 1]:]) for i in range(len(data) - 1)
+    ]
+    assert lcp.tolist() == want
+
+
+def test_fast_paths_on_duplicate_heavy_input():
+    """The shape the kernel actually sees: long verbatim repeats force
+    many doubling rounds — fast SA and blockwise LCP must agree with
+    the reference there too."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.integers(97, 105, size=3000).astype(np.uint8)
+    data = np.concatenate([base, rng.integers(97, 105, size=500).astype(np.uint8), base])
+    ref_sa, levels = suffix_array_doubling(data)
+    sa = suffix_array(data)
+    assert sa.tolist() == ref_sa.tolist()
+    assert lcp_adjacent_bytes(data, sa).tolist() == lcp_adjacent(
+        levels, ref_sa, len(data)
+    ).tolist()
 
 
 # low-entropy alphabet so random strings actually share substrings

