@@ -23,12 +23,16 @@ pairwise LCS verifier it needs no candidate pairs at all, so it also
 surfaces duplicate spans the fingerprint filter's density sampling
 would only catch probabilistically.
 
-Kernel complexity: prefix doubling is O(n log^2 n) in numpy lexsort
-passes (log n levels, each a 2-key radix-ish sort), memory is one
-int32 rank array per level (n * 4 bytes * log2 n).  LCP between
-adjacent suffixes descends the SAME doubling levels (largest power
-first), fully vectorized over all n-1 adjacent pairs — no sequential
-Kasai walk, which would be a per-char Python loop here.
+Kernel complexity: construction is subset-refinement prefix doubling
+(`suffix_array`) — after the byte sort, each round re-sorts only the
+still-tied rank groups, so rounds shrink with the data's repeat
+structure; memory is O(n), no per-level rank retention.  LCP between
+adjacent suffixes (`lcp_adjacent_bytes`) resolves shallow pairs by
+exact byte compares over a shrinking active set, then binary-searches
+the survivors on dual 64-bit polynomial prefix hashes — O(n log n)
+total, independent of repeat mass, and no sequential Kasai walk
+(a per-char Python loop here).  The full-lexsort doubling +
+rank-level LCP pair is retained as the property-test reference.
 
 Soundness/completeness of the emission: adjacent suffixes in the SA
 with clipped LCP >= L certify a shared L-char substring (sound —
@@ -437,8 +441,14 @@ def duplicate_spans(
     """Spark operator: exact duplicate spans within each group.
 
     `grouped` carries (group, doc_id, content) — from `span_groups`,
-    from CDC buckets, or any caller co-location.  Per group the numpy
-    SA kernel runs inside `applyInPandas` (one vectorized pass, no
+    from CDC buckets, or any caller co-location.  Singleton groups
+    (most of them: bottom-m fingerprints are mostly unique — 91% of
+    group rows at sf0.1) are dropped by a window count BEFORE the
+    Python boundary; the window partitions on the same key as the
+    grouped map, so Catalyst reuses one exchange and the filter costs
+    a sort, not a shuffle — while the Arrow traffic into the kernel
+    shrinks by the singleton share.  Per surviving group the numpy SA
+    kernel runs inside `applyInPandas` (one vectorized pass, no
     per-row Python); groups beyond `max_group_docs` are truncated to
     the lowest doc_ids (deterministic — same posture as the LSH
     bucket cap, lsh.py) so one degenerate key can never produce an
@@ -446,8 +456,17 @@ def duplicate_spans(
     by max span (a pair found via several shared fingerprints is one
     pair).  Output: doc_a, doc_b, span_len, a_off, b_off.
     """
+    from pyspark.sql import Window
+
     ml = int(min_len)
     cap = int(max_group_docs)
+    grouped = (
+        grouped.withColumn(
+            "_gn", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+        .filter(F.col("_gn") >= 2)
+        .drop("_gn")
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > cap:
