@@ -40,6 +40,18 @@ def parse_args(argv=None):
         "batch and fold it in incrementally (old content is never "
         "re-read; incremental.py); the merged store lands in --output",
     )
+    p.add_argument(
+        "--retract-from",
+        default=None,
+        metavar="STORE",
+        help="existing COMPLETED checkpoint root: treat --input as the "
+        "takedown set — a parquet with a doc_id column, or with the "
+        "natural key (repo, path, commit) from which doc_ids are "
+        "derived — and remove those docs (retract.py: zero content "
+        "reads, cluster splits and pair-policy reversals repaired, "
+        "labels bit-identical to a rerun on the reduced corpus); the "
+        "survivor store lands in --output",
+    )
     p.add_argument("--report", action="store_true", help="print cluster-size histogram")
     p.add_argument(
         "--export",
@@ -146,6 +158,27 @@ def main(argv=None) -> int:
     if args.curate:
         summary = run_curate(spark, args, cfg)
         summary["wall_sec"] = round(time.monotonic() - t0, 2)
+        print(json.dumps(summary))
+        return 0
+    if args.retract_from:
+        from welldedup.prep import with_doc_id
+        from welldedup.retract import retract_docs
+
+        ids = spark.read.parquet(args.input)
+        if "doc_id" not in ids.columns:
+            ids = with_doc_id(ids)  # takedown arrives as (repo,path,commit)
+        old = StageStore(root=args.retract_from, config_hash=cfg.config_hash())
+        out = StageStore(root=args.output, config_hash=cfg.config_hash())
+        res = retract_docs(spark, ids, cfg, store=old, out_store=out)
+        n_docs = res.docs.count()
+        summary = dict(
+            docs=n_docs,
+            clusters=res.clusters.select("cluster_id").distinct().count(),
+            stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},
+            wall_sec=round(time.monotonic() - t0, 2),
+            config_hash=cfg.config_hash(),
+            output=args.output,
+        )
         print(json.dumps(summary))
         return 0
     from welldedup.io import _CORRUPT_COL, split_corrupt

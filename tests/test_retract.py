@@ -1,0 +1,245 @@
+"""Retraction (retract.retract_docs): removing docs from a completed
+store must reproduce a full rerun on the REDUCED corpus exactly — the
+two structural hazards being cluster splits at cut vertices (old labels
+are a transitive closure that may route through the removed doc) and
+pair-policy reversals (a bucket falling back under drop_bucket_over /
+a removed doc vacating a capped bottom-K list makes the reduced-corpus
+run emit pairs the base run never had)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from welldedup import DedupConfig, run_pipeline
+from welldedup.fixtures import corpus_to_pandas, make_corpus
+from welldedup.io import StageStore
+from welldedup.retract import retract_docs
+
+from conftest import boiler_docs
+
+
+def _labels(res) -> dict:
+    return {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+
+
+def _filler_docs(n, seed):
+    cf, _ = corpus_to_pandas(make_corpus(n, seed=seed))
+    return cf
+
+
+def _chain_docs():
+    """A ≈ B ≈ C but A ≉ C: 120 unique 5-token lines each, B shifted
+    by 15 lines from A and C by 15 from B — pairwise shingle Jaccard
+    ≈ 0.78 for adjacent docs, ≈ 0.6 for A-C (threshold 0.7).  B is the
+    cut vertex of the component."""
+
+    def body(lo):
+        return "\n".join(
+            f"ln{i}a ln{i}b ln{i}c ln{i}d ln{i}e" for i in range(lo, lo + 120)
+        )
+
+    return pd.DataFrame(
+        {
+            "repo": ["chain/a", "chain/b", "chain/c"],
+            "path": ["a.py", "b.py", "c.py"],
+            "commit": ["c0"] * 3,
+            "lang": ["py"] * 3,
+            "content": [body(0), body(15), body(30)],
+        }
+    )
+
+
+def _ids_by_path(res, paths):
+    rows = res.docs.select("doc_id", "path").collect()
+    by_path = {r.path: r.doc_id for r in rows}
+    return [by_path[p] for p in paths]
+
+
+def _run_with_store(spark, cf, cfg, tmp_path, name):
+    store = StageStore(
+        root=str(tmp_path / name), config_hash=cfg.config_hash()
+    )
+    res = run_pipeline(spark, spark.createDataFrame(cf), cfg, store=store)
+    return res, store
+
+
+def test_cut_vertex_split(spark, tmp_path):
+    """Removing the bridge doc must SPLIT its cluster — a bare
+    anti-join on the old cluster table would leave A and C together."""
+    cfg = DedupConfig(methods=("minhash",))
+    cf = pd.concat([_chain_docs(), _filler_docs(20, seed=3)])
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    a_id, b_id, c_id = _ids_by_path(base, ["a.py", "b.py", "c.py"])
+    base_labels = _labels(base)
+    assert base_labels[a_id] == base_labels[b_id] == base_labels[c_id], (
+        "fixture drift: the chain is no longer one component"
+    )
+
+    reduced = cf[cf.path != "b.py"]
+    full = run_pipeline(spark, spark.createDataFrame(reduced), cfg)
+    ret = retract_docs(spark, [b_id], cfg, store=store)
+
+    full_labels, ret_labels = _labels(full), _labels(ret)
+    assert ret_labels == full_labels
+    assert ret_labels[a_id] != ret_labels[c_id], (
+        "fixture drift: A≈C directly — the cut-vertex scenario is not exercised"
+    )
+    assert b_id not in ret_labels
+
+
+def test_drop_threshold_reversal_merges(spark, tmp_path):
+    """Base bucket over drop_bucket_over (suppressed → singletons);
+    removal brings it back under — the reduced-corpus run emits pairs,
+    so retraction must MERGE the survivors."""
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
+    boiler = boiler_docs(10)
+    cf = pd.concat([boiler, _filler_docs(30, seed=7)])
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    boiler_ids = _ids_by_path(base, list(boiler.path))
+    base_labels = _labels(base)
+    assert all(base_labels[d] == d for d in boiler_ids), (
+        "fixture drift: base bucket no longer crosses drop_bucket_over"
+    )
+
+    removed = sorted(boiler_ids)[:3]
+    survivors = [d for d in boiler_ids if d not in removed]
+    reduced = cf[~cf.path.isin(
+        [p for p, d in zip(boiler.path, boiler_ids) if d in removed]
+    )]
+    full = run_pipeline(spark, spark.createDataFrame(reduced), cfg)
+    ret = retract_docs(spark, removed, cfg, store=store)
+
+    full_labels, ret_labels = _labels(full), _labels(ret)
+    assert ret_labels == full_labels
+    assert len({ret_labels[d] for d in survivors}) == 1, (
+        "survivors of the reversed bucket must merge into one cluster"
+    )
+
+
+def test_capped_list_vacancy_admits_next_member(spark, tmp_path):
+    """With a bottom-K capped bucket, removing a bottom-K member lets
+    the (K+1)-th doc in — the reduced-corpus run pairs it up."""
+    cfg = DedupConfig(methods=("minhash",), max_bucket=4, drop_bucket_over=4096)
+    boiler = boiler_docs(6)
+    cf = pd.concat([boiler, _filler_docs(20, seed=11)])
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    boiler_ids = sorted(_ids_by_path(base, list(boiler.path)))
+    base_labels = _labels(base)
+    # base: bottom-4 cluster together, the 2 largest ids are singletons
+    assert len({base_labels[d] for d in boiler_ids[:4]}) == 1
+    assert all(base_labels[d] == d for d in boiler_ids[4:]), (
+        "fixture drift: cap no longer excludes the top ids"
+    )
+
+    removed = [boiler_ids[0]]
+    reduced_paths = {
+        p for p, d in zip(boiler.path, _ids_by_path(base, list(boiler.path)))
+        if d in removed
+    }
+    reduced = cf[~cf.path.isin(reduced_paths)]
+    full = run_pipeline(spark, spark.createDataFrame(reduced), cfg)
+    ret = retract_docs(spark, removed, cfg, store=store)
+
+    full_labels, ret_labels = _labels(full), _labels(ret)
+    assert ret_labels == full_labels
+    # the vacancy admitted boiler_ids[4] into the bottom-4
+    assert ret_labels[boiler_ids[4]] == ret_labels[boiler_ids[1]]
+
+
+def test_retract_matches_full_rerun_random_scope(spark, tmp_path):
+    """General equivalence on the planted corpus: remove a slice that
+    hits exact groups, near-dup groups, and singletons alike."""
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    cf, _ = corpus_to_pandas(make_corpus(200, seed=42))
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    all_ids = sorted(_labels(base))
+    removed = all_ids[::7]  # every 7th doc across the id space
+
+    kept_paths = {
+        r.path for r in base.docs.filter(
+            ~base.docs.doc_id.isin(removed)
+        ).select("path").collect()
+    }
+    reduced = cf[cf.path.isin(kept_paths)]
+    full = run_pipeline(spark, spark.createDataFrame(reduced), cfg)
+    ret = retract_docs(spark, removed, cfg, store=store)
+
+    assert _labels(ret) == _labels(full)
+    assert ret.docs.count() == len(all_ids) - len(removed)
+
+
+def test_retract_minimum_label_relabels(spark, tmp_path):
+    """Removing the doc that IS the cluster_id (component min) must
+    relabel survivors to the new min."""
+    cfg = DedupConfig(methods=("minhash",))
+    boiler = boiler_docs(4)
+    cf = pd.concat([boiler, _filler_docs(15, seed=5)])
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    boiler_ids = sorted(_ids_by_path(base, list(boiler.path)))
+    base_labels = _labels(base)
+    assert base_labels[boiler_ids[0]] == boiler_ids[0]
+
+    ret = retract_docs(spark, [boiler_ids[0]], cfg, store=store)
+    ret_labels = _labels(ret)
+    for d in boiler_ids[1:]:
+        assert ret_labels[d] == boiler_ids[1]
+
+
+def test_retract_noop_and_unknown_ids(spark, tmp_path):
+    cfg = DedupConfig(methods=("minhash",))
+    cf = _filler_docs(30, seed=9)
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    ret = retract_docs(spark, [123456789, 987654321], cfg, store=store)
+    assert _labels(ret) == _labels(base)
+    assert ret.docs.count() == base.docs.count()
+
+
+def test_retract_chains_with_update(spark, tmp_path):
+    """retract → out_store → update_pipeline on the chained store: the
+    end state equals a full run on (corpus − removed + delta)."""
+    from welldedup.incremental import update_pipeline
+
+    cfg = DedupConfig(methods=("minhash", "substr"))
+    cf, _ = corpus_to_pandas(make_corpus(120, seed=13))
+    delta, _ = corpus_to_pandas(make_corpus(40, seed=77))
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    removed = sorted(_labels(base))[::9]
+
+    out = StageStore(root=str(tmp_path / "v2"), config_hash=cfg.config_hash())
+    retract_docs(spark, removed, cfg, store=store, out_store=out)
+    for needed in ("signatures", "docs", "clusters"):
+        assert out.is_complete(needed), needed
+
+    upd = update_pipeline(spark, spark.createDataFrame(delta), cfg, store=out)
+
+    kept_paths = {
+        r.path for r in base.docs.filter(
+            ~base.docs.doc_id.isin(removed)
+        ).select("path").collect()
+    }
+    end_corpus = pd.concat([cf[cf.path.isin(kept_paths)], delta])
+    full = run_pipeline(spark, spark.createDataFrame(end_corpus), cfg)
+    assert _labels(upd) == _labels(full)
+
+
+def test_retract_requires_complete_store(spark, tmp_path):
+    cfg = DedupConfig()
+    empty = StageStore(root=str(tmp_path / "nope"), config_hash=cfg.config_hash())
+    with pytest.raises(ValueError, match="incomplete"):
+        retract_docs(spark, [1], cfg, store=empty)
+    with pytest.raises(ValueError, match="store"):
+        retract_docs(spark, [1], cfg, store=None)
+
+
+def test_retract_plans_read_no_content(spark, tmp_path):
+    """Zero content passes: candidate/verify/cluster plans must not
+    reference a content column."""
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    cf, _ = corpus_to_pandas(make_corpus(80, seed=21))
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    removed = sorted(_labels(base))[::5]
+    ret = retract_docs(spark, removed, cfg, store=store)
+    for df in (ret.candidate_pairs, ret.verified_pairs, ret.clusters):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content#" not in plan

@@ -35,6 +35,7 @@ ROWS_ONLY_EXPECTED = {
     "candidate_pairs_minhash": None,
     "dedup_pipeline_clusters": 500,  # one label per input doc
     "incremental_update_clusters": 500,  # run half + update half: every doc labeled
+    "retract_clusters": 450,         # 500 docs minus every 10th retracted
     "doc_fingerprints": 500,         # one fingerprint per doc
     "langid": 500,
     "lsh_buckets": None,

@@ -13,6 +13,7 @@ from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
+from .retract import retract_docs
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
 from .suffixarray import duplicate_spans, group_lcs, span_groups
 
@@ -21,6 +22,7 @@ __all__ = [
     "DEFAULT",
     "run_pipeline",
     "PipelineResult",
+    "retract_docs",
     "CurateConfig",
     "CurateResult",
     "curate",

@@ -74,6 +74,19 @@ def _at_least_one_new(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
     )
 
 
+def method_group_rows(
+    method: str, sigs: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, list[str]]:
+    """The ONE definition of each method's group-key row stream — the
+    update's detection + probe and the retraction path all derive from
+    it (a second copy would silently desynchronize them)."""
+    if method == "minhash":
+        return lsh.band_buckets(sigs, cfg), ["band_id", "band_hash"]
+    if method == "simhash":
+        return lsh.simhash_buckets(sigs, cfg), ["band_id", "band_hash"]
+    return sigs.select("doc_id", F.explode("fps").alias("fp")), ["fp"]
+
+
 def _touched(old_rows: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataFrame:
     """Old bucket/fingerprint rows living in groups the delta touches —
     a leftsemi on the group key, so untouched old groups (the vast
@@ -240,14 +253,7 @@ def _update_inner(
     # in the no-repair common case, reused verbatim as the probe's old
     # side — detection then costs one old-bucket scan per method total.
     def _method_rows(method: str, sigs: DataFrame) -> tuple[DataFrame, list[str]]:
-        """The ONE definition of each method's group-key row stream —
-        detection and probe both derive from it (a second copy would
-        silently desynchronize them)."""
-        if method == "minhash":
-            return lsh.band_buckets(sigs, cfg), ["band_id", "band_hash"]
-        if method == "simhash":
-            return lsh.simhash_buckets(sigs, cfg), ["band_id", "band_hash"]
-        return sigs.select("doc_id", F.explode("fps").alias("fp")), ["fp"]
+        return method_group_rows(method, sigs, cfg)
 
     def _method_frames(method: str):
         nb, keys = _method_rows(method, new_sigs)

@@ -1121,6 +1121,32 @@ def q_incremental_update_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_retract_clusters(spark, sf_dir):
+    """Rows-only — the takedown path (retract.py): run the batch
+    pipeline, checkpoint it, then retract every 10th doc (deterministic
+    id order).  No content is re-read; cluster splits at cut vertices
+    and pair-policy reversals are repaired so labels are bit-identical
+    to a rerun on the reduced corpus (equality tested in
+    tests/test_retract.py)."""
+    import tempfile
+
+    from .io import StageStore
+    from .pipeline import run_pipeline
+    from .retract import retract_docs
+
+    cf = docs_as_code_files(spark, sf_dir)
+    store = StageStore(root=tempfile.mkdtemp(prefix="wd_ret_"),
+                       config_hash=CFG.config_hash())
+    res = run_pipeline(spark, cf, CFG, store=store)
+    removed = (
+        res.docs.select("doc_id")
+        .withColumn("_rk", F.row_number().over(Window.orderBy("doc_id")))
+        .filter(F.pmod("_rk", F.lit(10)) == 0)
+        .select("doc_id")
+    )
+    return retract_docs(spark, removed, CFG, store=store).clusters
+
+
 # --------------------------------------------------------------------
 # round-3 widening: grouping sets, window frames, string/regex/
 # conditional-agg scalar coverage (SURVEY §2 rows P6, G3, W2, O1)
@@ -2661,6 +2687,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
     "incremental_update_clusters": q_incremental_update_clusters,
+    "retract_clusters": q_retract_clusters,
 }
 
 ORACLES = {

@@ -1,0 +1,348 @@
+"""Document retraction: remove docs from a completed pipeline store
+(takedown / license revocation / right-to-be-forgotten) with cluster
+labels BIT-IDENTICAL to a full rerun on the reduced corpus — and zero
+content reads.
+
+At 10^12-file scale a takedown batch cannot trigger "rerun the
+pipeline", and it cannot be a bare anti-join on the cluster table
+either, for two structural reasons:
+
+  1. SPLITS — old labels are the transitive closure of old dup
+     evidence, and a removed doc can be the cut vertex of its
+     component (A≈B≈C with A≉C: remove B and the full rerun yields
+     {A},{C}, but A and C still share a label in the old table).
+  2. POLICY REVERSALS — the capped/dropped pair emit makes bucket
+     evidence non-monotone in corpus size in BOTH directions (the
+     forward direction is incremental.py's repair).  Removal shrinks
+     buckets: one that was over `drop_bucket_over` (suppressed — no
+     pairs) can fall back under it, so the reduced-corpus run EMITS
+     pairs the base run never had (merges!); likewise a removed doc in
+     a capped bottom-`max_bucket` list lets the (K+1)-th member in.
+
+Both are delta-bounded, not corpus-bounded: every signature, CDC
+fingerprint, line_sig and edit_prefix needed to re-derive evidence is
+already in the fused signature checkpoint, so the whole retraction
+reads compact columns only.
+
+The invariant the detection leans on (mirror-image of
+incremental._divergent_keys): for a bucket with base emission list
+emit_base (bottom-K when n ≤ D, else empty) and survivor emission
+emit_new, survivor-pair evidence changes iff emit_new ⊄ emit_base —
+non-divergent buckets emit exactly emit_base ∩ survivors, so every
+lost pair involves a removed doc and is covered by re-deriving the
+removed docs' own clusters.  Affected scope = survivor members of
+(clusters containing a removed doc ∪ clusters of divergent-bucket
+emit_new members); those docs ride the probe's "new" side with their
+checkpointed signatures, exactly like incremental's repair, and
+unaffected clusters keep their labels as star edges.
+
+Cost model: detection and probe are equi-joins of removal-sized /
+affected-sized streams against the bucket expansion of the signature
+checkpoint (partition-prunable in prod via Iceberg bucket layout);
+only the survivor-table rewrite and the final CC touch O(corpus)
+rows, all compact columns (prod: Iceberg positional deletes instead
+of the rewrite).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cluster as cc
+from . import lsh, substr, verify
+from .config import DedupConfig
+from .incremental import _at_least_one_new, _touched, method_group_rows
+from .io import StageStore
+from .metrics import StageTimer
+from .pipeline import PipelineResult, dedup_pairs_by_priority
+
+__all__ = ["retract_docs"]
+
+
+def _reverse_divergent_members(
+    all_rows: DataFrame,
+    rem_rows: DataFrame,
+    keys: list[str],
+    cfg: DedupConfig,
+) -> DataFrame:
+    """doc_ids of survivor-side members of buckets whose REDUCED-corpus
+    emission is not a subset of the base emission — the only buckets
+    where survivors gain evidence under removal.
+
+    Count-first discipline (same as the pair emit and the forward
+    detection): lists are collected only for buckets that can possibly
+    diverge.  With K = max_bucket, D = drop_bucket_over, base size n
+    and survivor size n' = n - removed:
+
+      * n ≤ min(K, D): base emitted ALL members, survivors are a
+        subset — never divergent.
+      * n' < 2 or n' > D: survivors emit nothing — never divergent.
+      * otherwise collect emit_base (bottom-K of base when n ≤ D,
+        else the empty list — the bucket was suppressed) and emit_new
+        (bottom-K of survivors) and flag array_except(new, base) ≠ ∅.
+
+    Both lists are bounded by min-ish thresholds: emit_new by
+    n' ≤ D, emit_base collected only when n ≤ D — a million-doc
+    boilerplate bucket (n > D) never pays a collect_list.
+    """
+    K, D = cfg.max_bucket, cfg.drop_bucket_over
+    base_n = all_rows.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    rem_n = rem_rows.groupBy(*keys).agg(F.count("*").alias("_rn"))
+    cand = (
+        base_n.join(rem_n, keys)
+        .withColumn("_sn", F.col("_bn") - F.col("_rn"))
+        .filter(
+            (F.col("_sn") >= 2)
+            & (F.col("_sn") <= D)
+            & (F.col("_bn") > min(K, D))
+        )
+    )
+    ck = cand.select(*keys)
+    surv_rows = all_rows.join(rem_rows.select(*keys, "doc_id"), keys + ["doc_id"], "left_anti")
+    emit_new = (
+        surv_rows.join(ck, keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_nl"))
+    )
+    # emit_base only where the base bucket actually emitted (n ≤ D)
+    emit_base = (
+        all_rows.join(cand.filter(F.col("_bn") <= D).select(*keys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_bl"))
+    )
+    j = cand.join(emit_new, keys).join(emit_base, keys, "left").select(
+        "_nl",
+        F.coalesce("_bl", F.array().cast("array<long>")).alias("_bl"),
+    )
+    return (
+        j.filter(F.size(F.array_except("_nl", "_bl")) > 0)
+        .select(F.explode("_nl").alias("doc_id"))
+        .distinct()
+    )
+
+
+def retract_docs(
+    spark: SparkSession,
+    removed_ids: DataFrame | Iterable[int],
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+    out_store: StageStore | None = None,
+) -> PipelineResult:
+    """Remove `removed_ids` (a doc_id DataFrame, or an iterable of
+    ids) from the completed pipeline in `store`.
+
+    Returns a PipelineResult over the SURVIVOR corpus: docs/signatures
+    minus the removed rows, candidate/verified pairs of the re-derived
+    affected scope only, and cluster labels for every survivor —
+    bit-identical to `run_pipeline` on the reduced corpus (tested in
+    tests/test_retract.py, including cut-vertex splits and
+    drop-threshold reversal merges).  With `out_store`, survivor
+    tables land under the canonical stage names so updates/retractions
+    can chain on it.
+    """
+    cfg = cfg or DedupConfig()
+    if store is None:
+        raise ValueError("retract_docs needs the completed store of the prior run")
+    for needed in ("signatures", "docs", "clusters"):
+        if not store.is_complete(needed):
+            raise ValueError(
+                f"store stage '{needed}' is incomplete or was built under a "
+                f"different config — retraction re-derives evidence under "
+                f"the SAME shingle/signature config"
+            )
+    if out_store is not None and out_store.root == store.root:
+        raise ValueError(
+            "out_store must differ from store: lazy reads of the old "
+            "checkpoints would race the overwrite (prod: Iceberg deletes "
+            "update in place instead)"
+        )
+    if not isinstance(removed_ids, DataFrame):
+        removed_ids = spark.createDataFrame(
+            [(int(i),) for i in removed_ids], "doc_id long"
+        )
+
+    timer = StageTimer()
+    seconds: dict[str, float] = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        t0 = time.monotonic()
+        if out_store is not None:
+            out = out_store.write(name, df)
+            rows = out_store.read_manifest(name).get("rows")
+        else:
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+        seconds[name] = time.monotonic() - t0
+        timer.record(name, None, rows, int(seconds[name] * 1000))
+        return out
+
+    old_sigs = store.read("signatures", spark)
+    old_docs = store.read("docs", spark)
+    old_clusters = store.read("clusters", spark)
+
+    # restrict to ids the corpus actually has (idempotent under replay)
+    removed = (
+        old_docs.select("doc_id")
+        .join(removed_ids.select("doc_id").distinct(), "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    n_removed = removed.count()
+    timer.record("retract_scope", None, n_removed, 0)
+
+    surv_sigs = old_sigs.join(removed, "doc_id", "left_anti")
+    surv_docs = old_docs.join(removed, "doc_id", "left_anti")
+
+    if n_removed == 0:
+        docs_out = stage("docs", surv_docs)
+        sigs_out = stage("signatures", surv_sigs)
+        clusters = stage("clusters", old_clusters)
+        metrics = timer.to_df(spark)
+        if out_store is not None:
+            metrics = out_store.write("metrics", metrics)
+        empty_pairs = spark.createDataFrame([], "id_a long, id_b long, src string")
+        empty_ver = spark.createDataFrame(
+            [],
+            "id_a long, id_b long, src string, jaccard_est double, "
+            "jaccard double, edit_sim double, dup boolean",
+        )
+        return PipelineResult(
+            docs=docs_out, signatures=sigs_out, candidate_pairs=empty_pairs,
+            verified_pairs=empty_ver, clusters=clusters, metrics=metrics,
+            stage_seconds=seconds,
+        )
+
+    # --- 1. policy-reversal detection per method (no content, no
+    # lists for suppressed mega-buckets — see _reverse_divergent_members)
+    rem_sigs = old_sigs.join(removed, "doc_id", "leftsemi")
+    div_parts: list[DataFrame] = []
+    for m in ("minhash", "simhash", "substr"):
+        if m not in cfg.methods:
+            continue
+        rem_rows, keys = method_group_rows(m, rem_sigs, cfg)
+        all_rows, _ = method_group_rows(m, old_sigs, cfg)
+        touched_all = _touched(all_rows, rem_rows, keys).localCheckpoint(eager=True)
+        rem_touched = rem_rows  # all removed rows are in touched buckets
+        div_parts.append(
+            _reverse_divergent_members(touched_all, rem_touched, keys, cfg)
+        )
+
+    # --- 2. affected scope: whole clusters of removed docs (splits) ∪
+    # whole clusters of divergent-bucket members (merges/extensions)
+    seed = removed
+    for d in div_parts:
+        seed = seed.unionByName(d)
+    aff_cluster_ids = (
+        old_clusters.join(seed.distinct(), "doc_id", "leftsemi")
+        .select("cluster_id")
+        .distinct()
+    )
+    t0 = time.monotonic()
+    affected = (
+        old_clusters.join(aff_cluster_ids, "cluster_id", "leftsemi")
+        .join(removed, "doc_id", "left_anti")  # survivors only
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_affected = affected.count()
+    timer.record(
+        "affected_scope", None, n_affected, int((time.monotonic() - t0) * 1000)
+    )
+
+    # --- 3. re-derive the affected docs' evidence under reduced-corpus
+    # policy: affected ride the probe's NEW side with checkpointed
+    # signatures; the old side is the rest of the survivors.  Bucket
+    # membership in the probe equals the reduced corpus's bucket
+    # membership exactly, so the capped emit reproduces the rerun's
+    # pairs (minus both-unaffected ones, whose closure the kept labels
+    # carry).
+    aff_sigs = surv_sigs.join(affected, "doc_id", "leftsemi").localCheckpoint(
+        eager=True
+    )
+    rest_sigs = surv_sigs.join(affected, "doc_id", "left_anti")
+    rest_docs = surv_docs.join(affected, "doc_id", "left_anti")
+    aff_sha = surv_docs.join(affected, "doc_id", "leftsemi").select(
+        "doc_id", "content_sha256"
+    )
+
+    parts: list[DataFrame] = []
+    touched_sha = _touched(
+        rest_docs.select("doc_id", "content_sha256"),
+        aff_sha.select("content_sha256"),
+        ["content_sha256"],
+    )
+    parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(aff_sha)))
+    for m in ("minhash", "simhash", "substr"):
+        if m not in cfg.methods:
+            continue
+        nb, keys = method_group_rows(m, aff_sigs, cfg)
+        ob, _ = method_group_rows(m, rest_sigs, cfg)
+        probe = nb.unionByName(_touched(ob, nb, keys))
+        if m == "substr":
+            # fingerprint_pairs scans its input twice (count + lists)
+            probe = probe.localCheckpoint(eager=True)
+            parts.append(substr.fingerprint_pairs(probe, cfg))
+        else:
+            parts.append(lsh.candidate_pairs_from_buckets(probe, cfg, m))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    pairs = stage(
+        "candidate_pairs_retract",
+        _at_least_one_new(dedup_pairs_by_priority(allp), affected),
+    )
+
+    # --- 4. verify content-free over survivor signatures
+    by_construction = pairs.filter(F.col("src").isin("exact", "substr")).select(
+        "id_a", "id_b", "src",
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+        F.lit(None).cast("double").alias("edit_sim"),
+        F.lit(True).alias("dup"),
+    )
+    near = pairs.filter(~F.col("src").isin("exact", "substr"))
+    verified = stage(
+        "verified_pairs_retract",
+        verify.verify_pairs(near, surv_sigs, surv_sigs, cfg).unionByName(
+            by_construction
+        ),
+    )
+
+    # --- 5. clusters: kept labels (star edges) ∪ re-derived dup edges.
+    # Affected clusters contribute NO old edges — their closure may
+    # route through removed docs or base-era bucket policy; it has been
+    # regenerated above under the reduced policy.
+    old_keep = old_clusters.join(removed, "doc_id", "left_anti").join(
+        affected, "doc_id", "left_anti"
+    )
+    old_edges = old_keep.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    new_edges = verified.filter("dup").select("id_a", "id_b")
+    nodes = old_clusters.select("doc_id").join(removed, "doc_id", "left_anti")
+    clusters = stage(
+        "clusters",
+        cc.connected_components(nodes, old_edges.unionByName(new_edges), cfg),
+    )
+
+    docs_out = surv_docs
+    sigs_out = surv_sigs
+    if out_store is not None:
+        sigs_out = out_store.write("signatures", sigs_out)
+        docs_out = out_store.write("docs", docs_out)
+    metrics = timer.to_df(spark)
+    if out_store is not None:
+        metrics = out_store.write("metrics", metrics)
+
+    return PipelineResult(
+        docs=docs_out,
+        signatures=sigs_out,
+        candidate_pairs=pairs,
+        verified_pairs=verified,
+        clusters=clusters,
+        metrics=metrics,
+        stage_seconds=seconds,
+    )
