@@ -223,6 +223,53 @@ def test_retract_chains_with_update(spark, tmp_path):
     assert _labels(upd) == _labels(full)
 
 
+def test_retraction_stream_through_chain(spark, tmp_path):
+    """Takedown batches ride the maintenance chain: ingest bootstrap →
+    streamed retraction (natural-key requests, one file per
+    micro-batch) → CURRENT's labels equal one batch run on the net
+    corpus."""
+    import os
+
+    from welldedup.maintenance import StoreChain, retraction_stream
+    from welldedup.pipeline import run_pipeline as rp
+
+    cfg = DedupConfig(methods=("minhash",))
+    cf, _ = corpus_to_pandas(make_corpus(150, seed=31))
+    chain = StoreChain(str(tmp_path / "chain"), cfg.config_hash())
+    rp(spark, spark.createDataFrame(cf), cfg, store=chain.store(0))
+    chain.advance(0)
+
+    src = tmp_path / "takedowns"
+    src.mkdir()
+    cf.iloc[:10][["repo", "path", "commit"]].to_parquet(
+        src / "t0.parquet", index=False
+    )
+    cf.iloc[10:25][["repo", "path", "commit"]].to_parquet(
+        src / "t1.parquet", index=False
+    )
+    stats: dict = {}
+    q = retraction_stream(
+        spark.readStream.schema("repo string, path string, commit string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        str(tmp_path / "chain"),
+        str(tmp_path / "ckpt"),
+        cfg=cfg,
+        stats=stats,
+    ).start()
+    q.awaitTermination()
+
+    assert len(stats) == 2
+    cur = chain.current()
+    assert chain.current_version() == 2
+    got = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(os.path.join(cur.root, "clusters")).collect()
+    }
+    full = rp(spark, spark.createDataFrame(cf.iloc[25:]), cfg)
+    assert got == _labels(full)
+
+
 def test_retract_requires_complete_store(spark, tmp_path):
     cfg = DedupConfig()
     empty = StageStore(root=str(tmp_path / "nope"), config_hash=cfg.config_hash())

@@ -13,6 +13,8 @@ from hypothesis import strategies as st
 
 from welldedup.substr import lcs_length
 from welldedup.suffixarray import (
+    cut_spans,
+    exact_substring_cut,
     duplicate_spans,
     duplicate_spans_kernel,
     group_lcs,
@@ -232,3 +234,108 @@ def test_duplicate_spans_dedups_across_groups(spark):
     out = duplicate_spans(spark.createDataFrame(pdf), min_len=32).toPandas()
     assert len(out) == 1  # one row per pair even when found in 2 groups
     assert int(out.iloc[0].span_len) == len(t)
+
+
+# --- span cutting (exact-substring dedup rewrite, Lee et al. 2022) -------
+
+
+def _py_cut(text: str, intervals) -> tuple[str, int]:
+    """Reference: merge byte intervals, splice the UTF-8 bytes."""
+    raw = text.encode("utf-8")
+    ivs = sorted(intervals)
+    merged = []
+    for s, e in ivs:
+        if merged and merged[-1][1] >= s:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    out, pos = b"", 0
+    for s, e in merged:
+        out += raw[pos:s]
+        pos = e
+    out += raw[pos:]
+    return out.decode("utf-8", "replace"), sum(e - s for s, e in merged)
+
+
+def test_cut_spans_matches_reference_on_random_intervals(spark):
+    """One Spark pass over 200 generated docs, each with 0-6 random
+    (possibly overlapping/touching) cut intervals — rewritten text and
+    byte accounting must equal the Python reference."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    docs_rows, span_rows, want = [], [], {}
+    for d in range(200):
+        n = int(rng.integers(40, 200))
+        text = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+        docs_rows.append((d, text))
+        ivs = []
+        for _ in range(int(rng.integers(0, 7))):
+            s = int(rng.integers(0, n - 1))
+            e = int(rng.integers(s + 1, n + 1))
+            ivs.append((s, e))
+            span_rows.append((-1, d, e - s, 0, s))
+        want[d] = _py_cut(text, ivs)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, content string")
+    spans = spark.createDataFrame(
+        span_rows, "doc_a long, doc_b long, span_len long, a_off long, b_off long"
+    )
+    got = {
+        r.doc_id: (r.content, r.n_cut_bytes)
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert got == want
+
+
+def test_exact_substring_cut_removes_planted_copy(spark):
+    """E2E: doc B embeds a 400-char verbatim slice of doc A — the cut
+    keeps A byte-identical and removes exactly the shared span from B."""
+    rng = np.random.Generator(np.random.PCG64(11))
+
+    def txt(n, seed_off):
+        r = np.random.Generator(np.random.PCG64(100 + seed_off))
+        return "".join(chr(97 + int(c)) for c in r.integers(0, 26, n))
+
+    a = txt(1200, 1)
+    ins = a[300:700]
+    b_pre, b_post = txt(500, 2), txt(500, 3)
+    b = b_pre + ins + b_post
+    fillers = [(100 + i, txt(600, 10 + i)) for i in range(6)]
+    pdf = pd.DataFrame(
+        [(1, a), (2, b)] + fillers, columns=["doc_id", "content"]
+    )
+    docs = spark.createDataFrame(pdf)
+    # m=16 so all the small docs' fps co-locate: at 1-2 KB docs the
+    # bottom-4 default under-samples the ~6 shared fingerprints (the
+    # co-location is probabilistic by design; recall grows with doc
+    # size and m — same trade as the LSH band count)
+    out = {
+        r.doc_id: (r.content, r.n_cut_bytes)
+        for r in exact_substring_cut(docs, min_len=256, m=16).collect()
+    }
+    assert out[1] == (a, 0), "first occurrence must stay byte-identical"
+    cut_b, n_cut = out[2]
+    assert ins not in cut_b
+    assert n_cut >= len(ins)
+    # only the shared region (possibly a few coincidental boundary
+    # bytes) is gone; the unique flanks survive
+    assert cut_b.startswith(b_pre[:490]) and cut_b.endswith(b_post[-490:])
+    for i, t in fillers:
+        assert out[i] == (t, 0)
+
+
+def test_cut_spans_multibyte_passthrough(spark):
+    """Docs without cuts pass through byte-identical even with
+    multi-byte content; a byte-aligned cut in multi-byte text decodes
+    cleanly."""
+    ascii_span = "Z" * 8
+    text = "höhe—" + ascii_span + "—tiefe"
+    s = len("höhe—".encode("utf-8"))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "übrig—bleibt—alles")], "doc_id long, content string"
+    )
+    spans = spark.createDataFrame(
+        [(0, 1, 8, 0, s)],
+        "doc_a long, doc_b long, span_len long, a_off long, b_off long",
+    )
+    got = {r.doc_id: r.content for r in cut_spans(docs, spans).collect()}
+    assert got[1] == "höhe——tiefe"
+    assert got[2] == "übrig—bleibt—alles"

@@ -1,0 +1,137 @@
+"""Measure the takedown path against the rerun alternative.
+
+    python tools/retract_bench.py <code_files.parquet> <cpus> \
+        [removed_fraction]
+
+Selects a deterministic `removed_fraction` of docs on the natural-key
+hash, then times:
+
+  wall_base     — run_pipeline over 100% (day-1 setup; the store the
+                  takedown folds into);
+  wall_reduced  — run_pipeline over the survivors (the takedown cost
+                  WITHOUT retract_docs);
+  wall_retract  — retract_docs folding the removal into the base store
+                  (the takedown cost WITH it — zero content reads).
+
+and checks the retraction's labels are bit-identical to the reduced
+rerun's.  Prints one JSON line; the headline is
+speedup_takedown = wall_reduced / wall_retract.  Unlike the
+incremental day-2 case there is no O(delta) content pass at all, so
+the retract wall is bounded by compact-column joins over the affected
+scope + the survivor-table rewrite (an Iceberg positional delete in
+prod).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    inp = sys.argv[1]
+    cpus = sys.argv[2]
+    frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.01
+
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.io import StageStore
+    from welldedup.pipeline import run_pipeline
+    from welldedup.retract import retract_docs
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name=f"welldedup-retbench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    warm, _ = corpus_to_pandas(make_corpus(100, seed=5))
+    run_pipeline(spark, spark.createDataFrame(warm), cfg).clusters.count()
+
+    def _prewarm(path):
+        if os.path.isdir(path):
+            for n in os.listdir(path):
+                _prewarm(os.path.join(path, n))
+        else:
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    _prewarm(inp)
+
+    code_files = spark.read.parquet(inp)
+    nbins = 1000
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+    is_removed = bucket < int(round(frac * nbins))
+
+    tmp = tempfile.mkdtemp(prefix="wd_retbench_")
+    base_store = StageStore(os.path.join(tmp, "base"), cfg.config_hash())
+    red_store = StageStore(os.path.join(tmp, "reduced"), cfg.config_hash())
+    out_store = StageStore(os.path.join(tmp, "after"), cfg.config_hash())
+
+    t0 = time.monotonic()
+    base = run_pipeline(spark, code_files, cfg, store=base_store)
+    n_docs = base.clusters.count()
+    wall_base = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    reduced = run_pipeline(
+        spark, code_files.filter(~is_removed), cfg, store=red_store
+    )
+    n_survivors = reduced.clusters.count()
+    wall_reduced = time.monotonic() - t0
+
+    removed_ids = base.docs.filter(
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+        < int(round(frac * nbins))
+    ).select("doc_id")
+    t0 = time.monotonic()
+    ret = retract_docs(spark, removed_ids, cfg, store=base_store, out_store=out_store)
+    n_ret = ret.clusters.count()
+    wall_retract = time.monotonic() - t0
+
+    mism = (
+        reduced.clusters.alias("f")
+        .join(ret.clusters.alias("u"), "doc_id", "full")
+        .filter(
+            F.col("f.cluster_id").isNull()
+            | F.col("u.cluster_id").isNull()
+            | (F.col("f.cluster_id") != F.col("u.cluster_id"))
+        )
+        .count()
+    )
+
+    print(
+        json.dumps(
+            dict(
+                corpus=inp,
+                cpus=int(cpus),
+                n_docs=n_docs,
+                n_removed=n_docs - n_survivors,
+                removed_fraction=frac,
+                wall_base_sec=round(wall_base, 2),
+                wall_reduced_sec=round(wall_reduced, 2),
+                wall_retract_sec=round(wall_retract, 2),
+                speedup_takedown=round(wall_reduced / wall_retract, 2),
+                labels_identical=(mism == 0),
+                n_after=n_ret,
+                stages_retract={
+                    k: round(v, 2) for k, v in ret.stage_seconds.items()
+                },
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,7 +15,13 @@ from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
 from .retract import retract_docs
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
-from .suffixarray import duplicate_spans, group_lcs, span_groups
+from .suffixarray import (
+    cut_spans,
+    duplicate_spans,
+    exact_substring_cut,
+    group_lcs,
+    span_groups,
+)
 
 __all__ = [
     "DedupConfig",
@@ -34,6 +40,8 @@ __all__ = [
     "remove_boilerplate_lines",
     "span_groups",
     "duplicate_spans",
+    "cut_spans",
+    "exact_substring_cut",
     "group_lcs",
 ]
 __version__ = "0.1.0"

@@ -170,3 +170,70 @@ def cluster_maintenance_stream(
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def retraction_stream(
+    stream: DataFrame,
+    chain_root: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    keep_versions: int = 2,
+    stats: dict | None = None,
+):
+    """stream(takedown requests) → per micro-batch, retract from the
+    store chain.
+
+    Each batch carries doc_ids to remove — either a `doc_id` column or
+    the natural key (repo, path, commit), from which ids derive (same
+    contract as the CLI's --retract-from).  Every non-empty batch runs
+    retract.retract_docs against CURRENT into a fresh version and
+    advances the pointer; removals of unknown/already-removed ids are
+    no-ops inside retract_docs, so replayed epochs are idempotent (the
+    replay produces a new version with identical content).  The chain
+    must already have a CURRENT version — takedowns cannot bootstrap a
+    corpus.  Interleaves freely with cluster_maintenance_stream over
+    the same chain root: ingest and takedown batches each advance the
+    version counter, and labels after any interleaving equal one batch
+    run over the net corpus (tests/test_retract.py).
+    """
+    cfg = cfg or DedupConfig()
+    chain = StoreChain(chain_root, cfg.config_hash())
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cur_v = chain.current_version()
+        if cur_v is None:
+            raise ValueError(
+                "retraction_stream needs an existing CURRENT version — "
+                "takedowns cannot bootstrap a corpus"
+            )
+        from .prep import with_doc_id
+        from .retract import retract_docs
+
+        ids = batch_df
+        if "doc_id" not in ids.columns:
+            ids = with_doc_id(ids)
+        new_v = cur_v + 1
+        res = retract_docs(
+            spark,
+            ids.select("doc_id"),
+            cfg,
+            store=chain.store(cur_v),
+            out_store=chain.store(new_v),
+        )
+        chain.advance(new_v)
+        chain.prune(keep=keep_versions)
+        if stats is not None:
+            stats[int(epoch_id)] = {
+                "version": new_v,
+                "n_clusters": res.clusters.count(),
+            }
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

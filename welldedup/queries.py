@@ -1121,6 +1121,26 @@ def q_incremental_update_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_span_cut_stats(spark, sf_dir):
+    """Rows-only — exact-substring dedup REWRITE (Lee et al. 2022
+    semantics over the SA kernel's spans, suffixarray.cut_spans): keep
+    each duplicate span's first occurrence, cut later ones, return per
+    doc the rewritten length and bytes removed.  The splice is pure
+    Catalyst folds over binary slices — no Python in the rewrite."""
+    from .suffixarray import exact_substring_cut
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "text as content")
+    )
+    out = exact_substring_cut(docs, min_len=256)
+    return out.select(
+        "doc_id",
+        F.length(F.encode("content", "UTF-8")).alias("n_bytes_after"),
+        "n_cut_bytes",
+    )
+
+
 def q_retract_clusters(spark, sf_dir):
     """Rows-only — the takedown path (retract.py): run the batch
     pipeline, checkpoint it, then retract every 10th doc (deterministic
@@ -2688,6 +2708,7 @@ QUERIES = {
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
     "incremental_update_clusters": q_incremental_update_clusters,
     "retract_clusters": q_retract_clusters,
+    "span_cut_stats": q_span_cut_stats,
 }
 
 ORACLES = {

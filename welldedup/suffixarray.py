@@ -61,6 +61,8 @@ __all__ = [
     "duplicate_spans_kernel",
     "span_groups",
     "duplicate_spans",
+    "cut_spans",
+    "exact_substring_cut",
     "group_lcs",
 ]
 
@@ -493,6 +495,113 @@ def duplicate_spans(
         (-F.col("_best.na")).alias("a_off"),
         (-F.col("_best.nb")).alias("b_off"),
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_cuts: int = 1024,
+) -> DataFrame:
+    """Rewrite half of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): keep
+    the FIRST occurrence of every duplicate span (the lower doc_id —
+    `duplicate_spans` emits doc_a < doc_b) and cut it from the later
+    doc.  Returns `docs` with `text_col` rewritten and an
+    `n_cut_bytes` accounting column; docs without cuts pass through
+    byte-identical.
+
+    Pure Catalyst, zero Python in the rewrite: per doc the cut
+    intervals are collected once (capped at `max_cuts`, sorted),
+    merged with an `F.aggregate` fold (overlaps and adjacency
+    coalesce), and the survivor segments are spliced with a second
+    fold over BINARY slices — span offsets are UTF-8 byte offsets
+    (the SA kernel matches bytes), so splicing must slice the encoded
+    bytes, not characters.  A cut boundary inside a multi-byte
+    sequence (possible only when the duplicate span itself ends
+    mid-character) decodes leniently.
+
+    Determinism: keep-first-by-id is order-free and reproducible
+    across cluster sizes; a doc that is doc_a in one pair and doc_b
+    in another keeps its early copy and loses its late one — same
+    one-surviving-occurrence guarantee as the reference algorithm,
+    decided by id instead of corpus position."""
+    iv = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.struct(
+            F.col("b_off").alias("s"),
+            (F.col("b_off") + F.col("span_len")).alias("e"),
+        ).alias("_iv"),
+    )
+    per_doc = iv.groupBy(id_col).agg(
+        F.slice(F.sort_array(F.collect_list("_iv")), 1, max_cuts).alias("_ivs")
+    )
+    out = docs.join(per_doc, id_col, "left")
+    raw = F.encode(F.col(text_col), "UTF-8")
+
+    merged = F.aggregate(
+        F.col("_ivs"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= x["s"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], x["e"]).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    zero = F.lit(0).cast("bigint")
+    spliced = F.aggregate(
+        merged,
+        F.struct(zero.alias("pos"), F.lit(b"").alias("out")),
+        lambda acc, x: F.struct(
+            x["e"].alias("pos"),
+            F.concat(
+                acc["out"], raw.substr(acc["pos"] + 1, x["s"] - acc["pos"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            raw.substr(acc["pos"] + 1, F.length(raw).cast("bigint") - acc["pos"]),
+        ),
+    )
+    n_cut = F.aggregate(merged, zero, lambda a, x: a + (x["e"] - x["s"]))
+    has = F.col("_ivs").isNotNull()
+    return (
+        out.withColumn(
+            text_col,
+            F.when(has, F.decode(spliced, "UTF-8")).otherwise(F.col(text_col)),
+        )
+        .withColumn("n_cut_bytes", F.when(has, n_cut).otherwise(zero))
+        .drop("_ivs")
+    )
+
+
+def exact_substring_cut(
+    docs: DataFrame,
+    cfg=None,
+    min_len: int = 256,
+    m: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """End-to-end exact-substring dedup: discover cross-document
+    duplicate spans (span_groups → duplicate_spans: CDC co-location +
+    per-group generalized suffix array) and cut every later occurrence
+    (cut_spans).  One content shuffle for grouping, one for the
+    rewrite join; the SA kernel is the only Python, already bounded
+    per group."""
+    grouped = span_groups(docs, cfg, m=m, id_col=id_col, text_col=text_col)
+    spans = duplicate_spans(
+        grouped, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+    return cut_spans(docs, spans, id_col=id_col, text_col=text_col)
 
 
 def group_lcs(
