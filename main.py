@@ -62,6 +62,14 @@ def parse_args(argv=None):
         "deterministically shuffled size-balanced shards (export.py)",
     )
     p.add_argument("--export-shards", type=int, default=None)
+    p.add_argument(
+        "--export-rep",
+        choices=("min-id", "longest"),
+        default="min-id",
+        help="which cluster member the export keeps: the min-id label "
+        "doc (legacy) or the longest member (cluster.representatives — "
+        "the CCNet/The-Stack-style keeper)",
+    )
     p.add_argument("--export-seed", type=int, default=0)
     p.add_argument(
         "--curate",
@@ -245,9 +253,16 @@ def main(argv=None) -> int:
         from welldedup.export import export_corpus
         from welldedup.prep import with_doc_id
 
-        reps = res.clusters.filter(
-            F.col("doc_id") == F.col("cluster_id")
-        ).select("doc_id")
+        if args.export_rep == "longest":
+            from welldedup.cluster import representatives
+
+            reps = representatives(
+                res.clusters, res.docs.select("doc_id", "n_bytes")
+            ).select(F.col("rep_doc_id").alias("doc_id"))
+        else:
+            reps = res.clusters.filter(
+                F.col("doc_id") == F.col("cluster_id")
+            ).select("doc_id")
         keep = with_doc_id(code_files).join(reps, "doc_id", "left_semi")
         summary["export"] = export_corpus(
             keep, args.export, n_shards=args.export_shards, seed=args.export_seed

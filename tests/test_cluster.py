@@ -70,3 +70,23 @@ def test_convergence_cap_raises(spark):
     )
     with pytest.raises(ConvergenceError):
         connected_components(nodes, edges, max_rounds=1)
+
+
+def test_representatives_prefers_order_then_id(spark):
+    """Quality-aware keeper: longest member wins, min id breaks ties,
+    singletons represent themselves."""
+    from welldedup.cluster import representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (9, 4), (10, 4)],
+        "doc_id long, n_bytes long",
+    )
+    got = {
+        r.cluster_id: (r.rep_doc_id, r.n_members)
+        for r in representatives(clusters, docs).collect()
+    }
+    assert got == {1: (2, 3), 7: (7, 1), 9: (9, 2)}

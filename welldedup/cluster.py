@@ -182,3 +182,43 @@ def cluster_representatives(clusters: DataFrame, docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C3 generalized — pick the KEEPER per cluster under a
+    configurable preference order, not just the min id.
+
+    Real pipelines rarely keep the smallest id: the canonical choice
+    is the longest / highest-quality / most-recent member (The Stack
+    keeps the file with the most stars; CCNet the longest).  `docs`
+    must carry the columns `order_by` references; default preference
+    is longest content first (`n_bytes` desc — docs' own metadata, no
+    content read), with `id_col` ascending as the deterministic
+    tiebreak so the choice is reproducible across cluster sizes and
+    engines.  One ranking window per cluster key — the same shape as
+    every other top-1-per-group in the engine.  Returns one row per
+    cluster: (cluster_id, rep_<id_col>, n_members, plus the order
+    columns for auditability).
+    """
+    from pyspark.sql import Window
+
+    order_by = (
+        [F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+        if order_by
+        else [F.col("n_bytes").desc()]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order_by, F.col(id_col).asc())
+    wc = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(docs, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumnRenamed(id_col, f"rep_{id_col}")
+    )

@@ -200,6 +200,41 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """C3 generalized — quality-aware keeper per cluster
+    (cluster.representatives): longest text wins, min doc_id breaks
+    ties; one ranking window over the CC labels."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("rep_len")
+    )
+    labels = q_cc_clusters(spark, sf_dir)
+    reps = cc.representatives(labels, d, order_by=[F.col("rep_len").desc()])
+    return reps.select(
+        "cluster_id", F.col("rep_doc_id"), "rep_len",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+SQL_CLUSTER_REPRESENTATIVES = (
+    SQL_CC_CLUSTERS.replace(
+        "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src",
+        """, labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT l.cluster_id,
+         l.doc_id AS rep_doc_id,
+         length(d.text) AS rep_len,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY length(d.text) DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+)
+SELECT cluster_id, rep_doc_id, rep_len, n_members FROM ranked WHERE rk = 1""",
+    )
+)
+
+
 def q_ngram3_jaccard_pairs(spark, sf_dir):
     """Word-trigram Jaccard near-dup pairs (n-gram dedup operator) —
     same-source pairs above 0.35."""
@@ -2620,6 +2655,7 @@ QUERIES = {
     "cc_clusters": q_cc_clusters,
     "ngram3_jaccard_pairs": q_ngram3_jaccard_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "cluster_representatives": q_cluster_representatives,
     # relational suite
     "price_percentiles": q_price_percentiles,
     "pivot_status_priority": q_pivot_status_priority,
@@ -2720,6 +2756,7 @@ ORACLES = {
     "cc_clusters": SQL_CC_CLUSTERS,
     "ngram3_jaccard_pairs": SQL_NGRAM3_JACCARD_PAIRS,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "pivot_status_priority": SQL_PIVOT_STATUS_PRIORITY,
     "cube_lineitem": SQL_CUBE_LINEITEM,
