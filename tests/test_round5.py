@@ -37,6 +37,7 @@ ROWS_ONLY_EXPECTED = {
     "incremental_update_clusters": 500,  # run half + update half: every doc labeled
     "retract_clusters": 450,         # 500 docs minus every 10th retracted
     "span_cut_stats": 500,           # left join keeps every doc
+    "self_repetition_cut": 500,      # left join keeps every doc
     "doc_fingerprints": 500,         # one fingerprint per doc
     "langid": 500,
     "lsh_buckets": None,

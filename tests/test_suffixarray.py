@@ -339,3 +339,68 @@ def test_cut_spans_multibyte_passthrough(spark):
     got = {r.doc_id: r.content for r in cut_spans(docs, spans).collect()}
     assert got[1] == "höhe——tiefe"
     assert got[2] == "übrig—bleibt—alles"
+
+
+# --- intra-document repetition cutting ------------------------------------
+
+
+def test_internal_cut_intervals_properties():
+    """Every elementary marked byte has an identical earlier copy; the
+    planted repeated block's later occurrence is exactly covered."""
+    from welldedup.suffixarray import internal_cut_intervals
+
+    rng = np.random.Generator(np.random.PCG64(5))
+
+    def rand(n, g):
+        return "".join(chr(97 + int(c)) for c in g.integers(0, 26, n))
+
+    x = rand(300, rng)
+    u1, u2, u3 = rand(200, rng), rand(150, rng), rand(180, rng)
+    doc = (u1 + x + u2 + x + u3).encode()
+    iv = internal_cut_intervals(np.frombuffer(doc, np.uint8), 256)
+    # exactly the second X (give or take coincidental boundary bytes)
+    assert len(iv) == 1
+    s, e = int(iv[0][0]), int(iv[0][1])
+    second_x = len(u1) + 300 + len(u2)
+    assert abs(s - second_x) <= 8 and abs(e - (second_x + 300)) <= 8
+    # no repeats => no intervals
+    assert internal_cut_intervals(
+        np.frombuffer(rand(800, rng).encode(), np.uint8), 256
+    ).shape == (0, 2)
+    # degenerate run collapses to one byte's worth of keeps
+    run = np.full(1000, 97, dtype=np.uint8)
+    riv = internal_cut_intervals(run, 100)
+    assert len(riv) == 1 and riv[0][0] == 1 and riv[0][1] == 1000
+
+
+def test_self_cut_removes_internal_repeats(spark):
+    """Two distinct repeated blocks in one doc: both later occurrences
+    cut, earliest copies and unique text intact; clean docs unchanged."""
+    from welldedup.suffixarray import self_cut
+
+    rng = np.random.Generator(np.random.PCG64(9))
+
+    def rand(n):
+        return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+    x, y = rand(300), rand(280)
+    u = [rand(120) for _ in range(5)]
+    doc = u[0] + x + u[1] + y + u[2] + x + u[3] + y + u[4]
+    clean = rand(900)
+    out = {
+        r.doc_id: (r.content, r.n_cut_bytes)
+        for r in self_cut(
+            spark.createDataFrame(
+                [(1, doc), (2, clean)], "doc_id long, content string"
+            ),
+            min_len=256,
+        ).collect()
+    }
+    cut, n = out[1]
+    assert out[2] == (clean, 0)
+    assert n >= len(x) + len(y)
+    # earliest copies survive, unique filler survives
+    for piece in (x, y, u[0][:110], u[2][:110], u[4][-110:]):
+        assert piece[4:-4] in cut
+    # each block now occurs exactly once
+    assert cut.count(x[8:-8]) == 1 and cut.count(y[8:-8]) == 1

@@ -20,6 +20,7 @@ from .suffixarray import (
     duplicate_spans,
     exact_substring_cut,
     group_lcs,
+    self_cut,
     span_groups,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "duplicate_spans",
     "cut_spans",
     "exact_substring_cut",
+    "self_cut",
     "group_lcs",
 ]
 __version__ = "0.1.0"

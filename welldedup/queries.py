@@ -1176,6 +1176,25 @@ def q_span_cut_stats(spark, sf_dir):
     )
 
 
+def q_self_repetition_cut(spark, sf_dir):
+    """Rows-only — intra-document repetition removal (suffixarray.
+    self_cut): per doc, cut every repeated run >= min_len down to its
+    earliest occurrence; discovery is each doc's own suffix array (no
+    shuffle), rewrite is the shared pure-Catalyst splice."""
+    from .suffixarray import self_cut
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "text as content")
+    )
+    out = self_cut(docs, min_len=128)
+    return out.select(
+        "doc_id",
+        F.length(F.encode("content", "UTF-8")).alias("n_bytes_after"),
+        "n_cut_bytes",
+    )
+
+
 def q_retract_clusters(spark, sf_dir):
     """Rows-only — the takedown path (retract.py): run the batch
     pipeline, checkpoint it, then retract every 10th doc (deterministic
@@ -2745,6 +2764,7 @@ QUERIES = {
     "incremental_update_clusters": q_incremental_update_clusters,
     "retract_clusters": q_retract_clusters,
     "span_cut_stats": q_span_cut_stats,
+    "self_repetition_cut": q_self_repetition_cut,
 }
 
 ORACLES = {

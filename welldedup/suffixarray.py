@@ -61,6 +61,8 @@ __all__ = [
     "duplicate_spans_kernel",
     "span_groups",
     "duplicate_spans",
+    "internal_cut_intervals",
+    "self_cut",
     "cut_spans",
     "exact_substring_cut",
     "group_lcs",
@@ -495,6 +497,86 @@ def duplicate_spans(
         (-F.col("_best.na")).alias("a_off"),
         (-F.col("_best.nb")).alias("b_off"),
     )
+
+
+def internal_cut_intervals(data: np.ndarray, min_len: int) -> np.ndarray:
+    """Within ONE document: merged byte intervals covering the LATER
+    occurrence of every duplicated run >= min_len — the intra-document
+    analog of the cross-doc span discovery, with position-mask
+    semantics instead of per-pair max spans.
+
+    For each lexicographically adjacent suffix pair with LCP >= L, the
+    later-starting suffix's first L bytes are marked; marked intervals
+    merge (vectorized: sort by start, running-max end, reduceat per
+    segment).  Every marked byte therefore has an identical copy
+    starting strictly earlier in the same document, so cutting all
+    marked bytes keeps (transitively) the earliest copy of each
+    repeated block.  Degenerate runs collapse hard by design: a
+    single-character run of length n keeps one byte (every later byte
+    duplicates position 0) — same posture as Lee et al.'s ExactSubstr
+    on pathological inputs.  Returns an (k, 2) int64 array of [s, e)
+    byte intervals, possibly empty."""
+    empty = np.zeros((0, 2), dtype=np.int64)
+    n = int(data.shape[0])
+    if n < 2 * min_len:
+        return empty
+    sa = suffix_array(data)
+    lcp = lcp_adjacent_bytes(data, sa)
+    keep = lcp >= min_len
+    if not keep.any():
+        return empty
+    x = sa[:-1][keep]
+    y = sa[1:][keep]
+    later = np.maximum(x, y)
+    s = later
+    e = later + lcp[keep]
+    order = np.argsort(s, kind="stable")
+    s = s[order]
+    e = e[order]
+    cummax = np.maximum.accumulate(e)
+    newseg = np.ones(s.shape[0], dtype=bool)
+    newseg[1:] = s[1:] > cummax[:-1]
+    starts_idx = np.nonzero(newseg)[0]
+    out_s = s[starts_idx]
+    out_e = np.maximum.reduceat(e, starts_idx)
+    return np.stack([out_s, out_e], axis=1)
+
+
+def self_cut(
+    docs: DataFrame,
+    min_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Intra-document repetition removal: cut every repeated run
+    >= min_len down to its earliest occurrence (Gopher-class
+    repetition hygiene at span granularity, where the line-level
+    filters in scrub.py/curate.py work at line granularity).
+
+    Needs NO co-location or shuffle for discovery — each doc's
+    generalized suffix array is its own: one `mapInPandas` pass emits
+    merged cut intervals per doc (internal_cut_intervals), and the
+    rewrite reuses `cut_spans`' pure-Catalyst interval-merge + binary
+    splice.  Returns docs with `text_col` rewritten plus
+    `n_cut_bytes`."""
+    ml = int(min_len)
+    schema = "doc_a long, doc_b long, span_len long, a_off long, b_off long"
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = np.frombuffer(
+                    (t or "").encode("utf-8", "ignore"), dtype=np.uint8
+                )
+                for s, e in internal_cut_intervals(raw, ml):
+                    out.append((-1, int(i), int(e - s), 0, int(s)))
+            yield pd.DataFrame(
+                out, columns=["doc_a", "doc_b", "span_len", "a_off", "b_off"]
+            )
+
+    spans = docs.select(id_col, text_col).mapInPandas(fn, schema)
+    return cut_spans(docs, spans, id_col=id_col, text_col=text_col)
 
 
 def cut_spans(
