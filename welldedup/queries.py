@@ -235,6 +235,58 @@ SELECT cluster_id, rep_doc_id, rep_len, n_members FROM ranked WHERE rk = 1""",
 )
 
 
+def q_cluster_cohesion(spark, sf_dir):
+    """Cluster-quality diagnostics: per multi-member cluster, member
+    count, verified-edge count, and edge density 2E/(n(n-1)) — low
+    cohesion flags chain-merged clusters (transitive closure through a
+    hub), the classic CC-over-LSH failure mode worth monitoring at
+    100 TB."""
+    labels = q_cc_clusters(spark, sf_dir)
+    edges = q_word_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    sizes = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    ec = (
+        edges.join(labels.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return sizes.join(ec, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.round(
+            2.0 * F.coalesce("n_edges", F.lit(0))
+            / (F.col("n_members") * (F.col("n_members") - 1)),
+            4,
+        ).alias("density"),
+    )
+
+
+SQL_CLUSTER_COHESION = SQL_CC_CLUSTERS.replace(
+    "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src",
+    """, labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM labels
+  GROUP BY cluster_id HAVING count(*) >= 2
+),
+ec AS (
+  SELECT l.cluster_id, count(*) AS n_edges
+  FROM pairs p JOIN labels l ON p.id_a = l.doc_id
+  GROUP BY l.cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+       coalesce(ec.n_edges, 0) AS n_edges,
+       round(2.0 * coalesce(ec.n_edges, 0)
+             / (s.n_members * (s.n_members - 1)), 4) AS density
+FROM sizes s LEFT JOIN ec ON s.cluster_id = ec.cluster_id""",
+)
+
+
 def q_ngram3_jaccard_pairs(spark, sf_dir):
     """Word-trigram Jaccard near-dup pairs (n-gram dedup operator) —
     same-source pairs above 0.35."""
@@ -2675,6 +2727,7 @@ QUERIES = {
     "ngram3_jaccard_pairs": q_ngram3_jaccard_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "cluster_representatives": q_cluster_representatives,
+    "cluster_cohesion": q_cluster_cohesion,
     # relational suite
     "price_percentiles": q_price_percentiles,
     "pivot_status_priority": q_pivot_status_priority,
@@ -2777,6 +2830,7 @@ ORACLES = {
     "ngram3_jaccard_pairs": SQL_NGRAM3_JACCARD_PAIRS,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
+    "cluster_cohesion": SQL_CLUSTER_COHESION,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "pivot_status_priority": SQL_PIVOT_STATUS_PRIORITY,
     "cube_lineitem": SQL_CUBE_LINEITEM,
