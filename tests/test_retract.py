@@ -117,6 +117,34 @@ def test_drop_threshold_reversal_merges(spark, tmp_path):
     )
 
 
+def test_drop_reversal_when_drop_below_cap(spark, tmp_path):
+    """Mirror of the forward path's min(K, D) gate finding: with
+    drop_bucket_over < max_bucket, a base size in (D, K] is suppressed
+    by the DROP rule, not the cap — the reverse detection must flag
+    the crossing when removal brings the bucket back under D."""
+    cfg = DedupConfig(methods=("minhash",), max_bucket=64, drop_bucket_over=8)
+    boiler = boiler_docs(10)
+    cf = pd.concat([boiler, _filler_docs(25, seed=17)])
+    base, store = _run_with_store(spark, cf, cfg, tmp_path, "v1")
+    boiler_ids = _ids_by_path(base, list(boiler.path))
+    base_labels = _labels(base)
+    assert all(base_labels[d] == d for d in boiler_ids), (
+        "fixture drift: base bucket no longer suppressed by the drop rule"
+    )
+
+    removed = sorted(boiler_ids)[:3]
+    removed_paths = {
+        p for p, d in zip(boiler.path, boiler_ids) if d in removed
+    }
+    full = run_pipeline(
+        spark, spark.createDataFrame(cf[~cf.path.isin(removed_paths)]), cfg
+    )
+    ret = retract_docs(spark, removed, cfg, store=store)
+    assert _labels(ret) == _labels(full)
+    survivors = [d for d in boiler_ids if d not in removed]
+    assert len({_labels(ret)[d] for d in survivors}) == 1
+
+
 def test_capped_list_vacancy_admits_next_member(spark, tmp_path):
     """With a bottom-K capped bucket, removing a bottom-K member lets
     the (K+1)-th doc in — the reduced-corpus run pairs it up."""
