@@ -22,8 +22,9 @@ SF = "/root/testdata/sf0.001"
 # --- rows-only regression gate (VERDICT r4 missing #5 / next #3) -------
 #
 # The driver board oracle-checks every ORACLES entry but ran only 3 of
-# the 12 rows-only queries in round 4 — this gate guarantees none of
-# the 12 can silently break between rounds.  Expected counts are pinned
+# the rows-only queries in round 4 — this gate covers EVERY entry of
+# set(QUERIES) - set(ORACLES) (asserted below), so none can silently
+# break between rounds.  Expected counts are pinned
 # where the query is deterministic at sf0.001 (catches not just "runs"
 # but "still finds the same structure"); `> 0` where the count is an
 # estimator detail.
