@@ -404,3 +404,37 @@ def test_self_cut_removes_internal_repeats(spark):
         assert piece[4:-4] in cut
     # each block now occurs exactly once
     assert cut.count(x[8:-8]) == 1 and cut.count(y[8:-8]) == 1
+
+
+@given(st.text(alphabet="ab", min_size=0, max_size=160))
+@settings(max_examples=120, deadline=None)
+def test_internal_cut_intervals_match_brute_force(doc):
+    """The vectorized mask (SA + LCP + sort/running-max merge) must
+    equal a direct quadratic reference of the same spec: for every
+    lexicographically adjacent suffix pair with LCP >= min_len, mark
+    the later suffix's first LCP bytes; merge.  (Gram-level
+    preservation is deliberately NOT an invariant: periodic repeats
+    collapse — a run of one char keeps one byte — and an interval
+    boundary may clip a straddling gram's tail, same posture as
+    ExactSubstr.)"""
+    from welldedup.suffixarray import internal_cut_intervals
+
+    min_len = 8
+    raw = doc.encode()
+    got = internal_cut_intervals(np.frombuffer(raw, np.uint8), min_len)
+
+    n = len(raw)
+    sa = sorted(range(n), key=lambda i: raw[i:])
+    marks = []
+    for a, b in zip(sa, sa[1:]):
+        l = brute_lcp(raw[a:], raw[b:])
+        if l >= min_len:
+            later = max(a, b)
+            marks.append((later, later + l))
+    merged = []
+    for s0, e0 in sorted(marks):
+        if merged and s0 <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e0)
+        else:
+            merged.append([s0, e0])
+    assert [list(iv) for iv in got] == merged

@@ -508,10 +508,13 @@ def internal_cut_intervals(data: np.ndarray, min_len: int) -> np.ndarray:
     For each lexicographically adjacent suffix pair with LCP >= L, the
     later-starting suffix's first L bytes are marked; marked intervals
     merge (vectorized: sort by start, running-max end, reduceat per
-    segment).  Every marked byte therefore has an identical copy
-    starting strictly earlier in the same document, so cutting all
-    marked bytes keeps (transitively) the earliest copy of each
-    repeated block.  Degenerate runs collapse hard by design: a
+    segment).  Every marked byte lies inside a span byte-identical to
+    one starting strictly earlier in the same document — the byte-level
+    redundancy guarantee.  It is deliberately NOT a gram-preservation
+    guarantee: when occurrences overlap (periodic repeats) or an
+    interval boundary clips a straddling window, the exact window may
+    survive only via its earlier context — the same posture as
+    ExactSubstr.  Degenerate runs collapse hard by design: a
     single-character run of length n keeps one byte (every later byte
     duplicates position 0) — same posture as Lee et al.'s ExactSubstr
     on pathological inputs.  Returns an (k, 2) int64 array of [s, e)
