@@ -97,3 +97,89 @@ def test_extract_features_mixed_batch(spark):
     assert got[3].feat_kind == "decoded"
     assert (got[3].width, got[3].height) == (4, 8)
     assert np.allclose(got[3].feat, 9.0)
+
+
+# --- PNG (stdlib zlib inflate + vectorized unfilter) ----------------------
+
+
+def _png(img: np.ndarray, filters=None, color=None, interlace=0, depth=8):
+    """Minimal encoder for fixtures: arbitrary per-row filter types,
+    8-bit gray/GA/RGB/RGBA."""
+    import binascii
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    if color is None:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int64)
+    for r in range(h):
+        cur = img[r].reshape(-1).astype(np.int64)
+        ft = filters[r]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            enc = cur - ((left + prev) >> 1)
+        else:  # 4 Paeth
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            ul = np.concatenate([np.zeros(nch, np.int64), prev[:-nch]])
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        raw += bytes([ft]) + bytes((enc & 0xFF).astype(np.uint8))
+        prev = cur
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", binascii.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters_rgb():
+    rng = np.random.Generator(np.random.PCG64(2))
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for ft in range(5):
+        got = mm.decode_image(_png(img, filters=[ft] * 5))
+        assert got is not None and np.array_equal(got, img), f"filter {ft}"
+    # mixed filters per row
+    got = mm.decode_image(_png(img, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, img)
+
+
+def test_png_gray_and_alpha_variants():
+    rng = np.random.Generator(np.random.PCG64(3))
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(_png(gray, filters=[4] * 4)), gray)
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(_png(ga)), ga[:, :, 0])
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(mm.decode_image(_png(rgba)), rgba[:, :, :3])
+
+
+def test_png_unsupported_variants_fall_back():
+    rng = np.random.Generator(np.random.PCG64(4))
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    assert mm.decode_image(_png(img, interlace=1)) is None  # Adam7
+    assert mm.decode_image(_png(img, depth=16)) is None
+    assert mm.decode_image(_png(img, color=3)) is None  # palette
+    assert mm.decode_image(_png(img)[:40]) is None  # truncated

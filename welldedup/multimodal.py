@@ -4,15 +4,16 @@ Images/audio/video are carried as `binary` columns with a metadata
 struct; decode / feature-extraction run as Arrow-batched pandas UDFs
 over `mapInPandas`.
 
-Decode status (round 5): **real decoders, zero dependencies**, for the
-self-describing uncompressed raster formats — PPM (P6), PGM (P5), and
-24/32-bit uncompressed BMP — implemented directly in numpy
-(`decode_image`).  Compressed formats (PNG/JPEG/audio/video) need
-codec libraries this container doesn't have; those payloads fall back
-to the clearly-marked deterministic byte-profile stub so the pipeline
-never crashes on a format it can't decode (`feat_kind` column says
-which path produced each row).  Swapping in PIL/torchaudio later only
-adds branches to `decode_image`.
+Decode status (round 5): **real decoders, zero external dependencies**
+— PPM (P6), PGM (P5), 24/32-bit uncompressed BMP, and 8-bit
+non-interlaced PNG (gray / gray+alpha / RGB / RGBA: chunk walk +
+stdlib-zlib inflate + vectorized unfilter incl. Sub/Up/Average/Paeth),
+all in numpy (`decode_image`).  Formats needing codec libraries this
+container doesn't have (JPEG, palette/16-bit/Adam7 PNG, audio/video)
+fall back to the clearly-marked deterministic byte-profile stub so the
+pipeline never crashes on a format it can't decode (`feat_kind` column
+says which path produced each row).  Swapping in PIL/torchaudio later
+only adds branches to `decode_image`.
 
 Feature extraction from a decoded image is a 4×4 box-mean luminance
 grid (16 floats, resolution-independent) — the standard cheap
@@ -113,14 +114,129 @@ def _parse_bmp(payload: bytes) -> np.ndarray | None:
     return img[:, :, 2::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channels (8-bit depth only; palette needs the PLTE
+# indirection and stays on the stub path)
+_PNG_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray | None:
+    """Reverse the PNG per-row filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth).  None/Sub/Up rows are fully vectorized (Sub is a wrapping
+    cumulative sum per pixel lane); Average/Paeth rows carry a true
+    per-pixel dependency and run a per-column loop vectorized over
+    channels — O(w) Python steps per such row, fine for the thumbnail/
+    asset sizes a metadata pipeline decodes and only paid on rows that
+    actually use those filters."""
+    stride = w * nch
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if not np.isin(ftypes, (0, 1, 2, 3, 4)).all():
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        cur = rows[r, 1:].copy()
+        ft = int(ftypes[r])
+        if ft == 1:
+            cur = (
+                np.add.accumulate(cur.reshape(w, nch), axis=0, dtype=np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:
+            cur += prev
+        elif ft in (3, 4):
+            px = cur.reshape(w, nch).astype(np.int64)
+            pv = prev.reshape(w, nch).astype(np.int64)
+            rec = np.zeros((w, nch), dtype=np.int64)
+            a = np.zeros(nch, dtype=np.int64)
+            c = np.zeros(nch, dtype=np.int64)
+            for x in range(w):
+                b = pv[x]
+                if ft == 3:
+                    rec[x] = (px[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    rec[x] = (px[x] + pred) & 0xFF
+                a = rec[x]
+                c = b
+            cur = rec.astype(np.uint8).reshape(stride)
+        out[r] = cur
+        prev = out[r]
+    return out
+
+
+def _parse_png(payload: bytes) -> np.ndarray | None:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) —
+    chunk walk + stdlib zlib inflate + vectorized unfilter.  Palette,
+    16-bit, and Adam7-interlaced images return None (stub path); alpha
+    is dropped after decode (features are luminance-based)."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    import zlib
+
+    pos = len(_PNG_SIG)
+    w = h = nch = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                if length != 13:
+                    return None
+                w, h = struct.unpack_from(">II", data, 0)
+                depth, color, comp, filt, interlace = data[8:13]
+                if (
+                    depth != 8
+                    or color not in _PNG_CH
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
+                    return None
+                nch = _PNG_CH[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if not w or not h or not nch or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except (struct.error, zlib.error):
+        return None
+    if raw.shape[0] != h * (w * nch + 1):
+        return None
+    out = _png_unfilter(raw, h, w, nch)
+    if out is None:
+        return None
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        return img[:, :, 0]
+    if nch == 2:  # gray + alpha → gray
+        return img[:, :, 0]
+    return img[:, :, :3]  # RGB(A) → RGB
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Real decode for the dependency-free formats; None if the format
-    needs a codec library (caller falls back to the byte-profile stub)."""
+    """Real decode for the dependency-free formats (PPM/PGM, BMP, and
+    8-bit non-interlaced PNG via stdlib zlib); None if the format needs
+    an external codec (caller falls back to the byte-profile stub)."""
     if len(payload) < 2:
         return None
     out = _parse_pnm(payload)
     if out is None:
         out = _parse_bmp(payload)
+    if out is None:
+        out = _parse_png(payload)
     return out
 
 
