@@ -183,3 +183,74 @@ def test_png_unsupported_variants_fall_back():
     assert mm.decode_image(_png(img, depth=16)) is None
     assert mm.decode_image(_png(img, color=3)) is None  # palette
     assert mm.decode_image(_png(img)[:40]) is None  # truncated
+
+
+# --- WAV (RIFF PCM / float) -----------------------------------------------
+
+
+def _wav(samples: np.ndarray, sr=8000, bits=16, afmt=1, nch=1):
+    """Minimal RIFF writer: interleaved samples as given dtype."""
+    if bits == 16:
+        body = (samples * 32768).clip(-32768, 32767).astype("<i2").tobytes()
+    elif bits == 8:
+        body = ((samples * 128) + 128).clip(0, 255).astype("u1").tobytes()
+    elif bits == 32 and afmt == 3:
+        body = samples.astype("<f4").tobytes()
+    else:
+        body = (samples * 2147483648).clip(-(2**31), 2**31 - 1).astype("<i4").tobytes()
+    ba = nch * bits // 8
+    fmt = struct.pack("<HHIIHH", afmt, nch, sr, sr * ba, ba, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_formats_and_mono_mix():
+    t = np.linspace(0, 1, 800, dtype=np.float32)
+    wave = (0.5 * np.sin(2 * np.pi * 5 * t)).astype(np.float32)
+    for bits, afmt in [(16, 1), (8, 1), (32, 1), (32, 3)]:
+        got = mm.decode_audio(_wav(wave, bits=bits, afmt=afmt))
+        assert got is not None, (bits, afmt)
+        mono, sr = got
+        assert sr == 8000 and mono.shape == (800,)
+        tol = {8: 2e-2, 16: 1e-3, 32: 1e-6}[bits]
+        assert np.abs(mono - wave).max() < tol
+    # stereo interleave averages to mono
+    stereo = np.empty(1600, dtype=np.float32)
+    stereo[0::2] = wave
+    stereo[1::2] = -wave
+    mono, _ = mm.decode_audio(_wav(stereo, nch=2))
+    assert np.abs(mono).max() < 1e-3
+
+
+def test_wav_unsupported_falls_back():
+    t = np.zeros(100, dtype=np.float32)
+    payload = _wav(t)
+    assert mm.decode_audio(payload[:20]) is None          # truncated
+    bad = bytearray(_wav(t))
+    bad[20] = 2                                            # afmt=2 (ADPCM)
+    assert mm.decode_audio(bytes(bad)) is None
+    assert mm.decode_audio(b"RIFFxxxxAVI LIST") is None    # not WAVE
+
+
+def test_extract_features_audio_row(spark):
+    t = np.linspace(0, 1, 640, dtype=np.float32)
+    wav = _wav((0.25 * np.sin(2 * np.pi * 3 * t)).astype(np.float32))
+    png_img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    rows = [
+        (1, "audio/wav", bytearray(wav)),
+        (2, "image/png", bytearray(_png(png_img))),
+        (3, "video/mp4", bytearray(b"\x00\x00\x00 ftypisom" + b"j" * 64)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = {r.doc_id: r for r in mm.extract_features(df).collect()}
+    assert got[1].feat_kind == "decoded_audio"
+    assert got[1].width == 8000 and got[1].height == 640  # sr / n_frames
+    assert len(got[1].feat) == 16
+    assert got[2].feat_kind == "decoded"
+    assert got[3].feat_kind == "byte_profile"

@@ -240,6 +240,61 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     return out
 
 
+def decode_audio(payload: bytes):
+    """RIFF WAV → (mono float32 waveform in [-1, 1], sample_rate), or
+    None.  Dependency-free like the raster decoders: chunk walk +
+    numpy reinterpretation.  Supports PCM uint8 / int16 / int32 and
+    IEEE float32, any channel count (averaged to mono); compressed or
+    24-bit WAVs return None (stub path)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + sz]
+            if len(body) < sz:
+                return None
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are even-padded
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        afmt, nch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    except struct.error:
+        return None
+    if nch < 1 or sr <= 0:
+        return None
+    if afmt == 1 and bits == 16:
+        arr = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif afmt == 1 and bits == 8:
+        arr = (np.frombuffer(data, "u1").astype(np.float32) - 128.0) / 128.0
+    elif afmt == 1 and bits == 32:
+        arr = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif afmt == 3 and bits == 32:
+        arr = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        return None
+    n = arr.size - arr.size % nch
+    if n == 0:
+        return None
+    mono = arr[:n].reshape(-1, nch).mean(axis=1)
+    return mono, int(sr)
+
+
+def _audio_features(mono: np.ndarray) -> np.ndarray:
+    """GRID²-bin RMS envelope — the duration-independent audio analog
+    of the image luminance grid: deterministic, cheap, good enough for
+    exact-ish near-dup grouping of decoded audio."""
+    feats = np.empty(GRID * GRID, dtype=np.float32)
+    for k, chunk in enumerate(np.array_split(mono, GRID * GRID)):
+        feats[k] = float(np.sqrt(np.mean(chunk * chunk))) if chunk.size else 0.0
+    return feats
+
+
 def _grid_features(img: np.ndarray) -> np.ndarray:
     """GRID×GRID box-mean luminance grid, resolution independent."""
     lum = img.astype(np.float32)
@@ -256,8 +311,9 @@ def _grid_features(img: np.ndarray) -> np.ndarray:
 
 def _byte_profile_stub(payload: bytes) -> np.ndarray:
     """Deterministic fallback 'decode' for codec-dependent formats
-    (PNG/JPEG/audio/video): an 8-dim byte-mean profile so downstream
-    plumbing (schema, batching, joins) still runs end-to-end."""
+    (JPEG, video, compressed audio, exotic PNG/WAV variants): an 8-dim
+    byte-mean profile so downstream plumbing (schema, batching, joins)
+    still runs end-to-end."""
     arr = np.frombuffer(payload[:1024], dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(8, dtype=np.float32)
@@ -280,7 +336,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     batch is processed column-vectorized except the per-payload decode
     (inherently per-item — codec libraries are per-item too).
     `feat_kind` records the path: 'decoded' (real raster decode,
-    16-dim grid) or 'byte_profile' (stub fallback, 8-dim)."""
+    16-dim luminance grid), 'decoded_audio' (real WAV decode, 16-dim
+    RMS envelope; width/height carry sample_rate/n_frames), or
+    'byte_profile' (stub fallback, 8-dim)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -294,6 +352,16 @@ def extract_features(media: DataFrame) -> DataFrame:
                     kinds.append("decoded")
                     heights.append(img.shape[0])
                     widths.append(img.shape[1])
+                    continue
+                aud = decode_audio(b)
+                if aud is not None:
+                    mono, sr = aud
+                    feats.append(_audio_features(mono))
+                    kinds.append("decoded_audio")
+                    # metadata slots reused for audio rows (documented):
+                    # width := sample_rate, height := n_frames
+                    widths.append(sr)
+                    heights.append(int(mono.shape[0]))
                 else:
                     feats.append(_byte_profile_stub(b))
                     kinds.append("byte_profile")
