@@ -84,6 +84,19 @@ def operator_bench(sf_dir: str) -> dict:
     grouped = span_groups(docs, cfg, m=4)
     pairs = duplicate_spans(grouped, min_len=256).count()
     sec = time.monotonic() - t0
+
+    from pyspark.sql import functions as F
+
+    from welldedup.suffixarray import exact_substring_cut, self_cut
+
+    t0 = time.monotonic()
+    cut = exact_substring_cut(docs, cfg, min_len=256)
+    cut_bytes = cut.agg(F.sum("n_cut_bytes")).collect()[0][0]
+    cut_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    sc = self_cut(docs, min_len=256)
+    self_bytes = sc.agg(F.sum("n_cut_bytes")).collect()[0][0]
+    self_sec = time.monotonic() - t0
     return {
         "sf_dir": sf_dir,
         "n_docs": int(n_docs),
@@ -91,6 +104,10 @@ def operator_bench(sf_dir: str) -> dict:
         "sec": round(sec, 3),
         "docs_per_sec": round(n_docs / sec, 1),
         "pairs": int(pairs),
+        "exact_substring_cut_sec": round(cut_sec, 3),
+        "exact_substring_cut_bytes": int(cut_bytes or 0),
+        "self_cut_sec": round(self_sec, 3),
+        "self_cut_bytes": int(self_bytes or 0),
     }
 
 
