@@ -104,6 +104,15 @@ def parse_args(argv=None):
         action="store_true",
         help="curate: mask PII/secrets in surviving docs' text (scrub.py)",
     )
+    p.add_argument(
+        "--cut-repetitions",
+        type=int,
+        default=None,
+        metavar="MIN_LEN",
+        help="curate: cut intra-doc repeated runs >= MIN_LEN bytes down "
+        "to their earliest occurrence (suffixarray.self_cut) — a "
+        "rewrite of survivors, never a drop",
+    )
     return p.parse_args(argv)
 
 
@@ -126,6 +135,7 @@ def run_curate(spark, args, cfg) -> dict:
         min_alpha_frac=args.min_alpha_frac,
         drop_autogen=args.drop_autogen,
         scrub_pii=args.scrub_pii,
+        cut_repetitions_min_len=args.cut_repetitions,
         dedup=cfg,
         quota_per_source=args.quota_per_source,
     )

@@ -210,3 +210,35 @@ def test_all_stages_optional(spark):
     res = curate(spark, docs, CurateConfig())
     assert res.kept.count() == 2
     assert {r.drop_reason: r.n for r in res.funnel.collect()} == {"kept": 2}
+
+
+def test_cut_repetitions_rewrites_survivors(spark):
+    """cut_repetitions_min_len is a rewrite of survivors like
+    scrub_pii: the internal repeat is cut to its earliest occurrence,
+    nothing is dropped for it, and clean survivors pass byte-identical."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    block = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 200))
+    filler = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 150))
+    clean = "alpha beta gamma " + "".join(
+        chr(97 + int(c)) for c in rng.integers(0, 26, 120)
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, block + filler + block, "en", "srcA"),
+                (2, clean, "en", "srcA"),
+            ],
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    )
+    cfg = CurateConfig(dedup=DedupConfig(), cut_repetitions_min_len=128)
+    res = curate(spark, docs, cfg)
+    kept = {r.doc_id: r.text for r in res.kept.collect()}
+    assert set(kept) == {1, 2}
+    assert kept[2] == clean
+    assert kept[1].count(block[8:-8]) == 1  # later occurrence cut
+    assert len(kept[1]) <= len(block) + len(filler) + 16
+    reasons = {r.doc_id: r.drop_reason for r in res.decisions.collect()}
+    assert reasons[1] is None and reasons[2] is None

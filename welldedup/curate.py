@@ -76,6 +76,10 @@ class CurateConfig:
     quota_per_source: int | None = None
     # rewrite (not drop): mask PII/secrets in surviving docs' text
     scrub_pii: bool = False
+    # intra-doc repetition cut of survivors (suffixarray.self_cut):
+    # repeated runs >= this many bytes are cut to their earliest
+    # occurrence.  None = off.  A rewrite like scrub_pii, never a drop.
+    cut_repetitions_min_len: int | None = None
 
 
 @dataclass
@@ -259,6 +263,14 @@ def curate(
         from .scrub import scrub_expr
 
         alive = alive.withColumn("text", scrub_expr("text"))
+
+    # ---- intra-doc repetition cut: also a rewrite, never a drop -----
+    if cfg.cut_repetitions_min_len is not None:
+        from .suffixarray import self_cut
+
+        alive = self_cut(
+            alive, min_len=cfg.cut_repetitions_min_len, text_col="text"
+        ).drop("n_cut_bytes")
 
     # ---- decisions + funnel ----------------------------------------
     all_dropped = dropped[0]
