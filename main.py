@@ -113,7 +113,22 @@ def parse_args(argv=None):
         "to their earliest occurrence (suffixarray.self_cut) — a "
         "rewrite of survivors, never a drop",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.export and (args.curate or args.retract_from or args.update_into):
+        # the checkpoint stores are content-free (pipeline.DOCS_COLS),
+        # so export content can only come from --input — which under
+        # --update-into is the DELTA alone (old representatives would
+        # be silently semi-joined away) and under --retract-from is the
+        # takedown id set; --curate writes kept/ itself.  Refuse rather
+        # than publish a wrong "training corpus".
+        p.error(
+            "--export only composes with a full dedup run: it re-reads "
+            "content from --input, which under --update-into/--retract-"
+            "from/--curate is not the surviving corpus.  Export with a "
+            "full run over the whole corpus, or export_corpus() on a "
+            "DataFrame that carries the survivors' content."
+        )
+    return args
 
 
 def run_curate(spark, args, cfg) -> dict:

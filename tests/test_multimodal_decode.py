@@ -236,6 +236,22 @@ def test_wav_unsupported_falls_back():
     assert mm.decode_audio(b"RIFFxxxxAVI LIST") is None    # not WAVE
 
 
+def test_wav_odd_length_data_chunk_truncates_not_crashes():
+    """A malformed 16-bit WAV whose data chunk is an odd byte count
+    must decode the whole samples (not raise from np.frombuffer)."""
+    t = np.linspace(0, 1, 100, dtype=np.float32)
+    payload = bytearray(_wav(t))
+    # splice one extra byte into the data chunk and bump its size field
+    data_at = payload.index(b"data")
+    (sz,) = struct.unpack_from("<I", payload, data_at + 4)
+    struct.pack_into("<I", payload, data_at + 4, sz + 1)
+    payload.insert(data_at + 8 + sz, 0)
+    got = mm.decode_audio(bytes(payload))
+    assert got is not None
+    mono, sr = got
+    assert sr == 8000 and mono.shape == (100,)
+
+
 def test_extract_features_audio_row(spark):
     t = np.linspace(0, 1, 640, dtype=np.float32)
     wav = _wav((0.25 * np.sin(2 * np.pi * 3 * t)).astype(np.float32))

@@ -118,3 +118,138 @@ def test_ann_ivf_topk_excludes_query_vector(spark, sf_dir):
     rows = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r.vec_id != 0 for r in rows), "query vector ranked itself"
+
+
+def test_day2_paths_refuse_substr_exact_verify(spark, tmp_path):
+    """The content-free incremental/retract paths cannot run the
+    exact-LCS verification cfg.substr_exact_verify demands — they must
+    refuse loudly, never silently stamp substr pairs dup=True and
+    diverge from the full rerun."""
+    import pytest as _pt
+
+    from welldedup.config import DedupConfig
+    from welldedup.incremental import update_pipeline
+    from welldedup.io import StageStore
+    from welldedup.retract import retract_docs
+
+    cfg = DedupConfig(substr_exact_verify=True)
+    store = StageStore(root=str(tmp_path / "s"), config_hash=cfg.config_hash())
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "py", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with _pt.raises(ValueError, match="substr_exact_verify"):
+        update_pipeline(spark, docs, cfg, store=store)
+    with _pt.raises(ValueError, match="substr_exact_verify"):
+        retract_docs(spark, [1], cfg, store=store)
+
+
+def test_self_cut_with_string_doc_ids(spark):
+    """self_cut must pass ANY doc_id type through its kernel untouched
+    — curate's funnel pins string ids for the dedup stage, and the
+    repetition cut runs over the same frames."""
+    from welldedup.suffixarray import self_cut
+
+    rep = "qwertyuiopasdfghjklz" * 10  # 200-byte block
+    doc = "HEAD_" + rep + "_MID_" + rep + "_TAIL"
+    out = {
+        r.doc_id: (r.content, r.n_cut_bytes)
+        for r in self_cut(
+            spark.createDataFrame(
+                [("a1", doc), ("b2", "short and unique")],
+                "doc_id string, content string",
+            ),
+            min_len=128,
+        ).collect()
+    }
+    cut, n = out["a1"]
+    assert out["b2"] == ("short and unique", 0)
+    assert n >= 128 and cut.count(rep[4:-4]) == 1
+
+
+def test_curate_cut_repetitions_with_string_doc_ids(spark):
+    """The exact funnel combination from the review finding: string
+    doc_ids + cut_repetitions must not crash in the SA kernel."""
+    from welldedup.curate import CurateConfig, curate
+
+    rep = "zxcvbnmasdfghjqwerty" * 10
+    docs = spark.createDataFrame(
+        [
+            ("a1", "A_" + rep + "_B_" + rep + "_C", "py", "s"),
+            ("c3", "\n".join(f"unique_{i} = {i}" for i in range(20)), "py", "s"),
+        ],
+        "doc_id string, text string, lang string, source string",
+    )
+    res = curate(spark, docs, CurateConfig(cut_repetitions_min_len=128))
+    kept = {r.doc_id: r.text for r in res.kept.collect()}
+    assert kept["a1"].count(rep[4:-4]) == 1
+    assert "unique_19 = 19" in kept["c3"]
+
+
+def test_csv_truncated_and_overwide_lines_rejected(spark, tmp_path):
+    """PERMISSIVE from_csv null-fills a truncated line and drops extra
+    tokens silently; the reader's own field-count check must route
+    both to the reject stream, while quoted separators stay good."""
+    from welldedup.io import read_code_files, split_corrupt
+
+    p = tmp_path / "src.csv"
+    p.write_text(
+        "repo,path,commit,lang,content\n"
+        "r1,a.py,c1,py,good content\n"
+        "r2,b.py\n"                                # truncated: 2 fields
+        'r3,c.py,c3,py,"has, comma and ""q"""\n'   # quoted sep: good
+        "r4,d.py,c4,py,x,EXTRA\n"                  # 6 fields: over-wide
+        "r5,e.py,c5,py,\n"                         # empty content: good
+    )
+    good, bad = split_corrupt(read_code_files(spark, str(p)))
+    assert sorted(r.repo for r in good.collect()) == ["r1", "r3", "r5"]
+    badlines = [r["__wd_corrupt"] for r in bad.collect()]
+    assert len(badlines) == 2
+    assert any(b.startswith("r2,") for b in badlines)
+    assert any(b.startswith("r4,") for b in badlines)
+
+
+def test_cli_export_rejected_with_day2_modes():
+    """--export composed with --update-into/--retract-from/--curate
+    must be a hard argparse error (the delta/takedown input is not the
+    surviving corpus's content), never a silent wrong export."""
+    import pytest as _pt
+
+    from main import parse_args
+
+    base = ["--input", "/x.parquet", "--output", "/tmp/o", "--export", "/tmp/e"]
+    for extra in (
+        ["--update-into", "/tmp/old"],
+        ["--retract-from", "/tmp/old"],
+        ["--curate"],
+    ):
+        with _pt.raises(SystemExit):
+            parse_args(base + extra)
+    parse_args(base)  # full run + export stays legal
+
+
+def test_png_inflate_is_bounded():
+    """A deflate stream inflating past the size IHDR promises must be
+    rejected after at most expected+1 bytes (bomb guard), and an IHDR
+    promising > 512 MB must be rejected before any inflate."""
+    import struct as _st
+    import zlib
+
+    from welldedup.multimodal import _PNG_SIG, decode_image
+
+    def chunk(ctype, data):
+        return _st.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    def png(w, h, idat):
+        ihdr = _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+    # bomb: IHDR says 4x4 (expected 20 bytes) but IDAT inflates to 10 MB
+    bomb = png(4, 4, zlib.compress(b"\x00" * 10_000_000))
+    assert decode_image(bomb) is None
+    # oversized IHDR: 1 GB promised — reject with no inflate attempt
+    assert decode_image(png(40_000, 40_000, zlib.compress(b"\x00" * 10))) is None
+    # control: a well-formed 4x4 still decodes
+    ok = png(4, 4, zlib.compress(b"".join(b"\x00" + b"\x07" * 4 for _ in range(4))))
+    img = decode_image(ok)
+    assert img is not None and img.shape == (4, 4) and int(img[0, 0]) == 7

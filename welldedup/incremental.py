@@ -179,6 +179,18 @@ def update_pipeline(
     cfg = cfg or DedupConfig()
     if store is None:
         raise ValueError("update_pipeline needs the completed store of the prior run")
+    if cfg.substr_exact_verify:
+        # the day-2 path is content-free by design: it stamps substr
+        # pairs dup=True from fingerprint evidence alone and cannot run
+        # the exact-LCS verification pipeline.py applies under this
+        # knob — silently accepting it would break the bit-identical-
+        # to-full-rerun contract (a scattered-gram pair the full run
+        # rejects would merge here)
+        raise ValueError(
+            "substr_exact_verify is not supported by the content-free "
+            "incremental update: run the full pipeline, or turn the "
+            "knob off for day-2 operations"
+        )
     for needed in ("signatures", "docs", "clusters"):
         if not store.is_complete(needed):
             raise ValueError(

@@ -204,10 +204,22 @@ def read_code_files(spark: SparkSession, source: str) -> DataFrame:
                 F.col("value"),
             )
         )
+        # PERMISSIVE only flags parse EXCEPTIONS (quote-level damage);
+        # a truncated line with fewer fields than the schema null-fills
+        # silently, and extra tokens are dropped — either way a damaged
+        # row would enter the good stream (a truncated 2-field line
+        # becomes a NULL-content "doc").  Count top-level separators
+        # ourselves, CSV-aware: strip quoted sections (incl. ""-escaped
+        # quotes) first, then split — a clean row has exactly
+        # len(cols) fields.
+        stripped = F.regexp_replace(F.col("value"), '"(?:[^"]|"")*"', "")
+        n_fields = F.size(F.split(stripped, "\t" if sep == "\t" else ","))
         return parsed.select(
             *[F.col(f"r.{c}").alias(c) for c in cols],
             F.when(
-                F.col("r").isNull() | F.col(f"r.{_CORRUPT_COL}").isNotNull(),
+                F.col("r").isNull()
+                | F.col(f"r.{_CORRUPT_COL}").isNotNull()
+                | (n_fields != len(cols)),
                 F.col("value"),
             ).alias(_CORRUPT_COL),
         )

@@ -210,10 +210,20 @@ def _parse_png(payload: bytes) -> np.ndarray | None:
                 break
         if not w or not h or not nch or not idat:
             return None
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        expected = h * (w * nch + 1)
+        # corpus payloads are untrusted: bound the inflate at the size
+        # IHDR promises (+1 to detect overrun) so a deflate bomb can't
+        # allocate ~1000x its wire size inside the UDF worker — the
+        # exact-size check below then rejects any mismatch
+        if expected > 512 * 1024 * 1024:
+            return None
+        dec = zlib.decompressobj()
+        raw = np.frombuffer(
+            dec.decompress(bytes(idat), expected + 1), dtype=np.uint8
+        )
     except (struct.error, zlib.error):
         return None
-    if raw.shape[0] != h * (w * nch + 1):
+    if raw.shape[0] != expected:
         return None
     out = _png_unfilter(raw, h, w, nch)
     if out is None:
@@ -268,6 +278,13 @@ def decode_audio(payload: bytes):
         return None
     if nch < 1 or sr <= 0:
         return None
+    # truncate a malformed odd-length data chunk to whole samples —
+    # np.frombuffer raises on a buffer that isn't a multiple of the
+    # element size, and decode must fall back, never crash the UDF
+    width = {8: 1, 16: 2, 32: 4}.get(bits)
+    if width is None:
+        return None
+    data = data[: len(data) - len(data) % width]
     if afmt == 1 and bits == 16:
         arr = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
     elif afmt == 1 and bits == 8:

@@ -147,6 +147,16 @@ def retract_docs(
     cfg = cfg or DedupConfig()
     if store is None:
         raise ValueError("retract_docs needs the completed store of the prior run")
+    if cfg.substr_exact_verify:
+        # content-free path: substr pairs are stamped dup=True from
+        # fingerprint evidence; the exact-LCS check pipeline.py runs
+        # under this knob cannot be honored here, and silently skipping
+        # it would diverge from the bit-identical rerun contract
+        raise ValueError(
+            "substr_exact_verify is not supported by the content-free "
+            "retraction path: rerun the full pipeline on the survivor "
+            "corpus, or turn the knob off for day-2 operations"
+        )
     for needed in ("signatures", "docs", "clusters"):
         if not store.is_complete(needed):
             raise ValueError(

@@ -521,7 +521,12 @@ def internal_cut_intervals(data: np.ndarray, min_len: int) -> np.ndarray:
     byte intervals, possibly empty."""
     empty = np.zeros((0, 2), dtype=np.int64)
     n = int(data.shape[0])
-    if n < 2 * min_len:
+    # two occurrences of a >= min_len repeat may OVERLAP (periodic
+    # runs: 'a'*(min_len+1) has adjacent-suffix LCP == min_len), so the
+    # shortest doc that can contain one is min_len+1 bytes — NOT
+    # 2*min_len, which would silently skip docs that are one giant
+    # repeated run
+    if n <= min_len:
         return empty
     sa = suffix_array(data)
     lcp = lcp_adjacent_bytes(data, sa)
@@ -563,19 +568,31 @@ def self_cut(
     splice.  Returns docs with `text_col` rewritten plus
     `n_cut_bytes`."""
     ml = int(min_len)
-    schema = "doc_a long, doc_b long, span_len long, a_off long, b_off long"
+    # the id passes THROUGH the kernel untouched (row-index gather, no
+    # int() cast) so any doc_id type works — curate's dedup stage pins
+    # string ids, and cut_spans only needs (doc_b, span_len, b_off)
+    id_ddl = docs.schema[id_col].dataType.simpleString()
+    schema = f"doc_b {id_ddl}, span_len long, b_off long"
 
     def fn(batches):
         for pdf in batches:
-            out = []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
+            idx: list[int] = []
+            lens: list[int] = []
+            offs: list[int] = []
+            for k, t in enumerate(pdf[text_col]):
                 raw = np.frombuffer(
                     (t or "").encode("utf-8", "ignore"), dtype=np.uint8
                 )
                 for s, e in internal_cut_intervals(raw, ml):
-                    out.append((-1, int(i), int(e - s), 0, int(s)))
+                    idx.append(k)
+                    lens.append(int(e - s))
+                    offs.append(int(s))
             yield pd.DataFrame(
-                out, columns=["doc_a", "doc_b", "span_len", "a_off", "b_off"]
+                {
+                    "doc_b": pdf[id_col].iloc[idx].reset_index(drop=True),
+                    "span_len": pd.Series(lens, dtype="int64"),
+                    "b_off": pd.Series(offs, dtype="int64"),
+                }
             )
 
     spans = docs.select(id_col, text_col).mapInPandas(fn, schema)
