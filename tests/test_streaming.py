@@ -127,3 +127,118 @@ def test_windowed_event_counts(spark):
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:05:00", "click")] == (1, 4.0)
     assert got[("2024-01-01 00:05:00", "view")] == (1, 8.0)
+
+
+# ---------------------------------------------------------------- #
+# lsh_admission_filter: online near-dup gate                        #
+# ---------------------------------------------------------------- #
+
+_BASE = " ".join(f"tok{i}" for i in range(80))
+
+
+def _code_row(repo, path, content, commit="c0"):
+    return dict(repo=repo, path=path, commit=commit, lang="python",
+                content=content)
+
+
+def _doc_ids(spark, rows):
+    from welldedup import prep
+
+    df = prep.with_doc_id(spark.createDataFrame(pd.DataFrame(rows)))
+    return {r["path"]: r["doc_id"] for r in df.collect()}
+
+
+def _run_admission(spark, src, store, dec, ckpt, stats=None, **kw):
+    from welldedup.streaming import lsh_admission_filter
+
+    q = lsh_admission_filter(
+        read_code_files_stream(spark, src), store, dec, ckpt, CFG,
+        stats=stats, **kw
+    ).start()
+    q.awaitTermination(120)
+
+
+def test_lsh_admission_filter_multibatch(spark):
+    src = tempfile.mkdtemp(prefix="wd_adm_src_")
+    store = tempfile.mkdtemp(prefix="wd_adm_store_") + "/bands"
+    dec = tempfile.mkdtemp(prefix="wd_adm_dec_") + "/decisions"
+    ckpt = tempfile.mkdtemp(prefix="wd_adm_ckpt_")
+
+    a1 = _code_row("r", "a1.py", _BASE)
+    a2 = _code_row("r", "a2.py", " ".join(f"zzz{i}" for i in range(80)))
+    a3 = _code_row("r", "a3.py", " ".join(f"qqq{i}" for i in range(80)))
+    # near-dup of a1 in the SAME batch (one token differs)
+    a4 = _code_row("r", "a4.py", _BASE.replace("tok40", "CHANGED"))
+    batch1 = [a1, a2, a3, a4]
+    _write_batch(src, "b1.parquet", batch1)
+    stats = {}
+    _run_admission(spark, src, store, dec, ckpt, stats=stats)
+
+    ids = _doc_ids(spark, batch1)
+    got = {r["doc_id"]: r for r in spark.read.parquet(dec).collect()}
+    assert len(got) == 4
+    # intra-batch pair: min-doc_id member survives, the other is
+    # rejected against it (deterministic, not arrival-ordered)
+    lo, hi = sorted([ids["a1.py"], ids["a4.py"]])
+    assert got[lo]["admitted"] and got[lo]["matched_prior"] is None
+    assert not got[hi]["admitted"] and got[hi]["matched_prior"] == lo
+    assert got[ids["a2.py"]]["admitted"] and got[ids["a3.py"]]["admitted"]
+    assert stats[0] == {
+        "buckets_read": stats[0]["buckets_read"],
+        "n_fresh": 4, "n_admitted": 3, "n_rejected": 1,
+    }
+
+    # batch 2: replay of a1 (no new decision), a near-dup of a2 under
+    # a new path (rejected against a2), one fresh doc (admitted)
+    b1 = _code_row("r", "b1.py", a2["content"].replace("zzz7", "EDIT"))
+    b2 = _code_row("r", "b2.py", " ".join(f"fresh{i}" for i in range(80)))
+    _write_batch(src, "b2.parquet", [a1, b1, b2])
+    _run_admission(spark, src, store, dec, ckpt, stats=stats)
+
+    dec_df = spark.read.parquet(dec)
+    assert dec_df.count() == 6  # replayed a1 produced NO new row
+    ids2 = _doc_ids(spark, [b1, b2])
+    got2 = {r["doc_id"]: r for r in dec_df.collect()}
+    assert not got2[ids2["b1.py"]]["admitted"]
+    assert got2[ids2["b1.py"]]["matched_prior"] == ids["a2.py"]
+    assert got2[ids2["b2.py"]]["admitted"]
+    # epoch numbering continues across query restarts (checkpoint)
+    assert stats[1] == {
+        "buckets_read": stats[1]["buckets_read"],
+        "n_fresh": 2, "n_admitted": 1, "n_rejected": 1,
+    }
+
+    # batch 3 (register-all transitivity): a near-dup of the REJECTED
+    # intra-batch member's content still gets gated, because rejected
+    # docs' bands are registered too
+    hi_path = "a4.py" if ids["a4.py"] == hi else "a1.py"
+    hi_content = next(r["content"] for r in batch1 if r["path"] == hi_path)
+    c1 = _code_row("r", "c1.py", hi_content.replace("tok10", "OTHER"))
+    _write_batch(src, "b3.parquet", [c1])
+    _run_admission(spark, src, store, dec, ckpt)
+    got3 = {r["doc_id"]: r for r in spark.read.parquet(dec).collect()}
+    ids3 = _doc_ids(spark, [c1])
+    assert not got3[ids3["c1.py"]]["admitted"]
+
+
+def test_lsh_admission_filter_verify_threshold(spark):
+    """verify_threshold gates rejections on the V1 Jaccard estimate:
+    an impossible threshold admits even an exact near-dup (proves the
+    verification branch filters), a real one still rejects it."""
+    a = _code_row("r", "a.py", _BASE)
+    b = _code_row("r", "b.py", _BASE.replace("tok3", "EDITED"))
+
+    for thr, want_admitted in [(1.01, True), (0.5, False)]:
+        src = tempfile.mkdtemp(prefix="wd_admv_src_")
+        store = tempfile.mkdtemp(prefix="wd_admv_store_") + "/bands"
+        dec = tempfile.mkdtemp(prefix="wd_admv_dec_") + "/decisions"
+        ckpt = tempfile.mkdtemp(prefix="wd_admv_ckpt_")
+        _write_batch(src, "b1.parquet", [a])
+        _run_admission(spark, src, store, dec, ckpt, verify_threshold=thr)
+        _write_batch(src, "b2.parquet", [b])
+        _run_admission(spark, src, store, dec, ckpt, verify_threshold=thr)
+        ids = _doc_ids(spark, [b])
+        got = {r["doc_id"]: r for r in spark.read.parquet(dec).collect()}
+        assert got[ids["b.py"]]["admitted"] is want_admitted, thr
+        # verify mode stores the signature alongside the band rows
+        assert "minhash" in spark.read.parquet(store).columns

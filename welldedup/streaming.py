@@ -131,6 +131,226 @@ def incremental_signatures(
     )
 
 
+# band-store layout: hive-partitioned on band_bucket =
+# pmod(xxhash64(band_id, band_hash), N_BAND_STORE_BUCKETS) so each
+# micro-batch's store probe prunes to the directories its own band
+# hashes land in — the near-dup analog of the id_bucket layout above.
+N_BAND_STORE_BUCKETS = 64
+
+
+def lsh_admission_filter(
+    stream: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    verify_threshold: float | None = None,
+    stats: dict | None = None,
+):
+    """Online NEAR-dup admission gate over a code-file stream: the
+    streaming analog of the batch MinHash-LSH path (S6+S7+J2), where
+    `stateful_first_seen` is the analog of the exact-sha stage.
+
+    Per micro-batch (foreachBatch — the signature stage is a
+    mapInArrow, unavailable in pure streaming):
+
+    1. prep + fused MinHash signatures + Catalyst band hashes, content
+       read once (the prepared frame is persisted for the batch).
+    2. probe the on-disk band store, PRUNED to the ≤ 64 band_bucket
+       partitions this batch's hashes occupy — O(batch), never
+       O(corpus).  A doc whose doc_id is already registered (replay /
+       re-delivery) is dropped entirely: no new decision, no
+       re-registration (the anti-join gate, as in
+       `incremental_signatures`).
+    3. decide: a fresh doc is REJECTED iff one of its band hashes
+       collides with (a) any previously registered doc or (b) a
+       smaller-doc_id doc in the same batch; otherwise ADMITTED.
+       `matched_prior` records the smallest colliding doc_id.  Bands
+       of EVERY fresh doc (admitted or rejected) are registered —
+       "register-all" makes the gate transitive, matching the batch
+       pipeline's connected-components semantics (A~B, B~C ⇒ one
+       cluster, one survivor) rather than re-admitting C because its
+       only match B was itself rejected.
+    4. append decisions(doc_id, repo, path, commit, admitted,
+       matched_prior, epoch) and the batch's band rows (partitioned by
+       band_bucket).
+
+    `verify_threshold` (opt-in) additionally stores each doc's minhash
+    alongside its band rows and keeps only collisions whose estimated
+    Jaccard (V1) >= threshold — fewer LSH false-positive rejections at
+    ~bands× signature storage (prod splits the store into a band table
+    + a signature table keyed by doc_id; one table keeps the sandbox
+    surface small).  Intra-batch verification checks a doc against its
+    bucket LEADER (min doc_id) only — bounded work per bucket, same
+    capping spirit as J2; a doc whose only above-threshold twin is a
+    non-leader bucket member is admitted and caught by the scheduled
+    batch pass.
+
+    Crash/replay posture: the streaming checkpoint replays an
+    unfinished epoch; step 2's doc_id gate makes the decision append
+    idempotent for docs whose bands were registered before the crash,
+    and re-registered band rows are harmless duplicates (collision is
+    collision).  Returns a DataStreamWriter (availableNow trigger).
+    `stats[epoch]` receives buckets_read / n_fresh / n_admitted /
+    n_rejected.
+    """
+    from . import lsh
+    from .verify import jaccard_est_expr
+
+    cfg = cfg or DedupConfig()
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cached = []
+
+        def persist(df: DataFrame) -> DataFrame:
+            cached.append(df.persist())
+            return df
+
+        prepared = persist(prep.prepare_docs(batch_df, cfg))
+        try:
+            sigs = add_signatures(prepared, cfg).select("doc_id", "minhash")
+            if verify_threshold is not None:
+                sigs = persist(sigs)
+            bands = persist(
+                lsh.band_buckets(sigs, cfg).withColumn(
+                    "band_bucket",
+                    F.pmod(
+                        F.xxhash64("band_id", "band_hash"),
+                        F.lit(N_BAND_STORE_BUCKETS),
+                    ).cast("int"),
+                )
+            )
+            touched = [
+                r[0] for r in bands.select("band_bucket").distinct().collect()
+            ]
+            store = None
+            from pyspark.errors import AnalysisException
+
+            try:
+                store = spark.read.parquet(store_dir).filter(
+                    F.col("band_bucket").isin(touched)  # partition-pruned
+                )
+            except AnalysisException as e:
+                get_cond = getattr(e, "getCondition", None)
+                cond = (get_cond() if get_cond else None) or ""
+                if (
+                    "PATH_NOT_FOUND" not in cond
+                    and "UNABLE_TO_INFER_SCHEMA" not in cond
+                ):
+                    raise
+
+            fresh = bands
+            if store is not None:
+                # replay gate: a registered doc's band rows live exactly
+                # in the buckets this probe read (bands are deterministic)
+                fresh = persist(
+                    bands.join(
+                        store.select("doc_id").distinct(), "doc_id", "left_anti"
+                    )
+                )
+
+            hits = []
+            if store is not None:
+                prior_cols = [
+                    F.col("band_id"),
+                    F.col("band_hash"),
+                    F.col("doc_id").alias("prior_id"),
+                ]
+                if verify_threshold is not None:
+                    prior_cols.append(F.col("minhash").alias("prior_minhash"))
+                h = fresh.select("doc_id", "band_id", "band_hash").join(
+                    store.select(*prior_cols), ["band_id", "band_hash"]
+                )
+                if verify_threshold is not None:
+                    h = h.join(sigs, "doc_id").filter(
+                        jaccard_est_expr("minhash", "prior_minhash", cfg.n_hashes)
+                        >= verify_threshold
+                    )
+                hits.append(h.select("doc_id", "prior_id"))
+
+            # intra-batch: collide with the bucket leader (min doc_id).
+            # Without verification this is EXACT for the reject decision
+            # (any smaller member in the bucket ⇒ the leader is smaller).
+            leaders = fresh.groupBy("band_id", "band_hash").agg(
+                F.min("doc_id").alias("prior_id")
+            )
+            ih = fresh.join(leaders, ["band_id", "band_hash"]).filter(
+                F.col("prior_id") < F.col("doc_id")
+            )
+            if verify_threshold is not None:
+                ih = (
+                    ih.join(sigs, "doc_id")
+                    .join(
+                        sigs.select(
+                            F.col("doc_id").alias("prior_id"),
+                            F.col("minhash").alias("prior_minhash"),
+                        ),
+                        "prior_id",
+                    )
+                    .filter(
+                        jaccard_est_expr("minhash", "prior_minhash", cfg.n_hashes)
+                        >= verify_threshold
+                    )
+                )
+            hits.append(ih.select("doc_id", "prior_id"))
+
+            rejected = hits[0]
+            for h in hits[1:]:
+                rejected = rejected.unionByName(h)
+            rejected = rejected.groupBy("doc_id").agg(
+                F.min("prior_id").alias("matched_prior")
+            )
+
+            decisions = (
+                prepared.select("doc_id", "repo", "path", "commit")
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .join(rejected, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "repo",
+                    "path",
+                    "commit",
+                    F.col("matched_prior").isNull().alias("admitted"),
+                    "matched_prior",
+                    F.lit(int(epoch_id)).alias("epoch"),
+                )
+            )
+            obs = Observation(f"admission_{epoch_id}")
+            decisions = decisions.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_fresh"),
+                F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+            )
+            decisions.write.mode("append").parquet(decisions_dir)
+
+            register = fresh
+            if verify_threshold is not None:
+                register = fresh.join(sigs, "doc_id")
+            register.write.mode("append").partitionBy("band_bucket").parquet(
+                store_dir
+            )
+            if stats is not None:
+                n_fresh = int(obs.get["n_fresh"] or 0)
+                n_adm = int(obs.get["n_admitted"] or 0)
+                stats[epoch_id] = {
+                    "buckets_read": len(touched),
+                    "n_fresh": n_fresh,
+                    "n_admitted": n_adm,
+                    "n_rejected": n_fresh - n_adm,
+                }
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def stateful_first_seen(
     stream: DataFrame, cfg: DedupConfig | None = None, shards: int = 1
 ):
