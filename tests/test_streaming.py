@@ -242,3 +242,29 @@ def test_lsh_admission_filter_verify_threshold(spark):
         assert got[ids["b.py"]]["admitted"] is want_admitted, thr
         # verify mode stores the signature alongside the band rows
         assert "minhash" in spark.read.parquet(store).columns
+
+
+def test_admission_store_probe_is_partition_pruned(spark):
+    """The band store lands hive-partitioned on band_bucket, and the
+    probe expression process_batch builds (read + band_bucket isin
+    touched) must resolve to PartitionFilters — a directory-level
+    prune, O(batch) not O(corpus)."""
+    import pyspark.sql.functions as F
+
+    src = tempfile.mkdtemp(prefix="wd_admp_src_")
+    store = tempfile.mkdtemp(prefix="wd_admp_store_") + "/bands"
+    dec = tempfile.mkdtemp(prefix="wd_admp_dec_") + "/decisions"
+    ckpt = tempfile.mkdtemp(prefix="wd_admp_ckpt_")
+    _write_batch(src, "b1.parquet", _rows("p", 6))
+    _run_admission(spark, src, store, dec, ckpt)
+
+    # at-rest layout: one directory per touched bucket
+    parts = [d for d in os.listdir(store) if d.startswith("band_bucket=")]
+    assert parts, os.listdir(store)
+
+    probe = spark.read.parquet(store).filter(
+        F.col("band_bucket").isin([int(p.split("=")[1]) for p in parts[:2]])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "band_bucket" in pf[0], plan

@@ -1,0 +1,162 @@
+"""Throughput + scaling evidence for the streaming LSH admission
+filter (streaming.lsh_admission_filter), same protocol as
+scaling_bench.py: two parallelism levels stand in for two cluster
+sizes, trials alternate between levels in fresh JVMs, each trial
+load-gated, per-level MINIMUM reported; the admission DECISIONS
+(doc_id, admitted, matched_prior) are hashed per trial and must be
+bit-identical across levels and trials — batch boundaries come from
+the deterministic file listing (maxFilesPerTrigger), and within a
+batch every decision is a min-doc_id rule, so parallelism must not
+change a single admit/reject.
+
+    python tools/admission_bench.py [corpus_dir] [--n 1] [--trials 2]
+           [--files-per-trigger 8] [--out BENCH/admission_r5.json]
+
+Child mode (one trial, fresh JVM):
+    python tools/admission_bench.py --child corpus_dir cpus fpt out.json
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CORPUS = os.path.join(ROOT, ".bench", "code_files_200k")
+
+
+def child(corpus_dir: str, cpus: int, fpt: int, out_json: str) -> None:
+    sys.path.insert(0, ROOT)
+    from welldedup.session import get_spark
+    from welldedup.streaming import lsh_admission_filter, read_code_files_stream
+
+    spark = get_spark(app_name=f"admission_bench_{cpus}", master=f"local[{cpus}]")
+    work = tempfile.mkdtemp(prefix="wd_admbench_")
+    store = os.path.join(work, "bands")
+    dec = os.path.join(work, "decisions")
+    ckpt = os.path.join(work, "ckpt")
+    stats: dict = {}
+    t0 = time.monotonic()
+    q = lsh_admission_filter(
+        read_code_files_stream(spark, corpus_dir, max_files_per_trigger=fpt),
+        store, dec, ckpt, stats=stats,
+    ).start()
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+
+    rows = sorted(
+        (r["doc_id"], bool(r["admitted"]), r["matched_prior"])
+        for r in spark.read.parquet(dec).collect()
+    )
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()
+    n_docs = len(rows)
+    n_admitted = sum(1 for r in rows if r[1])
+    shutil.rmtree(work, ignore_errors=True)
+    with open(out_json, "w") as f:
+        json.dump(
+            dict(
+                cpus=cpus, wall_s=round(wall, 2), n_docs=n_docs,
+                n_admitted=n_admitted, n_batches=len(stats),
+                docs_per_s=round(n_docs / wall, 1), decisions_sha=h,
+            ),
+            f,
+        )
+
+
+def wait_quiet(max_load: float = 1.5, timeout_s: int = 600) -> float:
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load > max_load and time.monotonic() - t0 < timeout_s:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
+def run_level(corpus: str, cpus: int, fpt: int, attempts: int = 2) -> dict:
+    timeout_s = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "10800"))
+    last_err = ""
+    for attempt in range(attempts):
+        load = wait_quiet()
+        out_json = tempfile.mktemp(suffix=".json", prefix="wd_admtrial_")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 corpus, str(cpus), str(fpt), out_json],
+                capture_output=True, text=True, timeout=timeout_s, cwd=ROOT,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"trial timed out after {timeout_s}s"
+            continue
+        if out.returncode == 0 and os.path.exists(out_json):
+            with open(out_json) as f:
+                res = json.load(f)
+            os.unlink(out_json)
+            res["loadavg_at_start"] = round(load, 2)
+            return res
+        err_path = f"/tmp/admission_bench_{cpus}_{attempt}.stderr"
+        with open(err_path, "w") as f:
+            f.write(out.stderr or "")
+        last_err = f"rc={out.returncode}, stderr at {err_path}"
+    raise RuntimeError(f"local[{cpus}] trial failed: {last_err}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        return
+    args = sys.argv[1:]
+    corpus = DEFAULT_CORPUS
+    n, trials, fpt = 1, 2, 8
+    out_path = os.path.join(ROOT, "BENCH", "admission_r5.json")
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--n":
+            n = int(args[i + 1]); i += 2
+        elif a == "--trials":
+            trials = int(args[i + 1]); i += 2
+        elif a == "--files-per-trigger":
+            fpt = int(args[i + 1]); i += 2
+        elif a == "--out":
+            out_path = args[i + 1]; i += 2
+        else:
+            corpus = a; i += 1
+    levels = [n, 4 * n]
+    runs: dict[int, list] = {lv: [] for lv in levels}
+    for t in range(trials):
+        for lv in levels:  # alternate levels within each trial round
+            res = run_level(corpus, lv, fpt)
+            runs[lv].append(res)
+            print(json.dumps(dict(trial=t, **res)), flush=True)
+    shas = {r["decisions_sha"] for rs in runs.values() for r in rs}
+    best = {lv: min(rs, key=lambda r: r["wall_s"]) for lv, rs in runs.items()}
+    t_n, t_4n = best[levels[0]]["wall_s"], best[levels[1]]["wall_s"]
+    summary = dict(
+        corpus=os.path.basename(corpus),
+        n_docs=best[levels[0]]["n_docs"],
+        n_admitted=best[levels[0]]["n_admitted"],
+        n_batches=best[levels[0]]["n_batches"],
+        files_per_trigger=fpt,
+        levels={str(lv): dict(
+            wall_s_min=best[lv]["wall_s"],
+            docs_per_s=best[lv]["docs_per_s"],
+            trials=[r["wall_s"] for r in runs[lv]],
+        ) for lv in levels},
+        speedup=round(t_n / t_4n, 3),
+        efficiency=round(t_n / t_4n / 4, 3),
+        decisions_identical=len(shas) == 1,
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
