@@ -113,7 +113,29 @@ def parse_args(argv=None):
         "to their earliest occurrence (suffixarray.self_cut) — a "
         "rewrite of survivors, never a drop",
     )
+    p.add_argument(
+        "--admit",
+        action="store_true",
+        help="streaming near-dup admission gate: treat --input as a "
+        "streaming code_files source, --output as the gate root "
+        "(bands/ decisions/ ckpt/); each run drains available input "
+        "(availableNow) and appends decisions — re-runs resume from "
+        "the checkpoint (streaming.lsh_admission_filter)",
+    )
+    p.add_argument(
+        "--admit-verify-est",
+        type=float,
+        default=None,
+        metavar="J",
+        help="admit: also store signatures and only reject collisions "
+        "whose estimated Jaccard >= J",
+    )
+    p.add_argument("--admit-files-per-trigger", type=int, default=32)
     args = p.parse_args(argv)
+    if args.admit and (
+        args.curate or args.retract_from or args.update_into or args.export
+    ):
+        p.error("--admit is a standalone mode")
     if args.export and (args.curate or args.retract_from or args.update_into):
         # the checkpoint stores are content-free (pipeline.DOCS_COLS),
         # so export content can only come from --input — which under
@@ -191,6 +213,35 @@ def main(argv=None) -> int:
     if args.curate:
         summary = run_curate(spark, args, cfg)
         summary["wall_sec"] = round(time.monotonic() - t0, 2)
+        print(json.dumps(summary))
+        return 0
+    if args.admit:
+        from welldedup.streaming import (
+            lsh_admission_filter,
+            read_code_files_stream,
+        )
+
+        stats: dict = {}
+        q = lsh_admission_filter(
+            read_code_files_stream(
+                spark, args.input, args.admit_files_per_trigger
+            ),
+            os.path.join(args.output, "bands"),
+            os.path.join(args.output, "decisions"),
+            os.path.join(args.output, "ckpt"),
+            cfg,
+            verify_threshold=args.admit_verify_est,
+            stats=stats,
+        ).start()
+        q.awaitTermination()
+        summary = dict(
+            epochs=len(stats),
+            n_fresh=sum(s["n_fresh"] for s in stats.values()),
+            n_admitted=sum(s["n_admitted"] for s in stats.values()),
+            n_rejected=sum(s["n_rejected"] for s in stats.values()),
+            output=args.output,
+            wall_sec=round(time.monotonic() - t0, 2),
+        )
         print(json.dumps(summary))
         return 0
     if args.retract_from:

@@ -268,3 +268,84 @@ def test_admission_store_probe_is_partition_pruned(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "band_bucket" in pf[0], plan
+
+
+def test_cli_admit_mode(spark, tmp_path):
+    """main.py --admit drains the source through the admission gate,
+    prints one JSON summary, and a second run over the same source is
+    a checkpointed no-op (0 epochs of new data)."""
+    import json
+
+    from main import main as cli_main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "gate"
+    _write_batch(str(src), "b1.parquet", [
+        _code_row("r", "a.py", _BASE),
+        _code_row("r", "b.py", _BASE.replace("tok5", "EDIT")),  # near-dup
+        _code_row("r", "c.py", " ".join(f"uniq{i}" for i in range(80))),
+    ])
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["--admit", "--input", str(src), "--output", str(out)])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["n_fresh"] == 3
+    assert summary["n_admitted"] == 2 and summary["n_rejected"] == 1
+
+    dec = spark.read.parquet(str(out / "decisions"))
+    assert dec.count() == 3
+    assert dec.filter("NOT admitted").count() == 1
+
+    # re-run with no new input: checkpoint makes it a no-op
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = cli_main(["--admit", "--input", str(src), "--output", str(out)])
+    assert rc == 0
+    assert json.loads(buf2.getvalue().strip().splitlines()[-1])["n_fresh"] == 0
+    assert spark.read.parquet(str(out / "decisions")).count() == 3
+
+
+def test_admission_tiny_docs_use_exact_sha_band(spark):
+    """Docs below the shingle width (n_tokens < k) share one sentinel
+    MinHash signature; the gate must NOT near-dup-reject unrelated tiny
+    docs against each other — only exact-content tiny dups collide (on
+    the synthetic sha band), and replays stay suppressed."""
+    src = tempfile.mkdtemp(prefix="wd_admt_src_")
+    store = tempfile.mkdtemp(prefix="wd_admt_store_") + "/bands"
+    dec = tempfile.mkdtemp(prefix="wd_admt_dec_") + "/decisions"
+    ckpt = tempfile.mkdtemp(prefix="wd_admt_ckpt_")
+
+    t1 = _code_row("r", "t1.py", "x = 1")          # 3 tokens < k=5
+    t2 = _code_row("r", "t2.py", "y = 2")          # unrelated tiny
+    t3 = _code_row("r", "t3.py", "x = 1")          # exact dup of t1
+    big = _code_row("r", "big.py", _BASE)
+    _write_batch(src, "b1.parquet", [t1, t2, t3, big])
+    _run_admission(spark, src, store, dec, ckpt)
+
+    ids = _doc_ids(spark, [t1, t2, t3, big])
+    got = {r["doc_id"]: r for r in spark.read.parquet(dec).collect()}
+    assert len(got) == 4
+    # unrelated tiny docs + the big doc are admitted
+    assert got[ids["t2.py"]]["admitted"] and got[ids["big.py"]]["admitted"]
+    # the exact-dup tiny pair: min-doc_id survives, other rejected
+    lo, hi = sorted([ids["t1.py"], ids["t3.py"]])
+    assert got[lo]["admitted"]
+    assert not got[hi]["admitted"] and got[hi]["matched_prior"] == lo
+
+    # second batch: replayed tiny doc → no new decision; a new tiny
+    # exact dup of t2 → rejected against t2
+    t4 = _code_row("r", "t4.py", "y = 2")
+    _write_batch(src, "b2.parquet", [t1, t4])
+    _run_admission(spark, src, store, dec, ckpt)
+    dec_df = spark.read.parquet(dec)
+    assert dec_df.count() == 5
+    ids2 = _doc_ids(spark, [t4])
+    got2 = {r["doc_id"]: r for r in dec_df.collect()}
+    assert not got2[ids2["t4.py"]]["admitted"]
+    assert got2[ids2["t4.py"]]["matched_prior"] == ids["t2.py"]

@@ -212,8 +212,28 @@ def lsh_admission_filter(
             sigs = add_signatures(prepared, cfg).select("doc_id", "minhash")
             if verify_threshold is not None:
                 sigs = persist(sigs)
+            # zero-shingle docs (n_tokens < k) all densify to the same
+            # sentinel signature, so their MinHash bands are degenerate:
+            # LSH-only admission would reject every tiny doc against the
+            # first one seen.  Route them through a synthetic exact-sha
+            # band (band_id = -1) instead — replay detection and
+            # exact-dup rejection keep working, unrelated tiny docs are
+            # admitted.  (The batch pipeline is unaffected: its
+            # degenerate bucket is capped and verification kills the
+            # false pairs.)  Verify mode stays consistent: band -1 only
+            # collides on sha equality, where the sentinel-vs-sentinel
+            # estimate is exactly 1.0.
+            tiny = prepared.filter(F.col("n_tokens") < cfg.shingle_k).select(
+                "doc_id",
+                F.lit(-1).alias("band_id"),
+                F.xxhash64("content_sha256").alias("band_hash"),
+            )
             bands = persist(
-                lsh.band_buckets(sigs, cfg).withColumn(
+                lsh.band_buckets(
+                    sigs.join(tiny.select("doc_id"), "doc_id", "left_anti"), cfg
+                )
+                .unionByName(tiny)
+                .withColumn(
                     "band_bucket",
                     F.pmod(
                         F.xxhash64("band_id", "band_hash"),
