@@ -349,3 +349,22 @@ def test_admission_tiny_docs_use_exact_sha_band(spark):
     got2 = {r["doc_id"]: r for r in dec_df.collect()}
     assert not got2[ids2["t4.py"]]["admitted"]
     assert got2[ids2["t4.py"]]["matched_prior"] == ids["t2.py"]
+
+
+def test_admission_store_mode_mismatch_raises(spark):
+    """A band store is written in one verify mode for its lifetime;
+    re-opening it in the other mode must fail loudly, not corrupt the
+    store with mixed-schema appends."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = tempfile.mkdtemp(prefix="wd_admm_src_")
+    store = tempfile.mkdtemp(prefix="wd_admm_store_") + "/bands"
+    dec = tempfile.mkdtemp(prefix="wd_admm_dec_") + "/decisions"
+    _write_batch(src, "b1.parquet", [_code_row("r", "a.py", _BASE)])
+    _run_admission(spark, src, store, dec, tempfile.mkdtemp())
+
+    _write_batch(src, "b2.parquet", [_code_row("r", "b.py", _BASE + " x")])
+    with pytest.raises(StreamingQueryException, match="verify=off"):
+        _run_admission(
+            spark, src, store, dec, tempfile.mkdtemp(), verify_threshold=0.5
+        )

@@ -260,6 +260,19 @@ def lsh_admission_filter(
                 ):
                     raise
 
+            if store is not None and (
+                ("minhash" in store.columns) != (verify_threshold is not None)
+            ):
+                # a store is written in one mode for its lifetime: mixing
+                # verify / non-verify appends would leave mixed-schema
+                # parquet (reads silently pick one file's schema) or an
+                # opaque unresolved-column failure in the probe join
+                raise ValueError(
+                    f"band store at {store_dir} was written with "
+                    f"verify={'on' if 'minhash' in store.columns else 'off'}; "
+                    "this run's verify_threshold disagrees — use a fresh "
+                    "store_dir or match the store's mode"
+                )
             fresh = bands
             if store is not None:
                 # replay gate: a registered doc's band rows live exactly
