@@ -152,7 +152,9 @@ def main() -> None:
         efficiency=round(t_n / t_4n / 4, 3),
         decisions_identical=len(shas) == 1,
     )
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_dir = os.path.dirname(out_path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
