@@ -83,7 +83,8 @@ def run_level(corpus: str, cpus: int, fpt: int, attempts: int = 2) -> dict:
     last_err = ""
     for attempt in range(attempts):
         load = wait_quiet()
-        out_json = tempfile.mktemp(suffix=".json", prefix="wd_admtrial_")
+        fd, out_json = tempfile.mkstemp(suffix=".json", prefix="wd_admtrial_")
+        os.close(fd)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child",
@@ -93,7 +94,7 @@ def run_level(corpus: str, cpus: int, fpt: int, attempts: int = 2) -> dict:
         except subprocess.TimeoutExpired:
             last_err = f"trial timed out after {timeout_s}s"
             continue
-        if out.returncode == 0 and os.path.exists(out_json):
+        if out.returncode == 0 and os.path.getsize(out_json) > 0:
             with open(out_json) as f:
                 res = json.load(f)
             os.unlink(out_json)

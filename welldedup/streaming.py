@@ -25,6 +25,8 @@ instead).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +57,23 @@ def read_code_files_stream(
 # (O(corpus) per batch at 10^12 files).  At prod scale this is the
 # Iceberg table's bucket(doc_id) partition spec.
 N_ID_BUCKETS = 64
+
+
+def _read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read an accumulating micro-batch store, or None if it doesn't
+    exist yet (only the first batch's missing store is expected); a
+    corrupt/unreadable store must fail loudly, not silently disable
+    dedup.  Shared by every foreachBatch body that probes a store."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None)
+        cond = (get_cond() if get_cond else None) or ""
+        if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
+            raise
+        return None
 
 
 def incremental_signatures(
@@ -97,23 +116,12 @@ def incremental_signatures(
             .distinct()
             .collect()
         ]
-        from pyspark.errors import AnalysisException
-
-        try:
-            existing = (
-                spark.read.parquet(out_dir)
-                .filter(F.col("id_bucket").isin(touched))  # partition-pruned scan
-                .select("doc_id")
-            )
+        store = _read_store_or_none(spark, out_dir)
+        if store is not None:
+            existing = store.filter(
+                F.col("id_bucket").isin(touched)  # partition-pruned scan
+            ).select("doc_id")
             sigs = sigs.join(existing, "doc_id", "left_anti")
-        except AnalysisException as e:
-            # only the first batch's missing store is expected; a
-            # corrupt/unreadable store must fail loudly, not silently
-            # disable dedup
-            get_cond = getattr(e, "getCondition", None)
-            cond = (get_cond() if get_cond else None) or ""
-            if "PATH_NOT_FOUND" not in cond and "UNABLE_TO_INFER_SCHEMA" not in cond:
-                raise
         obs = Observation(f"stream_write_{epoch_id}")
         sigs = sigs.observe(obs, F.count(F.lit(1)).alias("rows"))
         sigs.write.mode("append").partitionBy("id_bucket").parquet(out_dir)
@@ -136,6 +144,19 @@ def incremental_signatures(
 # micro-batch's store probe prunes to the directories its own band
 # hashes land in — the near-dup analog of the id_bucket layout above.
 N_BAND_STORE_BUCKETS = 64
+
+
+def _probe_band_store(
+    spark: SparkSession, store_dir: str, touched: list[int]
+) -> DataFrame | None:
+    """The admission gate's store probe: the band store pruned to the
+    buckets a batch's hashes occupy.  The isin filter must resolve to
+    PartitionFilters (directory-level prune) — plan-shape tested on
+    THIS constructor, the one process_batch actually calls."""
+    store = _read_store_or_none(spark, store_dir)
+    if store is None:
+        return None
+    return store.filter(F.col("band_bucket").isin(touched))
 
 
 def lsh_admission_filter(
@@ -187,12 +208,19 @@ def lsh_admission_filter(
     batch pass.
 
     Crash/replay posture: the streaming checkpoint replays an
-    unfinished epoch; step 2's doc_id gate makes the decision append
-    idempotent for docs whose bands were registered before the crash,
-    and re-registered band rows are harmless duplicates (collision is
-    collision).  Returns a DataStreamWriter (availableNow trigger).
-    `stats[epoch]` receives buckets_read / n_fresh / n_admitted /
-    n_rejected.
+    unfinished epoch.  Decisions are idempotent by construction —
+    epoch N always lands in its own `epoch=N` partition dir via
+    OVERWRITE (a replayed epoch rewrites identical content, never
+    appends duplicates), and the one asymmetric window (band register
+    committed, checkpoint not → the replay's fresh set is empty) is
+    detected and skips the overwrite so committed decisions survive.
+    Re-registered band rows are harmless duplicates (collision is
+    collision).  Rows the validity filter removes (or duplicate
+    within-batch deliveries of one (repo,path,commit)) get no decision
+    row; they are counted per epoch in `stats[epoch]["n_dropped"]`.
+    Returns a DataStreamWriter (availableNow trigger).  `stats[epoch]`
+    receives buckets_read / n_fresh / n_admitted / n_rejected /
+    n_dropped.
     """
     from . import lsh
     from .verify import jaccard_est_expr
@@ -244,22 +272,7 @@ def lsh_admission_filter(
             touched = [
                 r[0] for r in bands.select("band_bucket").distinct().collect()
             ]
-            store = None
-            from pyspark.errors import AnalysisException
-
-            try:
-                store = spark.read.parquet(store_dir).filter(
-                    F.col("band_bucket").isin(touched)  # partition-pruned
-                )
-            except AnalysisException as e:
-                get_cond = getattr(e, "getCondition", None)
-                cond = (get_cond() if get_cond else None) or ""
-                if (
-                    "PATH_NOT_FOUND" not in cond
-                    and "UNABLE_TO_INFER_SCHEMA" not in cond
-                ):
-                    raise
-
+            store = _probe_band_store(spark, store_dir, touched)
             if store is not None and (
                 ("minhash" in store.columns) != (verify_threshold is not None)
             ):
@@ -335,6 +348,14 @@ def lsh_admission_filter(
                 F.min("prior_id").alias("matched_prior")
             )
 
+            # dropDuplicates on the NARROW frame: an at-least-once
+            # upstream can deliver the same (repo,path,commit) twice
+            # within one batch; deduping here (identical rows — same
+            # key, same post-aggregation matched_prior) keeps the
+            # content-bearing `prepared` free of an extra shuffle.
+            # The doubled band/sig rows upstream are harmless:
+            # collision logic is set-semantics and the min/leader aggs
+            # collapse them.
             decisions = (
                 prepared.select("doc_id", "repo", "path", "commit")
                 .join(fresh.select("doc_id").distinct(), "doc_id")
@@ -346,31 +367,46 @@ def lsh_admission_filter(
                     "commit",
                     F.col("matched_prior").isNull().alias("admitted"),
                     "matched_prior",
-                    F.lit(int(epoch_id)).alias("epoch"),
                 )
+                .dropDuplicates(["doc_id"])
             )
-            obs = Observation(f"admission_{epoch_id}")
-            decisions = decisions.observe(
-                obs,
-                F.count(F.lit(1)).alias("n_fresh"),
-                F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
-            )
-            decisions.write.mode("append").parquet(decisions_dir)
-
-            register = fresh
-            if verify_threshold is not None:
-                register = fresh.join(sigs, "doc_id")
-            register.write.mode("append").partitionBy("band_bucket").parquet(
-                store_dir
-            )
-            if stats is not None:
+            # idempotent per-epoch decision write: epoch N always lands
+            # in its own partition dir via OVERWRITE, so a crash between
+            # this write and the register append below replays to the
+            # identical content instead of appending duplicates.  The
+            # one asymmetric window — register committed, checkpoint
+            # not — replays with an EMPTY fresh set (the replay gate
+            # anti-joins everything away); overwriting then would erase
+            # the epoch's committed decisions, hence the exists-check.
+            epoch_dir = os.path.join(decisions_dir, f"epoch={int(epoch_id)}")
+            n_fresh = n_adm = 0
+            if not (fresh.isEmpty() and os.path.isdir(epoch_dir)):
+                obs = Observation(f"admission_{epoch_id}")
+                decisions = decisions.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_fresh"),
+                    F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+                )
+                decisions.write.mode("overwrite").parquet(epoch_dir)
                 n_fresh = int(obs.get["n_fresh"] or 0)
                 n_adm = int(obs.get["n_admitted"] or 0)
+
+                register = fresh
+                if verify_threshold is not None:
+                    register = fresh.join(sigs, "doc_id")
+                register.write.mode("append").partitionBy(
+                    "band_bucket"
+                ).parquet(store_dir)
+            if stats is not None:
                 stats[epoch_id] = {
                     "buckets_read": len(touched),
                     "n_fresh": n_fresh,
                     "n_admitted": n_adm,
                     "n_rejected": n_fresh - n_adm,
+                    # validity-filtered or duplicate-delivered rows:
+                    # present in the source batch, absent from decisions
+                    "n_dropped": batch_df.count()
+                    - prepared.select("doc_id").distinct().count(),
                 }
         finally:
             for df in cached:
