@@ -183,8 +183,9 @@ def test_lsh_admission_filter_multibatch(spark):
     assert got[lo]["admitted"] and got[lo]["matched_prior"] is None
     assert not got[hi]["admitted"] and got[hi]["matched_prior"] == lo
     assert got[ids["a2.py"]]["admitted"] and got[ids["a3.py"]]["admitted"]
-    assert stats[0] == {
-        "buckets_read": stats[0]["buckets_read"],
+    assert stats[0]["wall_s"] > 0
+    assert {k: stats[0][k] for k in
+            ("n_fresh", "n_admitted", "n_rejected", "n_dropped")} == {
         "n_fresh": 4, "n_admitted": 3, "n_rejected": 1, "n_dropped": 0,
     }
 
@@ -203,8 +204,8 @@ def test_lsh_admission_filter_multibatch(spark):
     assert got2[ids2["b1.py"]]["matched_prior"] == ids["a2.py"]
     assert got2[ids2["b2.py"]]["admitted"]
     # epoch numbering continues across query restarts (checkpoint)
-    assert stats[1] == {
-        "buckets_read": stats[1]["buckets_read"],
+    assert {k: stats[1][k] for k in
+            ("n_fresh", "n_admitted", "n_rejected", "n_dropped")} == {
         "n_fresh": 2, "n_admitted": 1, "n_rejected": 1, "n_dropped": 0,
     }
 

@@ -64,6 +64,9 @@ def child(corpus_dir: str, cpus: int, fpt: int, out_json: str) -> None:
                 cpus=cpus, wall_s=round(wall, 2), n_docs=n_docs,
                 n_admitted=n_admitted, n_batches=len(stats),
                 docs_per_s=round(n_docs / wall, 1), decisions_sha=h,
+                # store-probe flatness: per-epoch walls as the band
+                # store accumulates earlier batches' registrations
+                epoch_walls=[stats[e]["wall_s"] for e in sorted(stats)],
             ),
             f,
         )

@@ -228,6 +228,9 @@ def lsh_admission_filter(
     cfg = cfg or DedupConfig()
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import time
+
+        t_epoch = time.monotonic()
         spark = batch_df.sparkSession
         cached = []
 
@@ -407,6 +410,9 @@ def lsh_admission_filter(
                     # present in the source batch, absent from decisions
                     "n_dropped": batch_df.count()
                     - prepared.select("doc_id").distinct().count(),
+                    # per-epoch wall: the store-probe flatness evidence
+                    # (cost must not grow with corpus age)
+                    "wall_s": round(time.monotonic() - t_epoch, 2),
                 }
         finally:
             for df in cached:
