@@ -131,6 +131,14 @@ def parse_args(argv=None):
         "whose estimated Jaccard >= J",
     )
     p.add_argument("--admit-files-per-trigger", type=int, default=32)
+    p.add_argument(
+        "--admit-keep",
+        metavar="PATH",
+        default=None,
+        help="admit: after draining, also write the admitted corpus "
+        "snapshot (content-bearing source rows whose decision is "
+        "admitted) to PATH, overwrite",
+    )
     args = p.parse_args(argv)
     if args.admit and (
         args.curate or args.retract_from or args.update_into or args.export
@@ -240,8 +248,17 @@ def main(argv=None) -> int:
             n_admitted=sum(s["n_admitted"] for s in stats.values()),
             n_rejected=sum(s["n_rejected"] for s in stats.values()),
             output=args.output,
-            wall_sec=round(time.monotonic() - t0, 2),
         )
+        if args.admit_keep:
+            from welldedup.streaming import admitted_corpus
+
+            kept = admitted_corpus(
+                spark, args.input, os.path.join(args.output, "decisions")
+            )
+            kept.write.mode("overwrite").parquet(args.admit_keep)
+            summary["kept"] = spark.read.parquet(args.admit_keep).count()
+            summary["kept_path"] = args.admit_keep
+        summary["wall_sec"] = round(time.monotonic() - t0, 2)
         print(json.dumps(summary))
         return 0
     if args.retract_from:

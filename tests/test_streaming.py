@@ -422,3 +422,49 @@ def test_admission_decisions_epoch_dirs_idempotent(spark):
     # checkpoint (every doc already registered).
     _run_admission(spark, src, store, dec, tempfile.mkdtemp())
     assert spark.read.parquet(dec).count() == 5
+
+
+def test_admitted_corpus_snapshot(spark, tmp_path):
+    """admitted_corpus returns exactly the admitted docs' content rows,
+    one per doc_id even under duplicate source delivery; CLI
+    --admit-keep writes the same snapshot."""
+    import json
+
+    from welldedup.streaming import admitted_corpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = _code_row("r", "a.py", _BASE)
+    b = _code_row("r", "b.py", _BASE.replace("tok9", "EDIT"))  # near-dup
+    c = _code_row("r", "c.py", " ".join(f"solo{i}" for i in range(80)))
+    _write_batch(str(src), "b1.parquet", [a, b, c, c])  # c delivered twice
+    out = tmp_path / "gate"
+
+    import io
+    from contextlib import redirect_stdout
+
+    from main import main as cli_main
+
+    buf = io.StringIO()
+    keep = tmp_path / "kept"
+    with redirect_stdout(buf):
+        rc = cli_main([
+            "--admit", "--input", str(src), "--output", str(out),
+            "--admit-keep", str(keep),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["kept"] == 2  # one of a/b rejected, c kept once
+
+    kept_df = spark.read.parquet(str(keep))
+    assert kept_df.count() == 2
+    assert "content" in kept_df.columns
+    lib_df = admitted_corpus(spark, str(src), str(out / "decisions"))
+    assert sorted(r["path"] for r in kept_df.collect()) == sorted(
+        r["path"] for r in lib_df.collect()
+    )
+    ids = _doc_ids(spark, [a, b])
+    surviving = {r["path"] for r in kept_df.collect()}
+    assert "c.py" in surviving
+    lo_path = "a.py" if ids["a.py"] < ids["b.py"] else "b.py"
+    assert lo_path in surviving

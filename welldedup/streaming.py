@@ -426,6 +426,30 @@ def lsh_admission_filter(
     )
 
 
+def admitted_corpus(
+    spark: SparkSession, source_dir: str, decisions_dir: str
+) -> DataFrame:
+    """Materialize the gate's SURVIVING corpus: the content-bearing
+    source rows whose decision is admitted=true — what a training run
+    actually consumes.  The decisions table is content-free, so content
+    comes from re-reading the source (exactly like batch `--export`:
+    checkpoints never carry content).
+
+    Scale shape: decisions are (long, bool) per doc — a semi-join keyed
+    by doc_id against the full corpus scan, one shuffle of ids, no
+    content ever shuffled (the join's content side stays put under AQE
+    broadcast/shuffled-hash; content columns ride the scan straight to
+    the writer).  Duplicate source deliveries collapse to one row per
+    doc_id, matching the gate's accounting."""
+    admitted = (
+        spark.read.parquet(decisions_dir)
+        .filter(F.col("admitted"))
+        .select("doc_id")
+    )
+    docs = prep.with_doc_id(spark.read.parquet(source_dir))
+    return docs.join(admitted, "doc_id", "left_semi").dropDuplicates(["doc_id"])
+
+
 def stateful_first_seen(
     stream: DataFrame, cfg: DedupConfig | None = None, shards: int = 1
 ):
