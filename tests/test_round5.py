@@ -42,6 +42,7 @@ ROWS_ONLY_EXPECTED = {
     "doc_fingerprints": 500,         # one fingerprint per doc
     "langid": 500,
     "lsh_buckets": None,
+    "icws_signatures": 500,          # one weighted signature per doc
     "minhash_signatures": 500,
     "multimodal_features": 500,
     "semantic_dedup_keep": 1000,     # 500 originals + 500 planted copies

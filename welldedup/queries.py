@@ -171,6 +171,72 @@ WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
 """
 
 
+def q_weighted_jaccard_pairs(spark, sf_dir):
+    """Exact weighted (multiset) Jaccard over whitespace tokens — the
+    verification twin of the ICWS sketch (weighted.py): J_w =
+    Σ_t min(c_a,c_b) / Σ_t max(c_a,c_b) over token COUNTS, so
+    multiplicity matters (word_jaccard_pairs array_distincts it away).
+    Relational shape: per-doc token histogram (one partial-agg
+    shuffle), shared-token equi-join bounded by the same group guard
+    plus a total-count ratio prefilter — exactness-preserving because
+    J_w <= min(Σc_a, Σc_b) / max(Σc_a, Σc_b) for multisets."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    d = _group_size_guard(d, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
+    tc = (
+        d.select(
+            "doc_id", "source", F.size("toks").alias("tot"),
+            F.explode("toks").alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tot", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    a = tc.select(
+        F.col("doc_id").alias("id_a"), "source", "tok",
+        F.col("c").alias("ca"), F.col("tot").alias("ta"),
+    )
+    b = tc.select(
+        F.col("doc_id").alias("id_b"), "source", "tok",
+        F.col("c").alias("cb"), F.col("tot").alias("tb"),
+    )
+    j = a.join(b, ["source", "tok"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.least("ta", "tb").cast("double")
+           >= F.lit(0.49995) * F.greatest("ta", "tb"))
+    )
+    g = j.groupBy("id_a", "id_b", "ta", "tb").agg(
+        F.sum(F.least("ca", "cb")).alias("smin")
+    )
+    # Σmax = Σc_a + Σc_b − Σmin for multisets
+    wjac = F.col("smin").cast("double") / (
+        F.col("ta") + F.col("tb") - F.col("smin")
+    )
+    return g.select(
+        "id_a", "id_b", F.round(wjac, 4).alias("wjac")
+    ).filter(F.col("wjac") >= 0.5)
+
+
+SQL_WEIGHTED_JACCARD_PAIRS = """
+WITH tc AS (
+  SELECT doc_id, source, tot, tok, count(*) AS c
+  FROM (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS tot,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents)
+  GROUP BY doc_id, source, tot, tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(sum(least(a.c, b.c)) AS DOUBLE)
+             / (a.tot + b.tot - sum(least(a.c, b.c))), 4) AS wjac
+FROM tc a JOIN tc b ON a.source = b.source AND a.tok = b.tok
+                    AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.tot, b.tot
+HAVING round(CAST(sum(least(a.c, b.c)) AS DOUBLE)
+             / (a.tot + b.tot - sum(least(a.c, b.c))), 4) >= 0.5
+"""
+
+
 def q_cc_clusters(spark, sf_dir):
     """Connected components over word-jaccard edges — the iterative
     join-and-propagate loop vs DuckDB's recursive CTE."""
@@ -232,6 +298,32 @@ ranked AS (
 )
 SELECT cluster_id, rep_doc_id, rep_len, n_members FROM ranked WHERE rk = 1""",
     )
+)
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """Dedup report surface: the distribution of connected-component
+    sizes — how much of the corpus collapses, and into what shapes.
+    This is the aggregate a 100 TB dedup run actually publishes (and
+    the first thing to eyeball for chain-merge pathology: a single
+    giant component shows up as one row with a huge cluster_size)."""
+    labels = q_cc_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+SQL_CLUSTER_SIZE_HIST = SQL_CC_CLUSTERS.replace(
+    "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src",
+    """, labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""",
 )
 
 
@@ -1066,6 +1158,25 @@ def q_minhash_signatures(spark, sf_dir):
         F.size("minhash").cast("long").alias("sig_len"),
         "simhash",
         F.size("shingles").cast("long").alias("n_shingles"),
+    )
+
+
+def q_icws_signatures(spark, sf_dir):
+    """Weighted MinHash (ICWS, Ioffe 2010) over whitespace-token
+    COUNTS (weighted.py) — rows-only: the sketch is not
+    SQL-expressible; its estimator contract (per-slot collision
+    probability == exact weighted Jaccard) is property-tested in
+    tests/test_weighted.py, and the exact J_w it estimates is oracled
+    as `weighted_jaccard_pairs`."""
+    from .weighted import make_icws_udf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = prep.token_hashes_expr(F.split("text", " "))
+    sig = d.select("doc_id", make_icws_udf(CFG)(toks).alias("icws"))
+    return sig.select(
+        "doc_id",
+        F.size("icws").cast("long").alias("sig_len"),
+        F.size(F.array_distinct("icws")).cast("long").alias("n_distinct_slots"),
     )
 
 
@@ -2726,6 +2837,8 @@ QUERIES = {
     "exact_dup_star_edges": q_exact_dup_star_edges,
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
+    "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+    "cluster_size_hist": q_cluster_size_hist,
     "lcs_exact_pairs": q_lcs_exact_pairs,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "cc_clusters": q_cc_clusters,
@@ -2807,6 +2920,7 @@ QUERIES = {
     "binary_meta": q_binary_meta,
     # rows-only (non-SQL-expressible)
     "minhash_signatures": q_minhash_signatures,
+    "icws_signatures": q_icws_signatures,
     "lsh_buckets": q_lsh_buckets,
     "candidate_pairs_minhash": q_candidate_pairs_minhash,
     "simhash_chunks": q_simhash_chunks,
@@ -2830,6 +2944,8 @@ ORACLES = {
     "exact_dup_star_edges": SQL_EXACT_DUP_STAR_EDGES,
     "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
+    "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
     "lcs_exact_pairs": SQL_LCS_EXACT_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "ngram3_jaccard_pairs": SQL_NGRAM3_JACCARD_PAIRS,

@@ -1,0 +1,158 @@
+"""Weighted MinHash — ICWS (Ioffe 2010) consistent weighted sampling.
+
+Why a weighted method at all: plain MinHash (signatures.py S6) sees a
+document as the SET of its shingles — token multiplicity is invisible,
+so a file that repeats one boilerplate line 500 times and a file that
+contains it once hash identically once their shingle sets coincide.
+Weighted Jaccard over token counts,
+
+    J_w(A, B) = Σ_t min(w_A(t), w_B(t)) / Σ_t max(w_A(t), w_B(t)),
+
+keeps multiplicity, which matters for exactly the degenerate inputs
+that hurt set-MinHash at corpus scale (generated code, log-like files,
+minified blobs).  This module adds the sketch for it: Ioffe's Improved
+Consistent Weighted Sampling ("Improved Consistent Sampling, Weighted
+Minhash and L1 Sketching", ICDM 2010), whose per-slot collision
+probability is EXACTLY J_w — the same estimator contract as the OPH
+MinHash slots, so the existing LSH banding / verification machinery
+applies unchanged if a weighted tier is ever enabled.
+
+Determinism contract (same as every kernel in signatures.py): all
+randomness is counter-based — per-(slot, token) Gamma(2,1)/Uniform
+draws are derived by splitmix64 from (seed, slot, token hash), so
+signatures are bit-identical across batch boundaries, parallelism
+levels, resumes and retries.  No RNG state is carried between rows.
+
+Kernel math, per signature slot i and token t with weight w > 0:
+
+    r, c ~ Gamma(2,1)   (= -ln u1 - ln u2, two uniform draws)
+    beta ~ Uniform(0,1)
+    t_k   = floor(ln(w)/r + beta)
+    ln y  = r * (t_k - beta)
+    ln a  = ln(c) - ln y - r
+    pick t* = argmin_t ln a;  slot value encodes (t*, t_k*)
+
+Pr[slot_A(i) == slot_B(i)] = J_w(A, B) (Ioffe 2010, Thm 1).
+
+Execution shape: token hashes are computed JVM-side
+(prep.token_hashes_expr — one xxhash64 per token, no string
+concatenation in Python), then ONE vectorized pandas UDF computes the
+per-document (n_hashes × unique-tokens) kernel with numpy.  The
+per-document Python iteration inside the UDF is batch-level (the same
+pattern as the suffix-array kernel, suffixarray.py): all inner work is
+whole-matrix numpy; nothing is per-row interpreted arithmetic.
+
+Scale posture: cost is O(n_hashes · unique_tokens) per doc — heavier
+than the one-pass OPH kernel (which is why OPH stays the default
+pipeline method) but embarrassingly parallel, content-local, and
+stream-friendly; at 100 TB it rides the same fused content pass budget
+as S5-S8 would (one scan, Arrow batches).  The exact J_w verifier
+(weighted_jaccard on token-count maps) is the V2 analog and is
+similarly pair-bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .config import DedupConfig
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based 64-bit mixer (public splitmix64 finalizer);
+    vectorized, wrap-around uint64 arithmetic."""
+    with np.errstate(over="ignore"):
+        z = (x + _GOLD).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _uniform01(x: np.ndarray) -> np.ndarray:
+    """uint64 → float64 strictly inside (0,1): top 53 bits + half-ulp
+    offset, so log() never sees 0."""
+    return ((x >> np.uint64(11)).astype(np.float64) + 0.5) * (2.0**-53)
+
+
+def slot_keys(n_hashes: int, seed: int) -> np.ndarray:
+    """(n_hashes, 5) deterministic uint64 keys — one per (slot, draw):
+    u1,u2 → r; u3,u4 → c; u5 → beta."""
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0x1C5_5EED))
+    return rng.integers(0, 1 << 63, size=(n_hashes, 5), dtype=np.uint64)
+
+
+def icws_signature(
+    tok: np.ndarray, weights: np.ndarray, keys: np.ndarray
+) -> np.ndarray:
+    """ICWS signature for one weighted set.
+
+    tok: (T,) uint64 distinct token hashes; weights: (T,) float64 > 0;
+    keys: slot_keys(n, seed).  Returns (n,) int64 where equal slot
+    values across two docs occur with probability J_w.
+    """
+    n = keys.shape[0]
+    if tok.shape[0] == 0:
+        # empty weighted set: sentinel signature (shared by all empties,
+        # mirroring the densification sentinel for sub-shingle docs)
+        return _splitmix64(keys[:, 0]).view(np.int64)
+    lw = np.log(weights)  # (T,)
+    with np.errstate(over="ignore"):
+        h = tok[None, None, :] ^ keys[:, :, None]  # (n, 5, T)
+    u = _uniform01(_splitmix64(h.reshape(-1)).reshape(n, 5, tok.shape[0]))
+    r = -(np.log(u[:, 0]) + np.log(u[:, 1]))       # Gamma(2,1), (n, T)
+    c = -(np.log(u[:, 2]) + np.log(u[:, 3]))       # Gamma(2,1)
+    beta = u[:, 4]
+    t_k = np.floor(lw[None, :] / r + beta)
+    ln_y = r * (t_k - beta)
+    ln_a = np.log(c) - ln_y - r
+    j = np.argmin(ln_a, axis=1)                    # (n,)
+    tok_star = tok[j]
+    tk_star = t_k[np.arange(n), j]
+    # encode (t*, t_k*) in one int64: mix token with the integer level.
+    # t_k is a small integer (|t_k| <= ~ln(w)/r + 1); cast via int64
+    # two's complement so negative levels stay distinct.
+    with np.errstate(over="ignore", invalid="ignore"):
+        lvl = tk_star.astype(np.int64).view(np.uint64)
+        return _splitmix64(tok_star ^ _splitmix64(lvl)).view(np.int64)
+
+
+def weighted_jaccard(
+    tok_a: np.ndarray, w_a: np.ndarray, tok_b: np.ndarray, w_b: np.ndarray
+) -> float:
+    """Exact J_w — test oracle for the sketch (and the V2-analog
+    verifier shape).  Inputs are distinct-token/weight pairs."""
+    tot_a = float(w_a.sum())
+    tot_b = float(w_b.sum())
+    common, ia, ib = np.intersect1d(tok_a, tok_b, return_indices=True)
+    s_min = float(np.minimum(w_a[ia], w_b[ib]).sum())
+    denom = tot_a + tot_b - s_min  # Σmax = Σa + Σb − Σmin
+    return s_min / denom if denom > 0 else 1.0
+
+
+def estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Collision-fraction estimator: E[estimate] = J_w."""
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def make_icws_udf(cfg: DedupConfig, n_hashes: int | None = None):
+    """pandas UDF: array<long> token hashes → array<long> ICWS
+    signature.  Token weights = occurrence counts (np.unique on the
+    JVM-computed hash array — no Python string work)."""
+    n = int(n_hashes or cfg.n_hashes)
+    keys = slot_keys(n, cfg.minhash_seed)
+
+    @F.pandas_udf(ArrayType(LongType(), containsNull=False))
+    def icws(tokh: pd.Series) -> pd.Series:
+        out = []
+        for arr in tokh:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            tok, cnt = np.unique(a, return_counts=True)
+            out.append(icws_signature(tok, cnt.astype(np.float64), keys))
+        return pd.Series(out)
+
+    return icws
