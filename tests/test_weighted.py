@@ -100,6 +100,46 @@ def test_deterministic_and_sentinels():
     assert estimate(s1, s3) < 0.03
 
 
+def test_weighted_tier_end_to_end(spark):
+    """ICWS → banding → bounded pair emit → estimate filter, on a
+    planted corpus where weighted and set similarity DISAGREE:
+
+    - docs 1/2: identical token histograms → J_w = 1, must pair;
+    - docs 3/4: identical token SETS but doc 4 repeats one token 450×
+      → set-Jaccard = 1 (the set tier would pair them) while
+      J_w = 50/500 = 0.1 → the weighted tier must NOT pair them;
+    - docs 5/6: small weight perturbation, J_w ≈ 0.9 → must pair.
+    """
+    from welldedup.weighted import weighted_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base),
+        (4, base + " tok0" * 450),
+        (5, base + " alpha alpha alpha beta beta gamma" * 8),
+        (6, base + " alpha alpha alpha beta beta gamma" * 8 + " alpha"),
+    ]
+    # pad the id space with unrelated docs so banding has real buckets
+    rng = np.random.Generator(np.random.PCG64(5))
+    for i in range(7, 40):
+        rows.append((i, " ".join(f"w{int(x)}" for x in rng.integers(0, 10_000, 60))))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    cfg = DedupConfig()
+    got = {
+        (r.id_a, r.id_b): r.wjac_est
+        for r in weighted_near_dup_pairs(df, cfg, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (5, 6) in got and got[(5, 6)] > 0.6
+    assert (3, 4) not in got, (
+        "multiplicity-degenerate pair leaked through the weighted tier"
+    )
+    # sanity: docs 1/2/3 are all identical text, so 1-3 and 2-3 pair too
+    assert (1, 3) in got and (2, 3) in got
+
+
 def test_spark_udf_plumbing(spark):
     """End-to-end through the JVM tokenizer + pandas UDF: identical
     texts get bit-identical signatures; repeating a token changes the

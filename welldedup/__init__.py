@@ -15,6 +15,7 @@ from .export import export_corpus
 from .pipeline import PipelineResult, run_pipeline
 from .retract import retract_docs
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
+from .weighted import weighted_near_dup_pairs
 from .suffixarray import (
     cut_spans,
     duplicate_spans,
@@ -45,5 +46,6 @@ __all__ = [
     "exact_substring_cut",
     "self_cut",
     "group_lcs",
+    "weighted_near_dup_pairs",
 ]
 __version__ = "0.1.0"

@@ -139,6 +139,55 @@ def estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
 
 
+def weighted_near_dup_pairs(
+    df,
+    cfg: DedupConfig,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int | None = None,
+):
+    """End-to-end weighted near-dup tier: ICWS signatures → the SAME
+    multi-banding LSH + bounded pair emit as the set-MinHash path →
+    collision-fraction estimate filter.
+
+    lsh.band_buckets / candidate_pairs_from_buckets apply verbatim to
+    any array<long> signature whose per-slot collision probability IS
+    the similarity being banded — for ICWS that probability is exactly
+    J_w, so the pinned (16×8 + 32×4) banding gives the same S-curve
+    over weighted Jaccard that the set path has over set Jaccard
+    (catch probability ≈ 0.9998 at J_w = 0.7).  Skew control (capped
+    sorted lists, drop_bucket_over, salting) is inherited unchanged.
+
+    This is a standalone tier: it does not touch the pinned pipeline
+    config hash or checkpoints.  Pair emit is deterministic (sorted
+    capped lists), the estimate is pure Catalyst (verify.py V1 shape),
+    and the only UDF is the one vectorized signature pass.
+    """
+    from . import lsh
+    from .prep import token_hashes_expr
+    from .verify import jaccard_est_expr
+
+    n = int(n_hashes or cfg.n_hashes)
+    toks = token_hashes_expr(F.split(F.col(content_col), " "))
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), make_icws_udf(cfg, n)(toks).alias("minhash")
+    )
+    buckets = lsh.band_buckets(sigs, cfg)
+    pairs = lsh.candidate_pairs_from_buckets(buckets, cfg, src="weighted")
+    # single-method caller → per the pair-emit contract, dedup here
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("sig_b"))
+    est = jaccard_est_expr("sig_a", "sig_b", n)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("wjac_est"))
+        .filter(F.col("wjac_est") >= threshold)
+    )
+
+
 def make_icws_udf(cfg: DedupConfig, n_hashes: int | None = None):
     """pandas UDF: array<long> token hashes → array<long> ICWS
     signature.  Token weights = occurrence counts (np.unique on the
