@@ -132,6 +132,14 @@ def parse_args(argv=None):
     )
     p.add_argument("--admit-files-per-trigger", type=int, default=32)
     p.add_argument(
+        "--compact-bands",
+        action="store_true",
+        help="admit: after draining, compact the band store "
+        "(OUTPUT/bands) — rewrites each band_bucket partition's "
+        "accumulated per-epoch appends into one file (maintenance."
+        "compact_band_store); run between drains, never under one",
+    )
+    p.add_argument(
         "--admit-keep",
         metavar="PATH",
         default=None,
@@ -144,6 +152,8 @@ def parse_args(argv=None):
         args.curate or args.retract_from or args.update_into or args.export
     ):
         p.error("--admit is a standalone mode")
+    if args.compact_bands and not args.admit:
+        p.error("--compact-bands is an --admit post-drain step")
     if args.export and (args.curate or args.retract_from or args.update_into):
         # the checkpoint stores are content-free (pipeline.DOCS_COLS),
         # so export content can only come from --input — which under
@@ -249,6 +259,12 @@ def main(argv=None) -> int:
             n_rejected=sum(s["n_rejected"] for s in stats.values()),
             output=args.output,
         )
+        if args.compact_bands:
+            from welldedup.maintenance import compact_band_store
+
+            bands_dir = os.path.join(args.output, "bands")
+            if os.path.isdir(bands_dir):
+                summary["compaction"] = compact_band_store(spark, bands_dir)
         if args.admit_keep:
             from welldedup.streaming import admitted_corpus
 

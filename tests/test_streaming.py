@@ -307,13 +307,20 @@ def test_cli_admit_mode(spark, tmp_path):
     assert dec.count() == 3
     assert dec.filter("NOT admitted").count() == 1
 
-    # re-run with no new input: checkpoint makes it a no-op
+    # re-run with no new input: checkpoint makes it a no-op; with
+    # --compact-bands the post-drain compaction still runs and reports
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
-        rc = cli_main(["--admit", "--input", str(src), "--output", str(out)])
+        rc = cli_main(
+            ["--admit", "--compact-bands",
+             "--input", str(src), "--output", str(out)]
+        )
     assert rc == 0
-    assert json.loads(buf2.getvalue().strip().splitlines()[-1])["n_fresh"] == 0
+    summary2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert summary2["n_fresh"] == 0
+    assert summary2["compaction"]["files_after"] <= summary2["compaction"]["files_before"]
     assert spark.read.parquet(str(out / "decisions")).count() == 3
+    assert spark.read.parquet(str(out / "bands")).count() == summary2["compaction"]["rows_after"]
 
 
 def test_admission_tiny_docs_use_exact_sha_band(spark):
@@ -468,3 +475,64 @@ def test_admitted_corpus_snapshot(spark, tmp_path):
     assert "c.py" in surviving
     lo_path = "a.py" if ids["a.py"] < ids["b.py"] else "b.py"
     assert lo_path in surviving
+
+
+def test_compact_band_store_preserves_gate_semantics(spark):
+    """Compaction shrinks the band store's file count without changing
+    the row SET — probe results, replay suppression, and decisions for
+    later batches are identical after compaction.  Also exercises the
+    crash-recovery paths around the directory swap."""
+    import shutil
+
+    from welldedup.maintenance import compact_band_store
+
+    src = tempfile.mkdtemp(prefix="wd_cmp_src_")
+    store = tempfile.mkdtemp(prefix="wd_cmp_store_") + "/bands"
+    dec = tempfile.mkdtemp(prefix="wd_cmp_dec_") + "/decisions"
+    ckpt = tempfile.mkdtemp(prefix="wd_cmp_ckpt_")
+
+    a1 = _code_row("r", "a1.py", _BASE)
+    a2 = _code_row("r", "a2.py", " ".join(f"zzz{i}" for i in range(80)))
+    _write_batch(src, "b1.parquet", [a1, a2])
+    _run_admission(spark, src, store, dec, ckpt)
+    b1 = _code_row("r", "b1.py", " ".join(f"qqq{i}" for i in range(80)))
+    _write_batch(src, "b2.parquet", [b1])
+    _run_admission(spark, src, store, dec, ckpt)
+
+    before = {tuple(r) for r in spark.read.parquet(store).collect()}
+    res = compact_band_store(spark, store)
+    after = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert after == before, "compaction changed the band-row set"
+    assert res["files_after"] <= res["files_before"]
+    assert res["files_after"] == res["buckets"]  # one file per bucket dir
+    assert res["rows_after"] == len(after)
+
+    # post-compaction gate: replay of a1 suppressed, near-dup of a2
+    # rejected against it, fresh doc admitted — identical to the
+    # uncompacted behavior in test_lsh_admission_filter_multibatch
+    c1 = _code_row("r", "c1.py", a2["content"].replace("zzz7", "EDIT"))
+    c2 = _code_row("r", "c2.py", " ".join(f"new{i}" for i in range(80)))
+    _write_batch(src, "b3.parquet", [a1, c1, c2])
+    _run_admission(spark, src, store, dec, ckpt)
+    ids = _doc_ids(spark, [a1, a2, c1, c2])
+    got = {r["doc_id"]: r for r in spark.read.parquet(dec).collect()}
+    assert len(got) == 5  # replayed a1 produced NO new decision
+    assert not got[ids["c1.py"]]["admitted"]
+    assert got[ids["c1.py"]]["matched_prior"] == ids["a2.py"]
+    assert got[ids["c2.py"]]["admitted"]
+
+    # crash recovery A: backup left AND store present (swap completed,
+    # cleanup lost) -> backup discarded, store untouched
+    bak = store + ".pre_compact"
+    shutil.copytree(store, bak)
+    res2 = compact_band_store(spark, store)
+    assert not os.path.isdir(bak)
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} >= after
+
+    # crash recovery B: swap lost the store (crash between renames)
+    # -> backup restored, then compacted normally
+    os.rename(store, bak)
+    res3 = compact_band_store(spark, store)
+    assert os.path.isdir(store) and not os.path.isdir(bak)
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} >= after
+    assert res3["rows_after"] == res2["rows_after"]

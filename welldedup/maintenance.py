@@ -237,3 +237,87 @@ def retraction_stream(
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def compact_band_store(
+    spark, store_dir: str, files_per_bucket: int = 1
+) -> dict:
+    """Day-2 maintenance for the admission gate's band store
+    (streaming.lsh_admission_filter): every micro-batch APPENDS >= 1
+    parquet file per touched band_bucket partition, so file count
+    grows linearly with epochs — the classic streaming small-files
+    problem.  At 10^5 epochs a probe that directory-prunes to <= 64
+    buckets still lists/opens ~10^5 files per bucket; footer reads and
+    task scheduling dominate long before row volume does.
+
+    Compaction rewrites each band_bucket partition down to
+    `files_per_bucket` files and drops exact-duplicate rows
+    (re-registration duplicates are set-semantics no-ops for collision
+    detection — streaming.py's crash/replay posture), leaving the row
+    SET otherwise unchanged, so probe results, replay suppression, and
+    future decisions are identical before and after (tested in
+    tests/test_streaming.py).
+
+    Swap discipline (prod analog: Iceberg `rewrite_data_files`, an
+    atomic snapshot swap; this is the filesystem-level equivalent):
+    the compacted store is fully written to `<dir>.compact_tmp`, then
+    the old store moves to `<dir>.pre_compact` and the new one renames
+    in; the backup is removed last.  A crash at any point leaves
+    either the old store or its backup on disk, never neither — and a
+    leftover backup is auto-recovered (restored if the swap lost the
+    store, discarded if the swap completed) on the next call.
+
+    Run it BETWEEN gate runs (the gate reads the store per epoch);
+    like Iceberg compaction it is maintenance scheduled around
+    writers, not under them.
+
+    Returns {files_before, files_after, rows_before, rows_after,
+    buckets}.
+    """
+    store_dir = store_dir.rstrip("/")
+    tmp = store_dir + ".compact_tmp"
+    bak = store_dir + ".pre_compact"
+    # crash recovery from a previous interrupted compaction
+    if os.path.isdir(bak):
+        if os.path.isdir(store_dir):
+            shutil.rmtree(bak)  # prior swap completed; drop stale backup
+        else:
+            os.rename(bak, store_dir)  # prior swap lost the store; restore
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    df = spark.read.parquet(store_dir)
+    rows_before = df.count()
+    files_before = _count_files(store_dir)
+    deduped = df.dropDuplicates()
+    if files_per_bucket <= 1:
+        # hash-partition on the partition column: each bucket's rows
+        # land in exactly one task -> one file per partition dir
+        out = deduped.repartition("band_bucket")
+    else:
+        from .streaming import N_BAND_STORE_BUCKETS
+
+        out = deduped.repartition(
+            files_per_bucket * N_BAND_STORE_BUCKETS, "band_bucket", "band_hash"
+        )
+    out.write.mode("overwrite").partitionBy("band_bucket").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    os.rename(store_dir, bak)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(bak)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(store_dir),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "buckets": len(
+            [d for d in os.listdir(store_dir) if d.startswith("band_bucket=")]
+        ),
+    }
