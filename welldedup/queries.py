@@ -217,6 +217,53 @@ def q_weighted_jaccard_pairs(spark, sf_dir):
     ).filter(F.col("wjac") >= 0.5)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup: containment C = |A∩B| / min(|A|,|B|) over
+    word sets — catches a small doc swallowed by a big one (vendored
+    copy, file concatenation), exactly the pairs the Jaccard queries'
+    size-ratio prefilter is entitled to drop (J <= min/max stays low
+    when sizes diverge, containment does not).  The scalable analog is
+    the CDC-fingerprint substring path (S9); this is its exact,
+    pair-bounded verification twin.  min-size floor keeps trivial
+    vocabularies (tiny docs share stopwords) out."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    d = _group_size_guard(d, ["source"], "substr CDC fingerprints (S9)")
+    d = d.withColumn("sw", F.size("w")).filter(F.col("sw") >= 10)
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "source",
+        F.col("w").alias("wa"), F.col("sw").alias("sa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "source",
+        F.col("w").alias("wb"), F.col("sw").alias("sb"),
+    )
+    j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    cont = inter / F.least("sa", "sb")
+    return j.select(
+        "id_a", "id_b", F.round(cont, 4).alias("containment")
+    ).filter(F.col("containment") >= 0.8)
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH w AS (
+  SELECT doc_id, source, ws, len(ws) AS sw
+  FROM (SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS ws
+        FROM documents)
+  WHERE len(ws) >= 10
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / least(a.sw, b.sw), 4) AS containment
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / least(a.sw, b.sw), 4) >= 0.8
+"""
+
+
 SQL_WEIGHTED_JACCARD_PAIRS = """
 WITH tc AS (
   SELECT doc_id, source, tot, tok, count(*) AS c
@@ -2838,6 +2885,7 @@ QUERIES = {
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "cluster_size_hist": q_cluster_size_hist,
     "lcs_exact_pairs": q_lcs_exact_pairs,
     "semantic_dedup_keep": q_semantic_dedup_keep,
@@ -2945,6 +2993,7 @@ ORACLES = {
     "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
     "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
     "lcs_exact_pairs": SQL_LCS_EXACT_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
