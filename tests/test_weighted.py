@@ -140,6 +140,24 @@ def test_weighted_tier_end_to_end(spark):
     assert (1, 3) in got and (2, 3) in got
 
 
+def test_weighted_tier_downstream_is_udf_free(spark):
+    """The tier's single-content-pass discipline: after the signature
+    boundary materializes, the candidate/estimate plan must contain no
+    Python/Arrow UDF node and no content column — the same invariant
+    the batch pipeline enforces (one UDF pass, content-free
+    downstream)."""
+    from welldedup.weighted import weighted_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(8)],
+        "doc_id long, content string",
+    )
+    out = weighted_near_dup_pairs(df, DedupConfig(), threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan  # Arrow/Batch EvalPython
+    assert "content#" not in plan, plan
+
+
 def test_spark_udf_plumbing(spark):
     """End-to-end through the JVM tokenizer + pandas UDF: identical
     texts get bit-identical signatures; repeating a token changes the

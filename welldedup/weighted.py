@@ -173,6 +173,11 @@ def weighted_near_dup_pairs(
     sigs = df.select(
         F.col(id_col).alias("doc_id"), make_icws_udf(cfg, n)(toks).alias("minhash")
     )
+    # materialize the signature boundary (the pipeline's stage
+    # discipline, pipeline.py): the sigs subtree feeds THREE plans
+    # below (bands + both sides of the estimate join) — without this,
+    # every downstream action re-runs the UDF content pass per subtree
+    sigs = sigs.localCheckpoint(eager=True)
     buckets = lsh.band_buckets(sigs, cfg)
     pairs = lsh.candidate_pairs_from_buckets(buckets, cfg, src="weighted")
     # single-method caller → per the pair-emit contract, dedup here
