@@ -181,3 +181,165 @@ def test_spark_udf_plumbing(spark):
     same = sum(x == y for x, y in zip(sigs[1], sigs[3]))
     assert same < 64, "weight change must perturb the signature"
     assert same > 0, "shared tokens should still collide on some slots"
+
+
+# --- "weighted" as a first-class pipeline method (S6w) -------------------
+
+
+def test_pipeline_weighted_method_contrast(spark):
+    """methods=("weighted",) runs the full pipeline end-to-end (fused
+    pass emits the icws column; bands/pairs/verify/CC all shared
+    machinery) and decides by J_w: a near-identical pair clusters, the
+    multiplicity-degenerate pair does NOT — while methods=("minhash",)
+    on the same corpus merges it (set semantics).  This is the
+    method's reason to exist, demonstrated at the pipeline surface."""
+    import pandas as pd
+
+    from welldedup import run_pipeline
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    rows = [
+        dict(repo="r", path="x.py", commit="c0", lang="py", content=base),
+        dict(repo="r", path="x2.py", commit="c0", lang="py",
+             content=base.replace("tok40", "CHANGED")),
+        dict(repo="r", path="y.py", commit="c0", lang="py",
+             content=base.replace("tok0", "why0")),
+        dict(repo="r", path="y2.py", commit="c0", lang="py",
+             content=base.replace("tok0", "why0") + " tok1" * 450),
+    ]
+    for i in range(24):  # unrelated padding docs
+        rows.append(dict(repo="r", path=f"pad{i}.py", commit="c0", lang="py",
+                         content=" ".join(f"p{i}_{j}" for j in range(60))))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    def labels(methods):
+        cfg = DedupConfig(methods=methods)
+        res = run_pipeline(spark, df, cfg)
+        by_path = {
+            r.path: r.doc_id for r in res.docs.select("doc_id", "path").collect()
+        }
+        lab = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+        return {p: lab[i] for p, i in by_path.items()}
+
+    lw = labels(("weighted",))
+    assert lw["x.py"] == lw["x2.py"], "J_w≈0.975 near-dup must cluster"
+    assert lw["y.py"] != lw["y2.py"], (
+        "J_w≈0.15 multiplicity-degenerate pair must NOT cluster under "
+        "the weighted method"
+    )
+    lm = labels(("minhash",))
+    assert lm["y.py"] == lm["y2.py"], (
+        "set semantics merges the multiplicity pair — the contrast "
+        "that motivates S6w (if this ever fails, the fixture no longer "
+        "demonstrates the distinction)"
+    )
+
+
+def test_weighted_day2_paths_match_full_run(spark, tmp_path):
+    """The day-2 equivalence guarantees hold with the weighted method
+    enabled: incremental update and retraction both reproduce the
+    corresponding full-run labels bit-identically (the method plugs
+    into method_group_rows, so probe/divergence/repair logic applies
+    unchanged)."""
+    from welldedup import run_pipeline, retract_docs
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.incremental import update_pipeline
+    from welldedup.io import StageStore
+
+    cfg = DedupConfig(methods=("weighted", "substr"))
+    cf, _ = corpus_to_pandas(make_corpus(150, seed=7))
+
+    def labels(res):
+        return {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+
+    # incremental: full(A∪B) == run(A) then update(B)
+    a, b = cf.iloc[:100], cf.iloc[100:]
+    full = run_pipeline(spark, spark.createDataFrame(cf), cfg)
+    store = StageStore(
+        root=str(tmp_path / "base"), config_hash=cfg.config_hash()
+    )
+    run_pipeline(spark, spark.createDataFrame(a), cfg, store=store)
+    upd = update_pipeline(spark, spark.createDataFrame(b), cfg, store=store)
+    assert labels(upd) == labels(full)
+
+    # retraction: retract(R) from full == full rerun on survivors
+    full_store = StageStore(
+        root=str(tmp_path / "full"), config_hash=cfg.config_hash()
+    )
+    run_pipeline(spark, spark.createDataFrame(cf), cfg, store=full_store)
+    removed_keys = cf.iloc[::10][["repo", "path", "commit"]]
+    out = StageStore(root=str(tmp_path / "ret"), config_hash=cfg.config_hash())
+    from welldedup.prep import with_doc_id
+
+    ids = with_doc_id(spark.createDataFrame(removed_keys.assign(
+        lang="x", content=""))).select("doc_id")
+    ret = retract_docs(spark, ids, cfg, store=full_store, out_store=out)
+    survivors = cf[~cf.index.isin(cf.index[::10])]
+    rerun = run_pipeline(spark, spark.createDataFrame(survivors), cfg)
+    assert labels(ret) == labels(rerun)
+
+
+def test_fused_icws_matches_per_doc_kernel(spark):
+    """The fused pass's icws column equals per-doc icws_signature calls
+    (batching-independence — the property the checkpoint's determinism
+    rests on), and the fused schema carries icws only when the
+    weighted method is enabled."""
+    import pandas as pd
+
+    from welldedup import prep
+    from welldedup.signatures import add_signatures_fused
+    from welldedup.weighted import icws_signature, slot_keys
+
+    cfg = DedupConfig(methods=("weighted",))
+    rows = [
+        dict(repo="r", path=f"f{i}.py", commit="c0", lang="py",
+             content=" ".join(f"t{i}_{j % 13}" for j in range(5 + i)))
+        for i in range(20)
+    ]
+    prepared = prep.prepare_base(spark.createDataFrame(pd.DataFrame(rows)), cfg)
+    fused = add_signatures_fused(prepared, cfg)
+    assert "icws" in fused.columns
+    got = {r.doc_id: list(r.icws) for r in fused.select("doc_id", "icws").collect()}
+
+    keys = slot_keys(cfg.n_hashes, cfg.minhash_seed)
+    toks = prepared.select(
+        "doc_id",
+        prep.token_hashes_expr(prep.tokenize_expr("content", cfg)).alias("th"),
+    )
+    for r in toks.collect():
+        a = np.asarray(r.th, dtype=np.int64).view(np.uint64)
+        tok, cnt = np.unique(a, return_counts=True)
+        exp = icws_signature(tok, cnt.astype(np.float64), keys)
+        assert got[r.doc_id] == list(exp), f"doc {r.doc_id} diverges"
+
+    assert "icws" not in add_signatures_fused(
+        prepared, DedupConfig(methods=("minhash",))
+    ).columns
+
+
+def test_weighted_method_recall_on_planted_corpus(spark):
+    """The ≥0.99 recall gate (BASELINE.md) holds when the weighted
+    method replaces set-MinHash on the planted 300-doc corpus: exact
+    clones, vendored substrings, and near clones at the pinned config
+    all cluster (measured 108/108)."""
+    from welldedup import run_pipeline
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+
+    cfg = DedupConfig(methods=("weighted", "substr"))
+    cf, truth = corpus_to_pandas(make_corpus(300, seed=42))
+    res = run_pipeline(spark, spark.createDataFrame(cf), cfg)
+    key2id = {
+        f"{r.repo}|{r.path}|{r['commit']}": r.doc_id for r in res.docs.collect()
+    }
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    den = rec = 0
+    for t in truth.itertuples():
+        if not (
+            t.kind in ("exact", "vendored")
+            or t.true_jaccard >= cfg.jaccard_threshold
+        ):
+            continue
+        den += 1
+        rec += labels[key2id[t.key_a]] == labels[key2id[t.key_b]]
+    assert den > 50
+    assert rec / den >= 0.99, f"weighted recall {rec}/{den}"

@@ -116,9 +116,17 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048
 
-    methods: tuple = ("minhash",)  # subset of {"minhash","simhash","substr"}
+    # subset of {"minhash","simhash","substr","weighted"}; "weighted"
+    # is the ICWS multiplicity-aware tier (weighted.py) — use it
+    # INSTEAD of "minhash" for multiplicity-degenerate corpora
+    # (generated/minified/log-like files)
+    methods: tuple = ("minhash",)
 
     def __post_init__(self) -> None:
+        # a typo'd method would silently generate no pairs for it
+        unknown = set(self.methods) - {"minhash", "simhash", "substr", "weighted"}
+        if unknown:
+            raise ValueError(f"unknown dedup method(s): {sorted(unknown)}")
         if self.bands * self.rows_per_band != self.n_hashes:
             raise ValueError(
                 f"bands({self.bands}) * rows_per_band({self.rows_per_band}) "

@@ -84,6 +84,11 @@ def method_group_rows(
         return lsh.band_buckets(sigs, cfg), ["band_id", "band_hash"]
     if method == "simhash":
         return lsh.simhash_buckets(sigs, cfg), ["band_id", "band_hash"]
+    if method == "weighted":
+        return (
+            lsh.band_buckets(sigs, cfg, col="icws", band_offset=2000),
+            ["band_id", "band_hash"],
+        )
     return sigs.select("doc_id", F.explode("fps").alias("fp")), ["fp"]
 
 
@@ -275,7 +280,7 @@ def _update_inner(
 
     frames = {
         m: _method_frames(m)
-        for m in ("minhash", "simhash", "substr")
+        for m in ("minhash", "simhash", "substr", "weighted")
         if m in cfg.methods
     }
     div_parts: list[DataFrame] = [
@@ -359,6 +364,10 @@ def _update_inner(
         parts.append(
             lsh.candidate_pairs_from_buckets(_probe_rows("simhash"), cfg, "simhash")
         )
+    if "weighted" in cfg.methods:
+        parts.append(
+            lsh.candidate_pairs_from_buckets(_probe_rows("weighted"), cfg, "weighted")
+        )
     if "substr" in cfg.methods:
         fpin = _probe_rows("substr")
         if n_repair:
@@ -392,7 +401,7 @@ def _update_inner(
     near = pairs.filter(~F.col("src").isin("exact", "substr"))
     verified = stage(
         "verified_pairs_delta",
-        verify.verify_pairs(near, sigs_all, sigs_all, cfg).unionByName(
+        verify.verify_near_pairs(near, sigs_all, cfg).unionByName(
             by_construction
         ),
     )

@@ -43,8 +43,20 @@ def _banding_specs(cfg: DedupConfig) -> list[tuple[int, int, int]]:
     return specs
 
 
-def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def band_buckets(
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    col: str = "minhash",
+    band_offset: int = 0,
+) -> DataFrame:
     """signatures(doc_id, minhash) → buckets(band_id, band_hash, doc_id).
+
+    `col`/`band_offset` let other equal-width signatures reuse the
+    same banding verbatim — any array<long> whose per-slot collision
+    probability IS the similarity being banded (the weighted ICWS
+    signature, S6w) gets the identical S-curve; the offset keeps each
+    method's band_id keyspace disjoint (minhash 0-/100-/200-series,
+    weighted 2000-series, simhash 1000-series below).
 
     Each signature splits into `bands` slices of `rows_per_band`
     hashes (plus the complementary bandings); each slice hashes to 64
@@ -59,10 +71,10 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # the band stage's dominant cost.
     entries = [
         F.struct(
-            F.lit(gid).alias("band_id"),
+            F.lit(gid + band_offset).alias("band_id"),
             F.xxhash64(
-                F.lit(gid),
-                *[F.element_at("minhash", start + j) for j in range(ln)],
+                F.lit(gid + band_offset),
+                *[F.element_at(col, start + j) for j in range(ln)],
             ).alias("band_hash"),
         )
         for gid, start, ln in _banding_specs(cfg)

@@ -224,8 +224,9 @@ def _run_pipeline_inner(
             )
         # the fused signature checkpoint carries line_sig/edit_prefix,
         # so verification reads NO content — the docs argument IS the
-        # signature table (verify.py branches on the precomputed cols)
-        verified = verify.verify_pairs(near, sigs, sigs, cfg)
+        # signature table (verify.py branches on the precomputed cols);
+        # weighted pairs estimate J_w over the icws column (S6w)
+        verified = verify.verify_near_pairs(near, sigs, cfg)
         return verified.unionByName(by_construction)
 
     verified = stage("verified_pairs", build_verified, rows_in_from="candidate_pairs")
@@ -280,6 +281,9 @@ def build_candidate_pairs(
     if "substr" in methods:
         fps = sigs.select("doc_id", F.explode("fps").alias("fp"))
         parts.append(substr.fingerprint_pairs(fps, cfg, pair_obs))
+    if "weighted" in methods:
+        wb = lsh.band_buckets(sigs, cfg, col="icws", band_offset=2000)
+        parts.append(lsh.candidate_pairs_from_buckets(wb, cfg, "weighted", pair_obs))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
@@ -296,7 +300,8 @@ def dedup_pairs_by_priority(allp: DataFrame) -> DataFrame:
         F.when(F.col("src") == "exact", 0)
         .when(F.col("src") == "substr", 1)
         .when(F.col("src") == "minhash", 2)
-        .otherwise(3)
+        .when(F.col("src") == "weighted", 3)
+        .otherwise(4)
     )
     return (
         allp.withColumn("prio", prio)
@@ -334,6 +339,12 @@ def profile_candidate_pairs(
     if "substr" in cfg.methods:
         paths["substr"] = lambda: substr.fingerprint_pairs(
             sigs.select("doc_id", F.explode("fps").alias("fp")), cfg
+        )
+    if "weighted" in cfg.methods:
+        paths["weighted"] = lambda: lsh.candidate_pairs_from_buckets(
+            lsh.band_buckets(sigs, cfg, col="icws", band_offset=2000),
+            cfg,
+            "weighted",
         )
     paths["union_dedup"] = lambda: build_candidate_pairs(docs, sigs, cfg)
     out = {}

@@ -229,7 +229,7 @@ def retract_docs(
     # lists for suppressed mega-buckets — see _reverse_divergent_members)
     rem_sigs = old_sigs.join(removed, "doc_id", "leftsemi")
     div_parts: list[DataFrame] = []
-    for m in ("minhash", "simhash", "substr"):
+    for m in ("minhash", "simhash", "substr", "weighted"):
         if m not in cfg.methods:
             continue
         rem_rows, keys = method_group_rows(m, rem_sigs, cfg)
@@ -285,7 +285,7 @@ def retract_docs(
         ["content_sha256"],
     )
     parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(aff_sha)))
-    for m in ("minhash", "simhash", "substr"):
+    for m in ("minhash", "simhash", "substr", "weighted"):
         if m not in cfg.methods:
             continue
         nb, keys = method_group_rows(m, aff_sigs, cfg)
@@ -316,7 +316,7 @@ def retract_docs(
     near = pairs.filter(~F.col("src").isin("exact", "substr"))
     verified = stage(
         "verified_pairs_retract",
-        verify.verify_pairs(near, surv_sigs, surv_sigs, cfg).unionByName(
+        verify.verify_near_pairs(near, surv_sigs, cfg).unionByName(
             by_construction
         ),
     )

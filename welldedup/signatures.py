@@ -258,7 +258,11 @@ FUSED_LSIG_COLS = ["line_sig", "edit_prefix"]
 
 
 def make_fused_arrow_fn(
-    cfg: DedupConfig, with_fps: bool, with_shingles: bool, with_lsig: bool = False
+    cfg: DedupConfig,
+    with_fps: bool,
+    with_shingles: bool,
+    with_lsig: bool = False,
+    with_icws: bool = False,
 ):
     """mapInArrow function for the fused content pass: ONE Arrow batch
     in (metadata + token_hashes + content), one batch out (metadata +
@@ -277,6 +281,10 @@ def make_fused_arrow_fn(
 
     n_hashes = cfg.n_hashes
     k, density_bits = cfg.winnow_k, cfg.density_bits
+    if with_icws:  # weighted method (S6w): same pass, extra kernel
+        from .weighted import slot_keys
+
+        icws_keys = slot_keys(n_hashes, cfg.minhash_seed)
 
     def fn(batches):
         for batch in batches:
@@ -302,6 +310,13 @@ def make_fused_arrow_fn(
                 mh_off, pa.array(mh.reshape(-1), type=pa.int64())
             )
             out["simhash"] = pa.array(sim, type=pa.int64())
+            if with_icws:
+                from .weighted import icws_batch
+
+                iw = icws_batch(tflat, toffsets, tlengths, icws_keys)
+                out["icws"] = pa.ListArray.from_arrays(
+                    mh_off, pa.array(iw.reshape(-1), type=pa.int64())
+                )
             if with_fps:
                 content = col["content"]
                 if isinstance(content, pa.ChunkedArray):
@@ -364,11 +379,16 @@ def add_signatures_fused(
         with_fps = "substr" in cfg.methods
     if with_shingles is None:
         with_shingles = cfg.verify_exact_jaccard
+    with_icws = "weighted" in cfg.methods
     from .prep import tokenize_expr
     from .verify import edit_prefix_expr, line_sig_expr
 
-    fn = make_fused_arrow_fn(cfg, with_fps, with_shingles, with_lsig)
+    fn = make_fused_arrow_fn(
+        cfg, with_fps, with_shingles, with_lsig, with_icws=with_icws
+    )
     schema = FUSED_SCHEMA_BASE
+    if with_icws:
+        schema += ", icws array<long>"
     if with_fps:
         schema += ", fps array<long>"
     if with_shingles:

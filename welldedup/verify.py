@@ -100,6 +100,29 @@ def line_edit_sim_expr(sig_a, sig_b, cfg: DedupConfig):
     )
 
 
+def verify_near_pairs(
+    near: DataFrame, sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Per-method estimate dispatch for the near-dup verify stage:
+    set-semantics pairs (minhash/simhash) estimate set Jaccard over
+    the `minhash` signature; weighted pairs (S6w) estimate weighted
+    Jaccard over `icws` — same thresholds, same content-free line-sig
+    edit fallback, same output schema.  `verify_exact_jaccard` applies
+    to the set branch only (shingle-SET Jaccard is not J_w evidence).
+    With "weighted" absent from cfg.methods this is exactly
+    verify_pairs (no plan change for existing configs)."""
+    if "weighted" not in cfg.methods:
+        return verify_pairs(near, sigs, sigs, cfg)
+    from dataclasses import replace
+
+    out = verify_pairs(near.filter(F.col("src") != "weighted"), sigs, sigs, cfg)
+    wcfg = replace(cfg, verify_exact_jaccard=False)
+    wsigs = sigs.withColumn("minhash", F.col("icws"))
+    return out.unionByName(
+        verify_pairs(near.filter(F.col("src") == "weighted"), wsigs, wsigs, wcfg)
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     signatures: DataFrame,

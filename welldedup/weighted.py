@@ -121,6 +121,28 @@ def icws_signature(
         return _splitmix64(tok_star ^ _splitmix64(lvl)).view(np.int64)
 
 
+def icws_batch(
+    tflat: np.ndarray,
+    toffsets: np.ndarray,
+    tlengths: np.ndarray,
+    keys: np.ndarray,
+) -> np.ndarray:
+    """Batch form for the fused content pass (signatures.py): ragged
+    token-hash rows in (same flat/offsets layout as shingle_batch),
+    (n_rows, n_hashes) int64 signature matrix out.  Per-row outputs
+    are independent of batching (kernel is content-local), so fused
+    results are bit-identical to per-doc `icws_signature` calls —
+    pinned in tests/test_weighted.py."""
+    n_rows = toffsets.shape[0]
+    out = np.empty((n_rows, keys.shape[0]), dtype=np.int64)
+    flat_u = tflat.view(np.uint64)
+    for r in range(n_rows):
+        s = int(toffsets[r])
+        tok, cnt = np.unique(flat_u[s : s + int(tlengths[r])], return_counts=True)
+        out[r] = icws_signature(tok, cnt.astype(np.float64), keys)
+    return out
+
+
 def weighted_jaccard(
     tok_a: np.ndarray, w_a: np.ndarray, tok_b: np.ndarray, w_b: np.ndarray
 ) -> float:
