@@ -1,7 +1,10 @@
 """Measure dup-pair recall AND pairwise precision of the full pipeline
 on a planted corpus large enough to expose tail behavior.
 
-    python tools/recall_bench.py [n_docs] [cpus]
+    python tools/recall_bench.py [n_docs] [cpus] [methods]
+
+`methods` is a comma list (default minhash,simhash,substr); e.g.
+`weighted,substr` measures the ICWS tier's recall/precision at scale.
 
 Prints one JSON line:
   {n_docs, wall_sec, declared, recall, predicted_pairs, tp, fp,
@@ -52,13 +55,16 @@ class _UF:
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     cpus = sys.argv[2] if len(sys.argv) > 2 else "8"
+    methods = tuple(
+        (sys.argv[3] if len(sys.argv) > 3 else "minhash,simhash,substr").split(",")
+    )
 
     from welldedup.config import DedupConfig
     from welldedup.fixtures import corpus_to_pandas, make_corpus
     from welldedup.pipeline import run_pipeline
     from welldedup.session import get_spark
 
-    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    cfg = DedupConfig(methods=methods)
     spark = get_spark(
         app_name="welldedup-recall",
         master=f"local[{cpus}]",
@@ -145,6 +151,7 @@ def main() -> int:
             {
                 "n_docs": n_docs,
                 "cpus": int(cpus),
+                "methods": list(methods),
                 "wall_sec": round(wall, 1),
                 "declared": len(declared),
                 "recall": round(rec / max(len(declared), 1), 5),

@@ -123,8 +123,12 @@ class DedupConfig:
     methods: tuple = ("minhash",)
 
     def __post_init__(self) -> None:
-        # a typo'd method would silently generate no pairs for it
-        unknown = set(self.methods) - {"minhash", "simhash", "substr", "weighted"}
+        # a typo'd method would silently generate no pairs for it.
+        # "exact" is valid as an explicit exact-only config (sha256 star
+        # edges always run; naming it alone disables the near-dup tiers)
+        unknown = set(self.methods) - {
+            "exact", "minhash", "simhash", "substr", "weighted"
+        }
         if unknown:
             raise ValueError(f"unknown dedup method(s): {sorted(unknown)}")
         if self.bands * self.rows_per_band != self.n_hashes:
