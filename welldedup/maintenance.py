@@ -302,10 +302,24 @@ def compact_band_store(
         # land in exactly one task -> one file per partition dir
         out = deduped.repartition("band_bucket")
     else:
+        from pyspark.sql import functions as F
+
         from .streaming import N_BAND_STORE_BUCKETS
 
-        out = deduped.repartition(
-            files_per_bucket * N_BAND_STORE_BUCKETS, "band_bucket", "band_hash"
+        # bound files per bucket: a bounded salt (not raw band_hash,
+        # which would scatter a bucket over ~every task and write one
+        # file per (task, bucket) — more files than before) — each
+        # (bucket, salt) combo hash-lands in exactly one task, so a
+        # bucket dir gets at most files_per_bucket files
+        out = (
+            deduped.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("band_hash"), F.lit(files_per_bucket)),
+            )
+            .repartition(
+                files_per_bucket * N_BAND_STORE_BUCKETS, "band_bucket", "_salt"
+            )
+            .drop("_salt")
         )
     out.write.mode("overwrite").partitionBy("band_bucket").parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()

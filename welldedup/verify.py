@@ -103,24 +103,32 @@ def line_edit_sim_expr(sig_a, sig_b, cfg: DedupConfig):
 def verify_near_pairs(
     near: DataFrame, sigs: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """Per-method estimate dispatch for the near-dup verify stage:
-    set-semantics pairs (minhash/simhash) estimate set Jaccard over
-    the `minhash` signature; weighted pairs (S6w) estimate weighted
-    Jaccard over `icws` — same thresholds, same content-free line-sig
-    edit fallback, same output schema.  `verify_exact_jaccard` applies
-    to the set branch only (shingle-SET Jaccard is not J_w evidence).
+    """Any-enabled-method acceptance for the near-dup verify stage: a
+    pair is a duplicate if at least one ENABLED method's estimator
+    passes (set Jaccard over `minhash` for minhash/simhash, weighted
+    J_w over `icws` for weighted), with the shared content-free
+    line-sig edit fallback.  Every near pair gets every enabled
+    estimator regardless of which src survived the union's
+    evidence-priority dedup — otherwise a pair found by BOTH minhash
+    and weighted would be verified under the surviving src's estimator
+    alone, and enabling MORE methods could find FEWER duplicates (a
+    reordered-lines file pair has set-J ≈ 0.6 but J_w ≈ 1.0: the
+    minhash-labeled row must not veto the weighted acceptance).
     With "weighted" absent from cfg.methods this is exactly
-    verify_pairs (no plan change for existing configs)."""
-    if "weighted" not in cfg.methods:
-        return verify_pairs(near, sigs, sigs, cfg)
-    from dataclasses import replace
-
-    out = verify_pairs(near.filter(F.col("src") != "weighted"), sigs, sigs, cfg)
-    wcfg = replace(cfg, verify_exact_jaccard=False)
-    wsigs = sigs.withColumn("minhash", F.col("icws"))
-    return out.unionByName(
-        verify_pairs(near.filter(F.col("src") == "weighted"), wsigs, wsigs, wcfg)
-    )
+    verify_pairs (no plan change for existing configs).  Substr
+    fallback pairs under a weighted-only config keep set-est
+    verification only if a set method is enabled; otherwise the
+    enabled weighted estimator judges them."""
+    est_cols = []
+    if (
+        "minhash" in cfg.methods
+        or "simhash" in cfg.methods
+        or "weighted" not in cfg.methods
+    ):
+        est_cols.append("minhash")
+    if "weighted" in cfg.methods:
+        est_cols.append("icws")
+    return verify_pairs(near, sigs, sigs, cfg, est_cols=tuple(est_cols))
 
 
 def verify_pairs(
@@ -128,6 +136,7 @@ def verify_pairs(
     signatures: DataFrame,
     docs: DataFrame,
     cfg: DedupConfig,
+    est_cols: tuple = ("minhash",),
 ) -> DataFrame:
     """candidate_pairs → verified_pairs
     (id_a, id_b, src, jaccard_est, jaccard, edit_sim, dup).
@@ -140,27 +149,45 @@ def verify_pairs(
       4. edit check ONLY for pairs that failed jaccard but could pass
          edit_sim — content joined late, on the smallest possible set;
       5. dup := jaccard >= θ OR edit_sim >= τ.
+
+    `est_cols` names the signature columns to estimate over — one
+    collision-fraction estimate per column, combined with greatest()
+    (any-enabled-method acceptance, see verify_near_pairs).  The
+    shingle-exact refinement (cfg.verify_exact_jaccard) applies only
+    when the SET estimator (`minhash`) leads the list: shingle-set
+    Jaccard refines the set estimate, never the weighted one.
     """
-    keep_shingles = cfg.verify_exact_jaccard
-    sig_cols = ["doc_id", "minhash"] + (["shingles"] if keep_shingles else [])
+    est_cols = list(est_cols)
+    keep_shingles = cfg.verify_exact_jaccard and est_cols[0] == "minhash"
+    sig_cols = ["doc_id", *est_cols] + (["shingles"] if keep_shingles else [])
     sig = signatures.select(*sig_cols)
 
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
-        F.col("minhash").alias("mh_a"),
+        *[F.col(c).alias(f"e{i}_a") for i, c in enumerate(est_cols)],
         *([F.col("shingles").alias("sh_a")] if keep_shingles else []),
     )
     sb = sig.select(
         F.col("doc_id").alias("id_b"),
-        F.col("minhash").alias("mh_b"),
+        *[F.col(c).alias(f"e{i}_b") for i, c in enumerate(est_cols)],
         *([F.col("shingles").alias("sh_b")] if keep_shingles else []),
     )
     j = pairs.join(sa, "id_a").join(sb, "id_b")
-    j = j.withColumn("jaccard_est", jaccard_est_expr("mh_a", "mh_b", cfg.n_hashes))
+    ests = [
+        jaccard_est_expr(f"e{i}_a", f"e{i}_b", cfg.n_hashes)
+        for i in range(len(est_cols))
+    ]
+    est_expr = ests[0] if len(ests) == 1 else F.greatest(*ests)
+    j = j.withColumn("jaccard_est", est_expr)
     j = j.filter(F.col("jaccard_est") >= cfg.est_prefilter)
 
     if keep_shingles:
-        j = j.withColumn("jaccard", exact_jaccard_expr("sh_a", "sh_b"))
+        exact = exact_jaccard_expr("sh_a", "sh_b")
+        # exact refines the set estimate; other enabled estimators keep
+        # their collision-fraction estimates in the greatest()
+        j = j.withColumn(
+            "jaccard", exact if len(ests) == 1 else F.greatest(exact, *ests[1:])
+        )
     else:
         j = j.withColumn("jaccard", F.col("jaccard_est"))
     j = j.select("id_a", "id_b", "src", "jaccard_est", "jaccard")

@@ -96,29 +96,43 @@ def icws_signature(
     values across two docs occur with probability J_w.
     """
     n = keys.shape[0]
-    if tok.shape[0] == 0:
+    T = tok.shape[0]
+    if T == 0:
         # empty weighted set: sentinel signature (shared by all empties,
         # mirroring the densification sentinel for sub-shingle docs)
         return _splitmix64(keys[:, 0]).view(np.int64)
     lw = np.log(weights)  # (T,)
-    with np.errstate(over="ignore"):
-        h = tok[None, None, :] ^ keys[:, :, None]  # (n, 5, T)
-    u = _uniform01(_splitmix64(h.reshape(-1)).reshape(n, 5, tok.shape[0]))
-    r = -(np.log(u[:, 0]) + np.log(u[:, 1]))       # Gamma(2,1), (n, T)
-    c = -(np.log(u[:, 2]) + np.log(u[:, 3]))       # Gamma(2,1)
-    beta = u[:, 4]
-    t_k = np.floor(lw[None, :] / r + beta)
-    ln_y = r * (t_k - beta)
-    ln_a = np.log(c) - ln_y - r
-    j = np.argmin(ln_a, axis=1)                    # (n,)
-    tok_star = tok[j]
-    tk_star = t_k[np.arange(n), j]
-    # encode (t*, t_k*) in one int64: mix token with the integer level.
-    # t_k is a small integer (|t_k| <= ~ln(w)/r + 1); cast via int64
-    # two's complement so negative levels stay distinct.
-    with np.errstate(over="ignore", invalid="ignore"):
-        lvl = tk_star.astype(np.int64).view(np.uint64)
-        return _splitmix64(tok_star ^ _splitmix64(lvl)).view(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    # chunk over SLOT blocks: slots are independent, so blocking changes
+    # nothing in the output while bounding peak temporaries at
+    # O(block · T) instead of O(n · T) — a single high-unique-token doc
+    # (large minified/log file, T ~ 10^6) would otherwise materialize
+    # n·5·T·8B ≈ GBs per matrix inside one Arrow batch task
+    block = max(1, min(n, 2_000_000 // T))
+    for s in range(0, n, block):
+        kb = keys[s : s + block]
+        b = kb.shape[0]
+        with np.errstate(over="ignore"):
+            h = tok[None, None, :] ^ kb[:, :, None]  # (b, 5, T)
+        u = _uniform01(_splitmix64(h.reshape(-1)).reshape(b, 5, T))
+        r = -(np.log(u[:, 0]) + np.log(u[:, 1]))     # Gamma(2,1), (b, T)
+        c = -(np.log(u[:, 2]) + np.log(u[:, 3]))     # Gamma(2,1)
+        beta = u[:, 4]
+        t_k = np.floor(lw[None, :] / r + beta)
+        ln_y = r * (t_k - beta)
+        ln_a = np.log(c) - ln_y - r
+        j = np.argmin(ln_a, axis=1)                  # (b,)
+        tok_star = tok[j]
+        tk_star = t_k[np.arange(b), j]
+        # encode (t*, t_k*) in one int64: mix token with the integer
+        # level.  t_k is a small integer (|t_k| <= ~ln(w)/r + 1); cast
+        # via int64 two's complement so negative levels stay distinct.
+        with np.errstate(over="ignore", invalid="ignore"):
+            lvl = tk_star.astype(np.int64).view(np.uint64)
+            out[s : s + b] = _splitmix64(tok_star ^ _splitmix64(lvl)).view(
+                np.int64
+            )
+    return out
 
 
 def icws_batch(
@@ -166,8 +180,7 @@ def weighted_near_dup_pairs(
     cfg: DedupConfig,
     content_col: str = "content",
     id_col: str = "doc_id",
-    threshold: float = 0.5,
-    n_hashes: int | None = None,
+    threshold: float | None = None,
 ):
     """End-to-end weighted near-dup tier: ICWS signatures → the SAME
     multi-banding LSH + bounded pair emit as the set-MinHash path →
@@ -185,15 +198,26 @@ def weighted_near_dup_pairs(
     config hash or checkpoints.  Pair emit is deterministic (sorted
     capped lists), the estimate is pure Catalyst (verify.py V1 shape),
     and the only UDF is the one vectorized signature pass.
+
+    `threshold` defaults to cfg.jaccard_threshold — the value the
+    pinned banding's S-curve is tuned for (catch probability ≈ 0.9998
+    at 0.7).  Passing a materially lower threshold under-recalls: the
+    estimate filter runs on BANDED candidates, and banding catch
+    probability at J_w = 0.5 is only ≈ 0.88, a gap no metric records.
+    Signature width is cfg.n_hashes by construction — the banding
+    layout (bands × rows_per_band + extra_bandings) is derived from it
+    and would index past a narrower array.
     """
     from . import lsh
     from .prep import token_hashes_expr
     from .verify import jaccard_est_expr
 
-    n = int(n_hashes or cfg.n_hashes)
+    if threshold is None:
+        threshold = cfg.jaccard_threshold
+    n = cfg.n_hashes
     toks = token_hashes_expr(F.split(F.col(content_col), " "))
     sigs = df.select(
-        F.col(id_col).alias("doc_id"), make_icws_udf(cfg, n)(toks).alias("minhash")
+        F.col(id_col).alias("doc_id"), make_icws_udf(cfg)(toks).alias("minhash")
     )
     # materialize the signature boundary (the pipeline's stage
     # discipline, pipeline.py): the sigs subtree feeds THREE plans
