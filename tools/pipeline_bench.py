@@ -29,7 +29,15 @@ def main() -> int:
     from welldedup.pipeline import run_pipeline
     from welldedup.session import get_spark
 
-    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    # WELLDEDUP_BENCH_METHODS (comma list) widens the pinned method
+    # set for supplementary campaigns (e.g. +weighted); default is the
+    # pinned 3-method config every published scaling number uses
+    methods = tuple(
+        os.environ.get(
+            "WELLDEDUP_BENCH_METHODS", "minhash,simhash,substr"
+        ).split(",")
+    )
+    cfg = DedupConfig(methods=methods)
     spark = get_spark(
         app_name=f"welldedup-bench-{cpus}",
         master=f"local[{cpus}]",
