@@ -15,7 +15,13 @@ Consistent Weighted Sampling ("Improved Consistent Sampling, Weighted
 Minhash and L1 Sketching", ICDM 2010), whose per-slot collision
 probability is EXACTLY J_w — the same estimator contract as the OPH
 MinHash slots, so the existing LSH banding / verification machinery
-applies unchanged if a weighted tier is ever enabled.
+applies unchanged.  It IS a first-class pipeline method: put
+"weighted" in DedupConfig.methods and the fused content pass emits the
+icws column (signatures.py), candidate generation bands it
+(pipeline.build_candidate_pairs, 2000-series band keyspace),
+verification judges by J_w under any-enabled-method acceptance
+(verify.verify_near_pairs), and the incremental/retract day-2 paths
+pick it up through incremental.method_group_rows.
 
 Determinism contract (same as every kernel in signatures.py): all
 randomness is counter-based — per-(slot, token) Gamma(2,1)/Uniform
