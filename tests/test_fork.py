@@ -1,0 +1,189 @@
+"""Repo-level fork detection (welldedup/fork.py) and the LSH band-plan
+tuner (welldedup/tuning.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.fork import (
+    bottom_k_sketches,
+    fork_candidates,
+    group_resemblance,
+    repo_fork_pairs,
+    repo_fork_pairs_sketched,
+)
+from welldedup.tuning import band_plan, collision_probability
+
+
+def _sets_df(spark, sets: dict[str, set[str]]):
+    rows = [(g, it) for g, items in sets.items() for it in items]
+    return spark.createDataFrame(rows, "grp string, item string")
+
+
+# --- exact resemblance ------------------------------------------------
+
+def test_group_resemblance_hand_computed(spark):
+    sets = {
+        "a": {"1", "2", "3", "4"},
+        "b": {"3", "4", "5", "6"},      # J(a,b) = 2/6
+        "c": {"1", "2", "3", "4", "9"}, # J(a,c) = 4/5, containment 1.0
+        "d": {"7", "8"},                # disjoint from everything
+    }
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in group_resemblance(_sets_df(spark, sets), "grp", "item").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["inter"] == 2 and ab["size_a"] == 4 and ab["size_b"] == 4
+    assert ab["jaccard"] == pytest.approx(2 / 6)
+    assert ab["containment"] == pytest.approx(0.5)
+    ac = out[("a", "c")]
+    assert ac["jaccard"] == pytest.approx(4 / 5)
+    assert ac["containment"] == pytest.approx(1.0)  # a wholly inside c
+
+
+def test_group_resemblance_dedups_input_and_caps(spark):
+    # duplicate (grp, item) rows must not inflate sizes/intersections
+    df = _sets_df(spark, {"a": {"1", "2"}, "b": {"1", "2"}})
+    df = df.unionByName(df)  # every row twice
+    row = group_resemblance(df, "grp", "item").collect()[0]
+    assert row["inter"] == 2 and row["jaccard"] == pytest.approx(1.0)
+
+    # the ubiquitous item appears in all 5 groups; with cap 4 it emits
+    # no pairs (the boilerplate-file rule), so only the planted pair
+    # via item "x" survives
+    sets = {f"g{i}": {"common"} for i in range(5)}
+    sets["g0"].add("x")
+    sets["g1"].add("x")
+    out = group_resemblance(
+        _sets_df(spark, sets), "grp", "item", max_groups_per_item=4
+    ).collect()
+    assert {(r["grp_a"], r["grp_b"]) for r in out} == {("g0", "g1")}
+    assert out[0]["inter"] == 1  # "common" dropped, only "x" counted
+
+
+# --- planted forks: exact and sketched paths agree --------------------
+
+@pytest.fixture(scope="module")
+def forked_corpus(spark):
+    """6 base repos x 40 files, plus: repo0_fork = 30 of repo0's files
+    (same paths) + 10 own files -> J = 30/50 = 0.6; repo1_vendored =
+    repo1's 40 files verbatim inside a 160-file repo -> J = 0.2 but
+    containment 1.0."""
+    rng = np.random.default_rng(7)
+    rows = []
+
+    def body(tag):
+        return "\n".join(
+            f"line_{tag}_{i} = {int(rng.integers(0, 10**6))}" for i in range(20)
+        )
+
+    for r in range(6):
+        for f in range(40):
+            rows.append((f"repo{r}", f"src/f{f}.py", "c0", "py", body(f"{r}_{f}")))
+    base0 = [row for row in rows if row[0] == "repo0"]
+    rows += [("repo0_fork", p, c, l, t) for (_, p, c, l, t) in base0[:30]]
+    for f in range(10):
+        rows.append(("repo0_fork", f"own/f{f}.py", "c0", "py", body(f"fk_{f}")))
+    base1 = [row for row in rows if row[0] == "repo1"]
+    rows += [("repo1_vendored", f"third_party/{p}", c, l, t) for (_, p, c, l, t) in base1]
+    for f in range(120):
+        rows.append(("repo1_vendored", f"app/f{f}.py", "c0", "py", body(f"vd_{f}")))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+
+
+def test_repo_fork_pairs_planted(forked_corpus):
+    out = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_fork_pairs(
+            forked_corpus, threshold=0.5, by="content"
+        ).collect()
+    }
+    # fork found by jaccard, vendored repo found by containment
+    assert ("repo0", "repo0_fork") in out
+    assert ("repo1", "repo1_vendored") in out
+    fk = out[("repo0", "repo0_fork")]
+    assert fk["jaccard"] == pytest.approx(30 / 50)
+    vd = out[("repo1", "repo1_vendored")]
+    assert vd["containment"] == pytest.approx(1.0)
+    assert vd["jaccard"] == pytest.approx(40 / 160)
+    # no cross-pairs between unrelated base repos
+    assert all("repo0" in a + b or "repo1" in a + b for a, b in out)
+
+
+def test_path_content_vs_content_fingerprint(forked_corpus):
+    # vendoring under third_party/ changes paths, so the path_content
+    # fingerprint must NOT pair repo1 with repo1_vendored, while the
+    # fork (same paths) is still found
+    out = {
+        (r["repo_a"], r["repo_b"])
+        for r in repo_fork_pairs(
+            forked_corpus, threshold=0.2, by="path_content"
+        ).collect()
+    }
+    assert ("repo0", "repo0_fork") in out
+    assert ("repo1", "repo1_vendored") not in out
+
+
+def test_sketched_path_matches_exact_on_planted(forked_corpus):
+    got = {
+        (r["repo_a"], r["repo_b"]): r["jaccard_est"]
+        for r in repo_fork_pairs_sketched(
+            forked_corpus, k=64, threshold=0.4, by="content"
+        ).collect()
+    }
+    assert set(got) == {("repo0", "repo0_fork")}
+    # KMV estimate within sketch tolerance of the true 0.6
+    assert abs(got[("repo0", "repo0_fork")] - 0.6) < 0.15
+
+
+def test_kmv_estimate_accuracy(spark):
+    # two 400-item sets with true J = 200/600; k=256 keeps the KMV
+    # estimator within ~3 standard errors (sqrt(J(1-J)/k) ~ 0.03)
+    a = {f"shared_{i}" for i in range(200)} | {f"a_{i}" for i in range(200)}
+    b = {f"shared_{i}" for i in range(200)} | {f"b_{i}" for i in range(200)}
+    sk = bottom_k_sketches(_sets_df(spark, {"A": a, "B": b}), "grp", "item", k=256)
+    rows = fork_candidates(sk, 256, min_shared=2).collect()
+    assert len(rows) == 1
+    est = rows[0]["jaccard_est"]
+    assert abs(est - 200 / 600) < 0.09
+    # sketch sizes: capped at k, exact distinct count carried alongside
+    for r in sk.collect():
+        assert len(r["sketch"]) == 256 and r["sz"] == 400
+
+
+def test_bottom_k_small_group_keeps_all(spark):
+    sk = bottom_k_sketches(
+        _sets_df(spark, {"tiny": {"x", "y"}}), "grp", "item", k=256
+    ).collect()[0]
+    assert sk["sz"] == 2 and len(sk["sketch"]) == 2
+    assert sk["sketch"] == sorted(sk["sketch"])
+
+
+# --- band-plan tuner ---------------------------------------------------
+
+def test_band_plan_reproduces_pinned_defaults():
+    # the published config (FIXTURES.md §4): 16x8 for the 0.7 verify
+    # threshold, 32x4 as the 0.5-ish companion banding
+    assert band_plan(128, 0.7) == (16, 8)
+    assert band_plan(128, 0.5) == (32, 4)
+
+
+def test_band_plan_monotone_in_threshold():
+    rows_at = [band_plan(128, t)[1] for t in (0.2, 0.4, 0.6, 0.8, 0.95)]
+    assert rows_at == sorted(rows_at)  # higher bar -> more rows per band
+
+
+def test_collision_probability_scurve_shape():
+    b, r = band_plan(128, 0.7)
+    lo = collision_probability(0.3, b, r)
+    hi = collision_probability(0.9, b, r)
+    assert lo < 0.05 and hi > 0.99
+    with pytest.raises(ValueError):
+        band_plan(128, 1.5)
+    with pytest.raises(ValueError):
+        band_plan(0, 0.5)

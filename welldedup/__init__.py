@@ -12,7 +12,9 @@ from .codefilters import license_expr, quality_exprs
 from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
+from .fork import repo_fork_pairs, repo_fork_pairs_sketched
 from .pipeline import PipelineResult, run_pipeline
+from .tuning import band_plan
 from .retract import retract_docs
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
 from .weighted import weighted_near_dup_pairs
@@ -47,5 +49,8 @@ __all__ = [
     "self_cut",
     "group_lcs",
     "weighted_near_dup_pairs",
+    "repo_fork_pairs",
+    "repo_fork_pairs_sketched",
+    "band_plan",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,280 @@
+"""Repo-level fork / mirror detection: set resemblance between GROUPS
+of documents, one level above the per-document dedup tiers.
+
+Upstream analog: well_duplicates clusters duplicate WELLS by prefix
+resemblance inside a spatial neighborhood (SURVEY.md §1); this module
+lifts the same resemblance contract one level up the corpus hierarchy
+— a REPO is the set of its file fingerprints, and two repos are fork
+candidates when those sets overlap.  For a source-code corpus
+(north_rule: 10^12 files across ~10^8 repos) this is the operator that
+finds forks, mirrors, and vendored trees BEFORE file-level dedup runs,
+so an entire forked repo can be collapsed in one decision instead of
+10^5 per-file ones.
+
+Two paths, same estimator contract as the document tiers:
+
+* **Exact** (`group_resemblance`): fingerprint → distinct (item, grp)
+  → per-item group list (bounded by `max_groups_per_item`, NOT corpus
+  size) → pair explode → count.  Identical shape to the LSH bucket
+  pair-emit (lsh.py): the only quadratic term is per-item group-list
+  size, and ubiquitous items (the empty `__init__.py` of the repo
+  world) are dropped by the cap exactly like oversized LSH buckets —
+  they carry no fork signal and would otherwise emit G^2 pairs each.
+* **Sketched** (`bottom_k_sketches` + `fork_candidates`): a KMV
+  bottom-k sketch per repo (two-phase: per-partition top-k via
+  row_number window, so no unbounded collect per group), candidates
+  from shared sketch values, resemblance estimated from the merged
+  sketch alone — repos are never rescanned.  At 10^8 repos the
+  pairwise state is O(k · repos) and the candidate join is the same
+  capped per-value pair emit.
+
+The KMV estimate: for bottom-k sketches S_k(A), S_k(B), let M = the k
+smallest of S_k(A) ∪ S_k(B); then |M ∩ S_k(A) ∩ S_k(B)| / |M| is an
+unbiased estimator of J(A, B) (Beyer et al., "On Synopses for
+Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007).
+Computed entirely with native array functions — no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "group_resemblance",
+    "repo_fork_pairs",
+    "bottom_k_sketches",
+    "fork_candidates",
+    "repo_fork_pairs_sketched",
+]
+
+
+def _pair_explode(per_item: DataFrame, list_col: str) -> DataFrame:
+    """(item, [g1 < g2 < ...]) → one row per (ga, gb) pair, ga < gb.
+    Same expression shape as queries.q_source_overlap_matrix."""
+    return per_item.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({list_col}, (a, i) ->"
+                f" transform(slice({list_col}, i + 2, size({list_col})), b ->"
+                " struct(a AS ga, b AS gb))))"
+            )
+        ).alias("p")
+    ).select("p.ga", "p.gb")
+
+
+def group_resemblance(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_groups_per_item: int | None = None,
+    min_intersection: int = 1,
+) -> DataFrame:
+    """Exact pairwise set resemblance between groups.
+
+    Input: any (group, item) frame (duplicates fine — de-duplicated
+    here).  Output: one row per group pair sharing >= min_intersection
+    items, columns (grp_a, grp_b, inter, size_a, size_b, jaccard,
+    containment), grp_a < grp_b lexicographically.
+
+    containment = inter / min(size_a, size_b) — the asymmetric measure
+    that catches a small repo vendored whole into a large one, which
+    Jaccard's union denominator dilutes (same rationale as
+    queries.q_containment_pairs at document level).
+
+    Scale: the item→group-list groupBy is one shuffle keyed by item;
+    pair emission is quadratic only in a single item's group count,
+    bounded by `max_groups_per_item` (drops are the caller's to count
+    via metrics.observe if needed — pass None to disable for
+    oracle-parity use).  Sizes join back on group keys; at 10^8 groups
+    both sides are group-cardinality frames, not corpus-cardinality.
+    """
+    items = df.select(
+        F.col(group_col).cast("string").alias("grp"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = items.groupBy("grp").agg(F.count("*").alias("sz"))
+    per_item = items.groupBy("item").agg(
+        F.sort_array(F.collect_set("grp")).alias("grps")
+    )
+    per_item = per_item.filter(F.size("grps") >= 2)
+    if max_groups_per_item is not None:
+        per_item = per_item.filter(F.size("grps") <= max_groups_per_item)
+    inter = (
+        _pair_explode(per_item, "grps")
+        .groupBy("ga", "gb")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+        .filter(F.col("inter") >= min_intersection)
+    )
+    sa = sizes.select(F.col("grp").alias("ga"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("grp").alias("gb"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "ga")
+        .join(sb, "gb")
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "inter",
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+            (F.col("inter") / F.least("size_a", "size_b")).alias("containment"),
+        )
+    )
+
+
+def _file_fingerprint(by: str):
+    """Fork fingerprint for one code_files row.  'path_content' keys on
+    both — forks keep file paths, so it separates true forks from mere
+    shared-file overlap; 'content' keys on bytes alone and also catches
+    repo renames/moves (looser, more candidates)."""
+    if by == "path_content":
+        # \x00 separator: concat('a','bc') vs concat('ab','c') must differ
+        return F.sha2(F.concat_ws("\x00", F.col("path"), F.col("content")), 256)
+    if by == "content":
+        return F.sha2(F.col("content"), 256)
+    raise ValueError(f"by must be 'path_content' or 'content', got {by!r}")
+
+
+def repo_fork_pairs(
+    code_files: DataFrame,
+    *,
+    threshold: float = 0.5,
+    by: str = "path_content",
+    max_repos_per_file: int | None = 64,
+) -> DataFrame:
+    """Exact fork pairs over the canonical code_files(repo, path,
+    commit, lang, content) shape: resemblance of per-repo fingerprint
+    sets, filtered to jaccard >= threshold OR containment >= threshold
+    (the OR keeps whole-vendored small repos that Jaccard misses).
+
+    Output: (repo_a, repo_b, inter, size_a, size_b, jaccard,
+    containment)."""
+    fp = code_files.select("repo", _file_fingerprint(by).alias("fp"))
+    res = group_resemblance(
+        fp, "repo", "fp", max_groups_per_item=max_repos_per_file
+    )
+    return res.filter(
+        (F.col("jaccard") >= threshold) | (F.col("containment") >= threshold)
+    ).select(
+        F.col("grp_a").alias("repo_a"),
+        F.col("grp_b").alias("repo_b"),
+        "inter",
+        "size_a",
+        "size_b",
+        "jaccard",
+        "containment",
+    )
+
+
+def bottom_k_sketches(
+    df: DataFrame, group_col: str, item_col: str, k: int = 256
+) -> DataFrame:
+    """KMV bottom-k sketch per group: the k smallest xxhash64(item)
+    values (signed-ascending — consistency matters, not sign), plus the
+    exact distinct item count.  Two-phase top-k (row_number window
+    after distinct) keeps per-task state at O(k), never an unbounded
+    collect_set of a 10^6-file repo inside one aggregation buffer.
+
+    Output: (grp, sketch array<bigint> sorted ascending, sz bigint).
+    """
+    items = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.xxhash64(F.col(item_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = items.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    sizes = items.groupBy("grp").agg(F.count("*").cast("bigint").alias("sz"))
+    sk = topk.groupBy("grp").agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    return sk.join(sizes, "grp")
+
+
+def kmv_jaccard_expr(sketch_a: str, sketch_b: str, k: int):
+    """Native-SQL KMV resemblance estimate between two bottom-k sketch
+    columns: J ≈ |M ∩ A ∩ B| / |M| with M = k smallest of A ∪ B.
+    Pure array functions — stays inside whole-stage codegen."""
+    merged = f"slice(array_sort(array_union({sketch_a}, {sketch_b})), 1, {k})"
+    both = (
+        f"size(filter({merged}, x -> array_contains({sketch_a}, x)"
+        f" AND array_contains({sketch_b}, x)))"
+    )
+    return F.expr(f"CAST({both} AS DOUBLE) / size({merged})")
+
+
+def fork_candidates(
+    sketches: DataFrame,
+    k: int,
+    *,
+    max_groups_per_value: int | None = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate fork pairs from sketches alone: two groups are
+    candidates when they share >= min_shared bottom-k values (a pair
+    with true J has ~J·k expected shared values, so min_shared=2 at
+    k=256 keeps everything above J≈0.01 with high probability while
+    dropping the hapax noise floor).  The estimate then comes from the
+    merged sketches — the corpus is never rescanned.
+
+    Output: (grp_a, grp_b, shared_values, size_a, size_b,
+    jaccard_est)."""
+    vals = sketches.select("grp", F.explode("sketch").alias("h"))
+    per_val = vals.groupBy("h").agg(F.sort_array(F.collect_set("grp")).alias("grps"))
+    per_val = per_val.filter(F.size("grps") >= 2)
+    if max_groups_per_value is not None:
+        per_val = per_val.filter(F.size("grps") <= max_groups_per_value)
+    pairs = (
+        _pair_explode(per_val, "grps")
+        .groupBy("ga", "gb")
+        .agg(F.count("*").cast("bigint").alias("shared_values"))
+        .filter(F.col("shared_values") >= min_shared)
+    )
+    a = sketches.select(
+        F.col("grp").alias("ga"),
+        F.col("sketch").alias("sk_a"),
+        F.col("sz").alias("size_a"),
+    )
+    b = sketches.select(
+        F.col("grp").alias("gb"),
+        F.col("sketch").alias("sk_b"),
+        F.col("sz").alias("size_b"),
+    )
+    return (
+        pairs.join(a, "ga")
+        .join(b, "gb")
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "shared_values",
+            "size_a",
+            "size_b",
+            kmv_jaccard_expr("sk_a", "sk_b", k).alias("jaccard_est"),
+        )
+    )
+
+
+def repo_fork_pairs_sketched(
+    code_files: DataFrame,
+    *,
+    k: int = 256,
+    threshold: float = 0.5,
+    by: str = "path_content",
+    max_repos_per_value: int | None = 64,
+) -> DataFrame:
+    """Scale path: sketch every repo once (one corpus pass), then find
+    and score fork pairs from sketches only.  The exact path
+    (repo_fork_pairs) is the oracle this is tested against on planted
+    forks (tests/test_fork.py)."""
+    fp = code_files.select("repo", _file_fingerprint(by).alias("fp"))
+    sk = bottom_k_sketches(fp, "repo", "fp", k=k)
+    cand = fork_candidates(sk, k, max_groups_per_value=max_repos_per_value)
+    return cand.filter(F.col("jaccard_est") >= threshold).select(
+        F.col("grp_a").alias("repo_a"),
+        F.col("grp_b").alias("repo_b"),
+        "shared_values",
+        "size_a",
+        "size_b",
+        "jaccard_est",
+    )

@@ -2200,6 +2200,61 @@ GROUP BY a.source, b.source
 """
 
 
+def q_source_fork_similarity(spark, sf_dir):
+    """Repo-level fork detection (fork.group_resemblance) mapped onto
+    the driver tables: each `source` is a "repo" whose item set is its
+    distinct content sha256s.  Planted forks: every source gets a
+    `<source>_mirror` twin holding the doc_id % 3 == 0 third of its
+    docs, so each (source, mirror) pair has containment 1.0 and
+    jaccard = |mirror| / |source| — nontrivial values on both sides of
+    the oracle.  Shape at scale: per-item group-list pair emit, never
+    a source x source cross join (fork.py docstring)."""
+    from .fork import group_resemblance
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.col("source"), F.lit("_mirror")).alias("source"), "text"
+        )
+    )
+    fp = u.select("source", F.sha2("text", 256).alias("fp"))
+    res = group_resemblance(fp, "source", "fp")
+    return res.select(
+        F.col("grp_a").alias("src_a"),
+        F.col("grp_b").alias("src_b"),
+        "inter",
+        "size_a",
+        "size_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("containment", 4).alias("containment"),
+    )
+
+
+SQL_SOURCE_FORK_SIMILARITY = """
+WITH u AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source || '_mirror' AS source, text FROM documents
+  WHERE doc_id % 3 = 0
+),
+it AS (SELECT DISTINCT source, text FROM u),
+sz AS (SELECT source, count(*) AS sz FROM it GROUP BY 1),
+pr AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM it a JOIN it b ON a.text = b.text AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pr.src_a, pr.src_b, CAST(pr.inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       round(CAST(pr.inter AS DOUBLE) / (sa.sz + sb.sz - pr.inter), 4)
+         AS jaccard,
+       round(CAST(pr.inter AS DOUBLE) / least(sa.sz, sb.sz), 4)
+         AS containment
+FROM pr JOIN sz sa ON pr.src_a = sa.source
+        JOIN sz sb ON pr.src_b = sb.source
+"""
+
+
 def q_span_dedup_stats(spark, sf_dir):
     """C4-style span dedup accounting: cut each doc into
     non-overlapping 5-word spans; a span occurrence is a duplicate
@@ -2950,6 +3005,7 @@ QUERIES = {
     "source_quota_cap": q_source_quota_cap,
     "bigram_lm_quality": q_bigram_lm_quality,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "source_fork_similarity": q_source_fork_similarity,
     "span_dedup_stats": q_span_dedup_stats,
     "ngram_novelty": q_ngram_novelty,
     "mixture_weights": q_mixture_weights,
@@ -3051,6 +3107,7 @@ ORACLES = {
     "source_quota_cap": SQL_SOURCE_QUOTA_CAP,
     "bigram_lm_quality": SQL_BIGRAM_LM_QUALITY,
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
+    "source_fork_similarity": SQL_SOURCE_FORK_SIMILARITY,
     "span_dedup_stats": SQL_SPAN_DEDUP_STATS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,

@@ -1,0 +1,94 @@
+"""LSH band-plan tuner: pick (bands, rows_per_band) for a target
+Jaccard threshold from the S-curve, instead of hand-picking.
+
+For b bands of r rows over a MinHash signature, a pair with true
+Jaccard s collides in >= 1 band with probability
+
+    P(s) = 1 - (1 - s^r)^b
+
+(the classic S-curve; Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch. 3, and Broder's original resemblance papers).  The ideal
+P is a step at the verification threshold t: 0 below (no wasted
+candidate pairs), 1 above (no lost dups).  `band_plan` picks, among
+all (b, r) with b·r == n_hashes, the pair minimizing the weighted area
+between P and that step:
+
+    fp_area = ∫_0^t P(s) ds          (candidates verify will reject)
+    fn_area = ∫_t^1 (1 - P(s)) ds    (true dups never surfaced)
+    cost    = fp_weight·fp_area + fn_weight·fn_area
+
+fn_weight defaults to 10× fp_weight because a false positive costs one
+content-free verification (verify.py) while a false negative is a
+recall miss against the north_rule's >= 0.99 dup-pair recall bar —
+the published default (16, 8) for t = 0.7 at n_hashes = 128 falls out
+of exactly this asymmetry (DedupConfig pins it; FIXTURES.md §4).
+
+Pure driver-side arithmetic — nothing here touches a plan.
+"""
+
+from __future__ import annotations
+
+__all__ = ["collision_probability", "band_error", "band_plan"]
+
+
+def collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate | true Jaccard s) for b bands of r rows."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def band_error(
+    bands: int,
+    rows: int,
+    threshold: float,
+    *,
+    fp_weight: float = 1.0,
+    fn_weight: float = 10.0,
+    steps: int = 2000,
+) -> float:
+    """Weighted FP+FN area between the (bands, rows) S-curve and the
+    ideal step at `threshold` (midpoint-rule integration)."""
+    fp = fn = 0.0
+    ds = 1.0 / steps
+    for i in range(steps):
+        s = (i + 0.5) * ds
+        p = collision_probability(s, bands, rows)
+        if s < threshold:
+            fp += p * ds
+        else:
+            fn += (1.0 - p) * ds
+    return fp_weight * fp + fn_weight * fn
+
+
+def band_plan(
+    n_hashes: int,
+    threshold: float,
+    *,
+    fp_weight: float = 1.0,
+    fn_weight: float = 10.0,
+) -> tuple[int, int]:
+    """Best (bands, rows_per_band) with bands·rows == n_hashes for a
+    verification threshold — feed straight into
+    DedupConfig(bands=, rows_per_band=) (config.py enforces the same
+    b·r == n_hashes invariant this enumerates).
+
+    >>> band_plan(128, 0.7)
+    (16, 8)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    best: tuple[int, int] | None = None
+    best_cost = float("inf")
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        cost = band_error(
+            bands, rows, threshold, fp_weight=fp_weight, fn_weight=fn_weight
+        )
+        if cost < best_cost:
+            best_cost = cost
+            best = (bands, rows)
+    assert best is not None
+    return best
