@@ -187,3 +187,15 @@ def test_collision_probability_scurve_shape():
         band_plan(128, 1.5)
     with pytest.raises(ValueError):
         band_plan(0, 0.5)
+
+
+def test_null_items_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", None), ("b", "1"), ("b", None)],
+        "grp string, item string",
+    )
+    row = group_resemblance(df, "grp", "item").collect()[0]
+    # null never counts as a shared item nor toward set sizes
+    assert row["inter"] == 1 and row["size_a"] == 1 and row["size_b"] == 1
+    sk = {r["grp"]: r for r in bottom_k_sketches(df, "grp", "item", k=8).collect()}
+    assert sk["a"]["sz"] == 1 and len(sk["a"]["sketch"]) == 1

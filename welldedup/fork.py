@@ -90,9 +90,16 @@ def group_resemblance(
     oracle-parity use).  Sizes join back on group keys; at 10^8 groups
     both sides are group-cardinality frames, not corpus-cardinality.
     """
-    items = df.select(
-        F.col(group_col).cast("string").alias("grp"), F.col(item_col).alias("item")
-    ).distinct()
+    items = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(item_col).alias("item"),
+        )
+        # a null fingerprint (e.g. null content upstream of sha2) must
+        # not count as a shared file between every repo that has one
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
     sizes = items.groupBy("grp").agg(F.count("*").alias("sz"))
     per_item = items.groupBy("item").agg(
         F.sort_array(F.collect_set("grp")).alias("grps")
@@ -181,10 +188,16 @@ def bottom_k_sketches(
 
     Output: (grp, sketch array<bigint> sorted ascending, sz bigint).
     """
-    items = df.select(
-        F.col(group_col).cast("string").alias("grp"),
-        F.xxhash64(F.col(item_col)).alias("h"),
-    ).distinct()
+    items = (
+        df.filter(F.col(item_col).isNotNull())  # xxhash64 maps null to
+        # the seed hash — a phantom value every null-holding group
+        # would share; drop nulls like group_resemblance does
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.xxhash64(F.col(item_col)).alias("h"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("h")
     topk = items.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     sizes = items.groupBy("grp").agg(F.count("*").cast("bigint").alias("sz"))
