@@ -147,11 +147,36 @@ def parse_args(argv=None):
         "snapshot (content-bearing source rows whose decision is "
         "admitted) to PATH, overwrite",
     )
+    p.add_argument(
+        "--forks",
+        choices=("exact", "sketch"),
+        default=None,
+        help="repo-level fork/mirror detection instead of the dedup "
+        "pipeline: write (repo_a, repo_b, jaccard/containment) pairs "
+        "to --output; 'exact' = full fingerprint-set resemblance, "
+        "'sketch' = KMV bottom-k scale path (fork.py)",
+    )
+    p.add_argument("--fork-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--fork-by",
+        choices=("path_content", "content"),
+        default="path_content",
+        help="fork fingerprint: path+content (true forks keep paths) "
+        "or content alone (also catches renames/moves)",
+    )
     args = p.parse_args(argv)
     if args.admit and (
         args.curate or args.retract_from or args.update_into or args.export
     ):
         p.error("--admit is a standalone mode")
+    if args.forks and (
+        args.curate
+        or args.retract_from
+        or args.update_into
+        or args.export
+        or args.admit
+    ):
+        p.error("--forks is a standalone mode")
     if args.compact_bands and not args.admit:
         p.error("--compact-bands is an --admit post-drain step")
     if args.export and (args.curate or args.retract_from or args.update_into):
@@ -319,6 +344,22 @@ def main(argv=None) -> int:
         )
     code_files, _rejects = split_corrupt(raw)
     input_scanned = True
+    if args.forks:
+        from welldedup.fork import repo_fork_pairs, repo_fork_pairs_sketched
+
+        fn = repo_fork_pairs if args.forks == "exact" else repo_fork_pairs_sketched
+        pairs = fn(code_files, threshold=args.fork_threshold, by=args.fork_by)
+        pairs.write.mode("overwrite").parquet(args.output)
+        summary = dict(
+            mode=f"forks-{args.forks}",
+            fork_pairs=spark.read.parquet(args.output).count(),
+            threshold=args.fork_threshold,
+            by=args.fork_by,
+            wall_sec=round(time.monotonic() - t0, 2),
+            output=args.output,
+        )
+        print(json.dumps(summary))
+        return 0
     if args.update_into:
         from welldedup.incremental import update_pipeline
 

@@ -199,3 +199,30 @@ def test_null_items_ignored(spark):
     assert row["inter"] == 1 and row["size_a"] == 1 and row["size_b"] == 1
     sk = {r["grp"]: r for r in bottom_k_sketches(df, "grp", "item", k=8).collect()}
     assert sk["a"]["sz"] == 1 and len(sk["a"]["sketch"]) == 1
+
+
+def test_forks_cli(spark, forked_corpus, tmp_path):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from main import main as cli_main
+
+    src = tmp_path / "cf"
+    forked_corpus.write.parquet(str(src))
+    out = tmp_path / "pairs"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(
+            ["--forks", "exact", "--fork-by", "content",
+             "--input", str(src), "--output", str(out),
+             "--master", "local[8]"]
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["mode"] == "forks-exact" and summary["fork_pairs"] == 2
+    got = {
+        (r["repo_a"], r["repo_b"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("repo0", "repo0_fork"), ("repo1", "repo1_vendored")}
