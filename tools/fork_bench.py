@@ -1,0 +1,168 @@
+"""Repo-level fork detection at amortized scale: synthetic corpus of
+R repos x F files with planted fork/vendored pairs, exact vs sketched
+paths timed and cross-checked.
+
+    python tools/fork_bench.py [n_repos] [files_per_repo] [cpus] [k] [trials]
+
+Prints one JSON line {n_repos, files, cpus, k, planted, exact/sketch:
+{wall_sec (min-of-trials), pairs, files_per_sec}, sketch_recall,
+sketch_precision, est_mae}.
+
+The corpus is generated DETERMINISTICALLY from (repo_idx, file_idx) —
+counter-mode content, no RNG state — directly as a Spark frame, so the
+generator scales with cores and never materializes on the driver.
+Every 20th repo gets a `_fork` twin sharing 70% of its files (true
+J = 0.7/1.3 ≈ 0.538); threshold 0.4 must recover every planted pair on
+both paths.  `sketch_recall`/`precision` compare the sketched pair set
+against the exact one; `est_mae` is the mean |jaccard_est − jaccard|
+over agreeing pairs (KMV theory: ~sqrt(J(1-J)/k) ≈ 0.03 at k=256).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORK_EVERY = 20
+SHARE_FRAC = 0.7
+THRESHOLD = 0.4
+
+
+def build_corpus(spark, n_repos: int, files_per_repo: int):
+    """(repo, path, content) via pure Catalyst from a range() — the
+    fork twin of repo r re-emits file indices [0, 0.7*F) with the SAME
+    (path, content) and adds its own [F, 1.3*F) tail."""
+    from pyspark.sql import functions as F
+
+    shared = int(files_per_repo * SHARE_FRAC)
+    base = (
+        spark.range(n_repos * files_per_repo)
+        .select(
+            (F.col("id") / files_per_repo).cast("long").alias("r"),
+            (F.col("id") % files_per_repo).alias("f"),
+        )
+        .select(F.col("r"), F.col("f"), F.lit(False).alias("is_fork"))
+    )
+    fork_rows = (
+        spark.range((n_repos // FORK_EVERY) * files_per_repo)
+        .select(
+            (F.col("id") / files_per_repo).cast("long").alias("fr"),
+            (F.col("id") % files_per_repo).alias("f"),
+        )
+        .select(
+            (F.col("fr") * FORK_EVERY).alias("r"),
+            # first `shared` indices alias the base repo's files; the
+            # rest shift past files_per_repo so they collide with no one
+            F.when(F.col("f") < shared, F.col("f"))
+            .otherwise(F.col("f") + files_per_repo)
+            .alias("f"),
+            F.lit(True).alias("is_fork"),
+        )
+    )
+    rows = base.unionByName(fork_rows)
+    return rows.select(
+        F.concat(
+            F.lit("repo"),
+            F.col("r").cast("string"),
+            F.when(F.col("is_fork"), F.lit("_fork")).otherwise(F.lit("")),
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("f").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        # content unique per (base repo, file idx): forks share bytes
+        # with their base by construction
+        F.concat(
+            F.lit("def fn_"),
+            F.col("r").cast("string"),
+            F.lit("_"),
+            F.col("f").cast("string"),
+            F.lit("():\n    return "),
+            F.sha2(F.concat_ws("_", F.col("r"), F.col("f")), 256),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+
+
+def main() -> int:
+    n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    files_per_repo = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    cpus = sys.argv[3] if len(sys.argv) > 3 else "8"
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    trials = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+
+    from welldedup.fork import repo_fork_pairs, repo_fork_pairs_sketched
+    from welldedup.session import get_spark
+
+    spark = get_spark(
+        app_name=f"welldedup-fork-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 4, 8),
+    )
+    cf = build_corpus(spark, n_repos, files_per_repo)
+    n_files = cf.count()  # also warms the JVM/codegen before timing
+    planted = n_repos // FORK_EVERY
+
+    def run(fn, **kw):
+        walls, res = [], None
+        for _ in range(trials):
+            t0 = time.monotonic()
+            res = {
+                (r["repo_a"], r["repo_b"]): r
+                for r in fn(
+                    cf, threshold=THRESHOLD, by="path_content", **kw
+                ).collect()
+            }
+            walls.append(time.monotonic() - t0)
+        return min(walls), res
+
+    exact_wall, exact = run(repo_fork_pairs)
+    sketch_wall, sketch = run(repo_fork_pairs_sketched, k=k)
+
+    both = set(exact) & set(sketch)
+    recall = len(both) / len(exact) if exact else 1.0
+    precision = len(both) / len(sketch) if sketch else 1.0
+    est_mae = (
+        sum(
+            abs(sketch[p]["jaccard_est"] - exact[p]["jaccard"]) for p in both
+        )
+        / len(both)
+        if both
+        else 0.0
+    )
+    exact_found = sum(
+        1 for (a, b) in exact if b == a + "_fork"
+    )
+    out = {
+        "n_repos": n_repos,
+        "files": n_files,
+        "cpus": int(cpus),
+        "k": k,
+        "trials": trials,
+        "planted": planted,
+        "planted_found_exact": exact_found,
+        "exact": {
+            "wall_sec": round(exact_wall, 2),
+            "pairs": len(exact),
+            "files_per_sec": round(n_files / exact_wall, 1),
+        },
+        "sketch": {
+            "wall_sec": round(sketch_wall, 2),
+            "pairs": len(sketch),
+            "files_per_sec": round(n_files / sketch_wall, 1),
+        },
+        "sketch_recall": round(recall, 4),
+        "sketch_precision": round(precision, 4),
+        "est_mae": round(est_mae, 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
