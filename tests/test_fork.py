@@ -226,3 +226,33 @@ def test_forks_cli(spark, forked_corpus, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {("repo0", "repo0_fork"), ("repo1", "repo1_vendored")}
+
+
+def test_vendor_search(spark, forked_corpus):
+    from welldedup.fork import vendor_search
+
+    # the needle: repo1's full file set (what repo1_vendored ships
+    # verbatim under third_party/)
+    lib = forked_corpus.filter(F.col("repo") == "repo1").select(
+        "path", "content"
+    )
+    out = {
+        r["repo"]: r
+        for r in vendor_search(
+            forked_corpus, lib, threshold=0.8, by="content"
+        ).collect()
+    }
+    # repo1 itself and the vendoring repo both contain the library
+    assert set(out) == {"repo1", "repo1_vendored"}
+    assert out["repo1_vendored"]["containment"] == pytest.approx(1.0)
+    assert out["repo1_vendored"]["lib_size"] == 40
+    # path-sensitive matching must NOT see the re-rooted vendored copy
+    out_pc = {
+        r["repo"]
+        for r in vendor_search(
+            forked_corpus, lib, threshold=0.8, by="path_content"
+        ).collect()
+    }
+    assert out_pc == {"repo1"}
+    with pytest.raises(ValueError):
+        vendor_search(forked_corpus, lib.limit(0), threshold=0.5)

@@ -12,7 +12,7 @@ from .codefilters import license_expr, quality_exprs
 from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
-from .fork import repo_fork_pairs, repo_fork_pairs_sketched
+from .fork import repo_fork_pairs, repo_fork_pairs_sketched, vendor_search
 from .pipeline import PipelineResult, run_pipeline
 from .tuning import band_plan
 from .retract import retract_docs
@@ -51,6 +51,7 @@ __all__ = [
     "weighted_near_dup_pairs",
     "repo_fork_pairs",
     "repo_fork_pairs_sketched",
+    "vendor_search",
     "band_plan",
 ]
 __version__ = "0.1.0"

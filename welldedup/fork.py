@@ -46,6 +46,7 @@ __all__ = [
     "bottom_k_sketches",
     "fork_candidates",
     "repo_fork_pairs_sketched",
+    "vendor_search",
 ]
 
 
@@ -265,6 +266,48 @@ def fork_candidates(
             "size_b",
             kmv_jaccard_expr("sk_a", "sk_b", k).alias("jaccard_est"),
         )
+    )
+
+
+def vendor_search(
+    code_files: DataFrame,
+    lib_files: DataFrame,
+    *,
+    threshold: float = 0.8,
+    by: str = "content",
+) -> DataFrame:
+    """Which repos vendor a GIVEN library: per-repo containment of the
+    library's fingerprint set, |repo ∩ lib| / |lib|.
+
+    The asymmetric one-sided form of S17 for a known needle — "find
+    every repo that ships library X" (license audit, CVE blast-radius,
+    takedown scoping).  Output: (repo, matched, lib_size, containment)
+    for repos with containment >= threshold.
+
+    Scale: the library side is one repo's worth of fingerprints (KB-MB)
+    — explicitly broadcast, so the corpus-side scan is one pass with a
+    map-side join and a partial-agg groupBy on repo; no corpus shuffle
+    keyed on fingerprints, no pair explosion.  Default `by='content'`:
+    vendored trees usually re-root paths (tests: third_party/ prefix),
+    so path-insensitive matching is the right default here, unlike
+    fork pairing."""
+    fp = _file_fingerprint(by)
+    lib = lib_files.select(fp.alias("fp")).distinct()
+    n_lib = lib.count()  # driver-side scalar: the needle is tiny by contract
+    if n_lib == 0:
+        raise ValueError("lib_files has no fingerprints")
+    corpus = code_files.select("repo", fp.alias("fp")).distinct()
+    hits = corpus.join(F.broadcast(lib), "fp")
+    return (
+        hits.groupBy("repo")
+        .agg(F.count("*").cast("bigint").alias("matched"))
+        .select(
+            "repo",
+            "matched",
+            F.lit(n_lib).cast("bigint").alias("lib_size"),
+            (F.col("matched") / F.lit(float(n_lib))).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -2255,6 +2255,53 @@ FROM pr JOIN sz sa ON pr.src_a = sa.source
 """
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    """Duplicate burden per source — the dedup report cut that drives
+    crawl re-prioritization: for each source, the share of its docs
+    whose content sha256 occurs >= 2x corpus-WIDE (so cross-source
+    mirrors count against both sides).  Planted: docs with
+    doc_id % 5 == 0 get a second copy under `<source>_copy`.  Shape at
+    scale: one partial-agg shuffle keyed on sha for the multiplicity
+    dim, one join back on sha, one groupBy source — no self-join."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    u = d.unionByName(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.concat(F.col("source"), F.lit("_copy")).alias("source"), "text")
+    ).select("source", F.sha2("text", 256).alias("h"))
+    mult = u.groupBy("h").agg(F.count("*").alias("n_sha"))
+    return (
+        u.join(mult, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_sha") >= 2).cast("long")).cast("bigint").alias("n_dups"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dups") / F.col("n_docs"), 4)
+        )
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH u AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source || '_copy' AS source, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+m AS (SELECT text, count(*) AS n_sha FROM u GROUP BY 1)
+SELECT u.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m.n_sha >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       round(CAST(sum(CASE WHEN m.n_sha >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_rate
+FROM u JOIN m USING (text)
+GROUP BY u.source
+"""
+
+
 def q_span_dedup_stats(spark, sf_dir):
     """C4-style span dedup accounting: cut each doc into
     non-overlapping 5-word spans; a span occurrence is a duplicate
@@ -3006,6 +3053,7 @@ QUERIES = {
     "bigram_lm_quality": q_bigram_lm_quality,
     "source_overlap_matrix": q_source_overlap_matrix,
     "source_fork_similarity": q_source_fork_similarity,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "span_dedup_stats": q_span_dedup_stats,
     "ngram_novelty": q_ngram_novelty,
     "mixture_weights": q_mixture_weights,
@@ -3108,6 +3156,7 @@ ORACLES = {
     "bigram_lm_quality": SQL_BIGRAM_LM_QUALITY,
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "source_fork_similarity": SQL_SOURCE_FORK_SIMILARITY,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "span_dedup_stats": SQL_SPAN_DEDUP_STATS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
