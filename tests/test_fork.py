@@ -256,3 +256,45 @@ def test_vendor_search(spark, forked_corpus):
     assert out_pc == {"repo1"}
     with pytest.raises(ValueError):
         vendor_search(forked_corpus, lib.limit(0), threshold=0.5)
+
+
+def test_group_resemblance_random_family_vs_reference(spark):
+    """Randomized (seeded) family of overlapping sets: Spark output must
+    equal a pure-Python all-pairs reference exactly — sizes,
+    intersections, both similarity measures, and the cap rule."""
+    rng = np.random.default_rng(424242)
+    universe = [f"it{i}" for i in range(120)]
+    fam = {
+        f"g{g}": {universe[i] for i in rng.choice(120, size=rng.integers(3, 40), replace=False)}
+        for g in range(30)
+    }
+    cap = 12
+    over = {it for it in universe if sum(it in s for s in fam.values()) > cap}
+
+    def ref_pairs():
+        out = {}
+        ks = sorted(fam)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                inter = len((fam[a] & fam[b]) - over)
+                if inter >= 1:
+                    sa, sb = len(fam[a]), len(fam[b])
+                    out[(a, b)] = (inter, sa, sb,
+                                   inter / (sa + sb - inter),
+                                   inter / min(sa, sb))
+        return out
+
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["inter"], r["size_a"], r["size_b"], r["jaccard"], r["containment"]
+        )
+        for r in group_resemblance(
+            _sets_df(spark, fam), "grp", "item", max_groups_per_item=cap
+        ).collect()
+    }
+    exp = ref_pairs()
+    assert set(got) == set(exp)
+    for p, (inter, sa, sb, j, c) in exp.items():
+        gi, gsa, gsb, gj, gc = got[p]
+        assert (gi, gsa, gsb) == (inter, sa, sb), p
+        assert gj == pytest.approx(j) and gc == pytest.approx(c), p
