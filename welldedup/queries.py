@@ -171,6 +171,55 @@ WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
 """
 
 
+def q_jaccard_level_counts(spark, sf_dir):
+    """The reference's per-ring-level duplicate tally (A6,
+    test_count_duplicates counts duplicate calls per neighbor ring
+    level 1..L) mapped to the graft's proximity axis: similarity bands
+    stand in for spatial rings, and the tally is pair counts per band.
+    Level 1 = word-Jaccard >= 0.9 (innermost ring) down to level 5 =
+    [0.5, 0.6).  Reuses the guarded, prefiltered exact-Jaccard pair set
+    (q_word_jaccard_pairs) so banding happens on the identical rounded
+    values both engines computed; the CASE chain compares the rounded
+    double directly rather than flooring jac*10, which is off-by-ulp
+    at band edges (0.7 * 10 < 7 in IEEE doubles)."""
+    pairs = q_word_jaccard_pairs(spark, sf_dir)
+    level = (
+        F.when(F.col("jac") >= 0.9, 1)
+        .when(F.col("jac") >= 0.8, 2)
+        .when(F.col("jac") >= 0.7, 3)
+        .when(F.col("jac") >= 0.6, 4)
+        .otherwise(5)
+    ).cast("int")
+    return (
+        pairs.select(level.alias("level"), "jac")
+        .groupBy("level")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jac"), 4).alias("avg_jac"),
+        )
+    )
+
+
+SQL_JACCARD_LEVEL_COUNTS = """
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+p AS (
+  SELECT round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT CAST(CASE WHEN jac >= 0.9 THEN 1
+                 WHEN jac >= 0.8 THEN 2
+                 WHEN jac >= 0.7 THEN 3
+                 WHEN jac >= 0.6 THEN 4
+                 ELSE 5 END AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jac), 4) AS avg_jac
+FROM p
+WHERE jac >= 0.5
+GROUP BY 1
+"""
+
+
 def q_weighted_jaccard_pairs(spark, sf_dir):
     """Exact weighted (multiset) Jaccard over whitespace tokens — the
     verification twin of the ICWS sketch (weighted.py): J_w =
@@ -1342,6 +1391,24 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
 
     res = run_pipeline(spark, docs_as_code_files(spark, sf_dir), CFG)
     return res.clusters
+
+
+def q_dup_counts_by_tier(spark, sf_dir):
+    """Rows-only — the engine-level form of the reference's per-level
+    duplicate tally (A6/A7: counts per ring level, then per-tile
+    summary): verified pairs per EVIDENCE TIER.  Each pair carries one
+    src after method-priority dedup (exact > substr > minhash >
+    simhash, pipeline.py), so the tiers partition the pair set the way
+    the reference's ring levels partition neighbor comparisons —
+    innermost (byte-identical) outward (band-collision near-dups).
+    The oracled similarity-band twin is `jaccard_level_counts`."""
+    from .pipeline import run_pipeline
+
+    res = run_pipeline(spark, docs_as_code_files(spark, sf_dir), CFG)
+    return res.verified_pairs.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("dup").cast("bigint")).cast("bigint").alias("n_dup"),
+    )
 
 
 def q_incremental_update_clusters(spark, sf_dir):
@@ -2986,6 +3053,8 @@ QUERIES = {
     "exact_dup_star_edges": q_exact_dup_star_edges,
     "normalized_dedup_keep_first": q_normalized_dedup_keep_first,
     "word_jaccard_pairs": q_word_jaccard_pairs,
+    "jaccard_level_counts": q_jaccard_level_counts,
+    "dup_counts_by_tier": q_dup_counts_by_tier,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "cluster_size_hist": q_cluster_size_hist,
@@ -3096,6 +3165,7 @@ ORACLES = {
     "exact_dup_star_edges": SQL_EXACT_DUP_STAR_EDGES,
     "normalized_dedup_keep_first": SQL_NORMALIZED_DEDUP_KEEP_FIRST,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "jaccard_level_counts": SQL_JACCARD_LEVEL_COUNTS,
     "weighted_jaccard_pairs": SQL_WEIGHTED_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
