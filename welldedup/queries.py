@@ -685,6 +685,61 @@ FROM lineitem
 """
 
 
+def q_hll_merged_distinct(spark, sf_dir):
+    """G2 widening — DataSketches HLL with MERGE: one sketch per source
+    partition (hll_sketch_agg), binary sketches unioned (hll_union_agg),
+    global cardinality estimated from the merged sketch alone.  This is
+    the re-aggregatable form a 100 TB corpus report needs — per-
+    partition/per-day sketches roll up without rescanning — which the
+    one-shot approx_count_distinct (q_approx_distinct) cannot do.
+    Oracled the same way: the merged estimate's accuracy CONTRACT
+    (within 5% of the exact global distinct) plus the exact count;
+    DuckDB asserts the same contract of its own estimator."""
+    d = _t(spark, sf_dir, "documents")
+    sk = d.groupBy("source").agg(F.hll_sketch_agg("text").alias("sk"))
+    merged = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = d.agg(F.count_distinct("text").alias("d"))
+    return exact.crossJoin(merged).select(  # two 1-row frames
+        F.col("d").cast("bigint").alias("d_exact"),
+        (F.abs(F.col("est") - F.col("d")) <= 0.05 * F.col("d")).alias("merged_ok"),
+    )
+
+
+SQL_HLL_MERGED_DISTINCT = """
+SELECT CAST(count(DISTINCT text) AS BIGINT) AS d_exact,
+       abs(approx_count_distinct(text) - count(DISTINCT text))
+         <= 0.05 * count(DISTINCT text) AS merged_ok
+FROM documents
+"""
+
+
+def q_regr_price_qty(spark, sf_dir):
+    """G1/P6 widening — bivariate regression aggregates: OLS slope /
+    intercept / R² of extendedprice on quantity per returnflag, plus
+    sample covariance.  Both engines use one-pass moment accumulation;
+    outputs rounded 4dp per the parity convention (r2 is O(1); slope/
+    intercept/covar agree far below 1e-4 on this well-conditioned
+    data — verified at sf0.001 and sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar"),
+    )
+
+
+SQL_REGR_PRICE_QTY = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_source_stats_grouped(spark, sf_dir):
     """F3 — grouped-map (`applyInPandas`): per-source doc stats with a
     numpy body.  Arrow moves each group as one pandas frame; the oracle
@@ -3072,6 +3127,8 @@ QUERIES = {
     "stats_corr": q_stats_corr,
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
+    "hll_merged_distinct": q_hll_merged_distinct,
+    "regr_price_qty": q_regr_price_qty,
     "source_stats_grouped": q_source_stats_grouped,
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3181,6 +3238,8 @@ ORACLES = {
     "stats_corr": SQL_STATS_CORR,
     "distinct_counts": SQL_DISTINCT_COUNTS,
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "hll_merged_distinct": SQL_HLL_MERGED_DISTINCT,
+    "regr_price_qty": SQL_REGR_PRICE_QTY,
     "source_stats_grouped": SQL_SOURCE_STATS_GROUPED,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
