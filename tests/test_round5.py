@@ -50,6 +50,9 @@ ROWS_ONLY_EXPECTED = {
     "winnow_fingerprints": 500,
     "suffix_array_spans": 475,      # 500 planted wraps minus sub-64-char
                                     # docs, plus natural near-dup spans
+    "dup_counts_by_tier": 1,        # per-evidence-tier tally: at sf0.001
+                                    # all verified pairs are minhash-tier
+                                    # (deterministic pipeline, one row)
 }
 
 
