@@ -52,6 +52,16 @@ def parse_args(argv=None):
         "labels bit-identical to a rerun on the reduced corpus); the "
         "survivor store lands in --output",
     )
+    p.add_argument(
+        "--screen-against",
+        default=None,
+        metavar="STORE",
+        help="existing COMPLETED checkpoint root: READ-ONLY screening — "
+        "classify every new doc in --input against the frozen corpus "
+        "(dup_of_old / dup_in_batch / fresh, plus a `keep` ingestion "
+        "decision; incremental.screen_against_store) and write the "
+        "verdict table to --output; the store is never mutated",
+    )
     p.add_argument("--report", action="store_true", help="print cluster-size histogram")
     p.add_argument(
         "--export",
@@ -177,6 +187,15 @@ def parse_args(argv=None):
         or args.admit
     ):
         p.error("--forks is a standalone mode")
+    if args.screen_against and (
+        args.curate
+        or args.retract_from
+        or args.update_into
+        or args.export
+        or args.admit
+        or args.forks
+    ):
+        p.error("--screen-against is a standalone mode")
     if args.compact_bands and not args.admit:
         p.error("--compact-bands is an --admit post-drain step")
     if args.export and (args.curate or args.retract_from or args.update_into):
@@ -356,6 +375,30 @@ def main(argv=None) -> int:
             threshold=args.fork_threshold,
             by=args.fork_by,
             wall_sec=round(time.monotonic() - t0, 2),
+            output=args.output,
+        )
+        print(json.dumps(summary))
+        return 0
+    if args.screen_against:
+        from pyspark.sql import functions as F
+
+        from welldedup.incremental import screen_against_store
+
+        old = StageStore(root=args.screen_against, config_hash=cfg.config_hash())
+        verdicts = screen_against_store(spark, code_files, cfg, store=old)
+        verdicts.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        counts = {
+            r["verdict"]: r["n"]
+            for r in written.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+        }
+        summary = dict(
+            mode="screen",
+            screened=written.count(),
+            verdicts=counts,
+            keep=written.filter("keep").count(),
+            wall_sec=round(time.monotonic() - t0, 2),
+            config_hash=cfg.config_hash(),
             output=args.output,
         )
         print(json.dumps(summary))

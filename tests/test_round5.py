@@ -53,6 +53,8 @@ ROWS_ONLY_EXPECTED = {
     "dup_counts_by_tier": 1,        # per-evidence-tier tally: at sf0.001
                                     # all verified pairs are minhash-tier
                                     # (deterministic pipeline, one row)
+    "screen_new_batch": 266,        # one verdict per doc in the screened
+                                    # half (xxhash64-pmod split of 500)
 }
 
 

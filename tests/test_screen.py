@@ -1,0 +1,121 @@
+"""Read-only batch screening (incremental.screen_against_store): the
+leakage / re-crawl filter — classify a candidate batch against a
+frozen store at near-dup granularity without mutating anything."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from welldedup import DedupConfig, run_pipeline
+from welldedup.fixtures import corpus_to_pandas, make_corpus
+from welldedup.incremental import screen_against_store
+from welldedup.io import StageStore
+
+
+def _store_snapshot(root: str) -> list[tuple]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    base, _truth = corpus_to_pandas(make_corpus(300, seed=42))
+    store = StageStore(
+        root=str(tmp_path_factory.mktemp("screen") / "base"),
+        config_hash=cfg.config_hash(),
+    )
+    run_pipeline(spark, spark.createDataFrame(base), cfg, store=store)
+
+    # candidate batch: one exact copy of an old doc, one near-dup of an
+    # old doc, one exact pair internal to the batch, three fresh docs
+    old_long = base.loc[base.content.str.len().idxmax()]
+    batch_dup = "\n".join(f"def batch_fn_{i}(x):\n    return x * {i}" for i in range(40))
+    fresh = [
+        "\n".join(f"class Fresh{j}_{i}:\n    marker = {i * j + 7}" for i in range(30))
+        for j in range(3)
+    ]
+    rows = [
+        ("exact_old", old_long.content),
+        ("near_old", old_long.content + "\n# trailing screening comment\n"),
+        ("batch_a", batch_dup),
+        ("batch_b", batch_dup),
+        ("fresh_0", fresh[0]),
+        ("fresh_1", fresh[1]),
+        ("fresh_2", fresh[2]),
+    ]
+    batch = pd.DataFrame(
+        dict(
+            repo=["newbatch/screen"] * len(rows),
+            path=[f"src/{name}.py" for name, _ in rows],
+            commit=["c0ffee"] * len(rows),
+            lang=["python"] * len(rows),
+            content=[c for _, c in rows],
+        )
+    )
+    return cfg, store, batch
+
+
+def test_screen_verdicts_and_keep(spark, setup):
+    cfg, store, batch = setup
+    before = _store_snapshot(store.root)
+    out = screen_against_store(
+        spark, spark.createDataFrame(batch), cfg, store=store
+    ).toPandas()
+    # read-only: not one byte of the frozen store moved
+    assert _store_snapshot(store.root) == before
+
+    assert len(out) == len(batch)  # every candidate classified
+    v = out.set_index(out.path.str.replace("src/", "").str.replace(".py", ""))
+    assert v.loc["exact_old"].verdict == "dup_of_old"
+    assert v.loc["near_old"].verdict == "dup_of_old"
+    assert set(v.loc[["batch_a", "batch_b"]].verdict) == {"dup_in_batch"}
+    assert all(v.loc[f"fresh_{j}", "verdict"] == "fresh" for j in range(3))
+    # ingestion decision: fresh kept, old-dups dropped, exactly one
+    # representative of the batch-internal pair kept
+    assert not v.loc["exact_old", "keep"] and not v.loc["near_old", "keep"]
+    assert int(v.loc[["batch_a", "batch_b"]].keep.sum()) == 1
+    assert all(v.loc[f"fresh_{j}", "keep"] for j in range(3))
+    # the batch-pair's members share a cluster; keeper is the min id
+    pair = v.loc[["batch_a", "batch_b"]]
+    assert pair.cluster_id.nunique() == 1
+    assert pair.loc[pair.keep, "doc_id"].iloc[0] == pair.doc_id.min()
+
+
+def test_screen_is_deterministic(spark, setup):
+    cfg, store, batch = setup
+    a = (
+        screen_against_store(spark, spark.createDataFrame(batch), cfg, store=store)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        screen_against_store(spark, spark.createDataFrame(batch), cfg, store=store)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_screen_replayed_rows_are_not_candidates(spark, setup):
+    """Rows the store already contains are corpus members, not
+    candidates: they must not appear in the report (and must not pay
+    the content pass — covered by test_delta_signing_is_delta_sized)."""
+    cfg, store, batch = setup
+    base, _ = corpus_to_pandas(make_corpus(300, seed=42))
+    replay = pd.concat([base.iloc[:25], batch])
+    out = screen_against_store(
+        spark, spark.createDataFrame(replay), cfg, store=store
+    ).toPandas()
+    assert len(out) == len(batch)
+    assert set(out.repo) == {"newbatch/screen"}

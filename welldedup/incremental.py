@@ -448,3 +448,82 @@ def _update_inner(
         metrics=metrics,
         stage_seconds=seconds,
     )
+
+
+def screen_against_store(
+    spark: SparkSession,
+    new_code_files: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+) -> DataFrame:
+    """READ-ONLY batch screening: classify every genuinely-new doc in
+    `new_code_files` against the frozen corpus in `store`, mutating
+    nothing — the report-only twin of `update_pipeline` (which this
+    wraps with out_store=None, so all delta stages land in
+    localCheckpoints) and the batch twin of the streaming admission
+    gate (streaming.lsh_admission_filter).  The use case is the
+    leakage / re-crawl filter of a training-data pipeline: "which of
+    these candidate files does the sealed corpus already contain, at
+    near-dup granularity?" — decided BEFORE anything is ingested.
+
+    Output, one row per new doc (rows whose doc_id the store already
+    has are corpus members, not candidates — they are anti-joined away
+    inside update_pipeline and do not appear):
+
+      verdict = 'dup_of_old'   — its would-be cluster contains an old
+                                 doc (exact, near, or vendored-substring
+                                 evidence, transitively closed exactly
+                                 as a real fold-in would close it);
+                'dup_in_batch' — cluster is new-only with >= 2 members;
+                'fresh'        — a singleton against both corpora.
+      keep    = the ingestion decision: fresh docs, plus ONE
+                representative (min doc_id — the pipeline's canonical
+                keeper) per new-only duplicate group.  `.filter("keep")`
+                is the batch you would actually add.
+
+    Cost: identical to update_pipeline (content pass over the delta
+    only, bucket probes delta-bounded, one CC over old-labels-as-star-
+    edges ∪ new evidence); screening twice is bit-identical because
+    every stage is deterministic.  Columns: doc_id, repo, path, commit,
+    cluster_id, verdict, keep.
+    """
+    cfg = cfg or DedupConfig()
+    if store is None:
+        raise ValueError("screen_against_store needs the completed store to screen against")
+    res = update_pipeline(spark, new_code_files, cfg, store=store)
+    old_ids = store.read("clusters", spark).select("doc_id")
+    labels = res.clusters
+    new_labeled = (
+        res.docs.join(old_ids, "doc_id", "left_anti")
+        .select("doc_id", "repo", "path", "commit")
+        .join(labels, "doc_id")
+    )
+    old_cluster_dim = (
+        labels.join(old_ids, "doc_id", "leftsemi")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("_old", F.lit(True))
+    )
+    new_counts = new_labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("_n_new"), F.min("doc_id").alias("_rep")
+    )
+    has_old = F.col("_old").isNotNull()
+    return (
+        new_labeled.join(old_cluster_dim, "cluster_id", "left")
+        .join(new_counts, "cluster_id")
+        .select(
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "cluster_id",
+            F.when(has_old, F.lit("dup_of_old"))
+            .when(F.col("_n_new") >= 2, F.lit("dup_in_batch"))
+            .otherwise(F.lit("fresh"))
+            .alias("verdict"),
+            (
+                ~has_old
+                & ((F.col("_n_new") < 2) | (F.col("doc_id") == F.col("_rep")))
+            ).alias("keep"),
+        )
+    )

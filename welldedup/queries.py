@@ -1466,6 +1466,27 @@ def q_dup_counts_by_tier(spark, sf_dir):
     )
 
 
+def q_screen_new_batch(spark, sf_dir):
+    """Rows-only — READ-ONLY batch screening (incremental.
+    screen_against_store): pipeline half the corpus into a frozen
+    store, then classify the other half against it (dup_of_old /
+    dup_in_batch / fresh + a `keep` ingestion decision) without
+    mutating the store — the leakage / re-crawl filter of a
+    training-data pipeline.  Same cached base store as
+    `incremental_update_clusters` (deterministic root, resume-gated)."""
+    from .incremental import screen_against_store
+    from .io import StageStore
+    from .pipeline import run_pipeline
+
+    cf = docs_as_code_files(spark, sf_dir)
+    half = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0
+    fp = _dataset_fingerprint(f"{sf_dir}/documents.parquet")
+    store = StageStore(root=f"/tmp/wd_inc_base_{fp}_{CFG.config_hash()}",
+                       config_hash=CFG.config_hash())
+    run_pipeline(spark, cf.filter(half), CFG, store=store)
+    return screen_against_store(spark, cf.filter(~half), CFG, store=store)
+
+
 def q_incremental_update_clusters(spark, sf_dir):
     """Rows-only — the incremental day-2 path (incremental.py): run the
     batch pipeline on half the corpus (split deterministically on the
@@ -3110,6 +3131,7 @@ QUERIES = {
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "jaccard_level_counts": q_jaccard_level_counts,
     "dup_counts_by_tier": q_dup_counts_by_tier,
+    "screen_new_batch": q_screen_new_batch,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "cluster_size_hist": q_cluster_size_hist,
