@@ -1,0 +1,179 @@
+"""Measure READ-ONLY batch screening (incremental.screen_against_store)
+at corpus scale, and cross-check its verdicts against ground truth
+derived independently from a FULL pipeline run.
+
+    python tools/screen_bench.py <code_files.parquet> <cpus> \
+        [delta_fraction]
+
+Splits the corpus deterministically into base (1-f) and candidate
+batch (f) on the natural-key hash, then:
+
+  wall_full   — run_pipeline over 100% (context + the truth source);
+  wall_base   — run_pipeline over the base (day-1 setup);
+  wall_screen — screen_against_store of the batch vs the base store.
+
+Checks, all distributed (no label collects):
+  * the base store is byte-identical before/after the screen (it is
+    advertised as read-only — prove it, don't assert it);
+  * every verdict matches truth derived from the full run's labels:
+    dup_of_old  ⇔ the doc's full-run cluster contains a base doc,
+    dup_in_batch⇔ no base doc but ≥ 2 batch docs in the cluster,
+    fresh       ⇔ singleton; keep ⇔ ¬dup_of_old ∧ (singleton among
+    batch ∨ min batch doc_id of the cluster).
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _snapshot(root: str) -> list[tuple]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+def main() -> int:
+    inp = sys.argv[1]
+    cpus = sys.argv[2]
+    frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.01
+
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.incremental import screen_against_store
+    from welldedup.io import StageStore
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name=f"welldedup-screenbench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    warm, _ = corpus_to_pandas(make_corpus(100, seed=5))
+    run_pipeline(spark, spark.createDataFrame(warm), cfg).clusters.count()
+
+    def _prewarm(path):
+        if os.path.isdir(path):
+            for n in os.listdir(path):
+                _prewarm(os.path.join(path, n))
+        else:
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    _prewarm(inp)
+
+    code_files = spark.read.parquet(inp)
+    nbins = 1000
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+    is_batch = bucket < int(round(frac * nbins))
+
+    tmp = tempfile.mkdtemp(prefix="wd_screenbench_")
+    full_store = StageStore(os.path.join(tmp, "full"), cfg.config_hash())
+    base_store = StageStore(os.path.join(tmp, "base"), cfg.config_hash())
+
+    t0 = time.monotonic()
+    full = run_pipeline(spark, code_files, cfg, store=full_store)
+    n_docs = full.clusters.count()
+    wall_full = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    base = run_pipeline(spark, code_files.filter(~is_batch), cfg, store=base_store)
+    n_base = base.clusters.count()
+    wall_base = time.monotonic() - t0
+
+    before = _snapshot(base_store.root)
+    t0 = time.monotonic()
+    verdicts = screen_against_store(
+        spark, code_files.filter(is_batch), cfg, store=base_store
+    ).localCheckpoint(eager=True)
+    n_screened = verdicts.count()
+    wall_screen = time.monotonic() - t0
+    store_untouched = _snapshot(base_store.root) == before
+
+    # ground truth from the FULL run's labels (bit-identity of the
+    # update path to a full rerun is proven elsewhere; here we check
+    # the VERDICT layer's semantics on top of it)
+    base_ids = base.clusters.select("doc_id")
+    lab = full.clusters
+    old_flag = (
+        lab.join(base_ids, "doc_id", "leftsemi")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("_old", F.lit(True))
+    )
+    batch_lab = lab.join(base_ids, "doc_id", "left_anti")
+    batch_counts = batch_lab.groupBy("cluster_id").agg(
+        F.count("*").alias("_n"), F.min("doc_id").alias("_rep")
+    )
+    truth = (
+        batch_lab.join(old_flag, "cluster_id", "left")
+        .join(batch_counts, "cluster_id")
+        .select(
+            "doc_id",
+            F.when(F.col("_old").isNotNull(), F.lit("dup_of_old"))
+            .when(F.col("_n") >= 2, F.lit("dup_in_batch"))
+            .otherwise(F.lit("fresh"))
+            .alias("t_verdict"),
+            (
+                F.col("_old").isNull()
+                & ((F.col("_n") < 2) | (F.col("doc_id") == F.col("_rep")))
+            ).alias("t_keep"),
+        )
+    )
+    mism = (
+        verdicts.join(truth, "doc_id", "full")
+        .filter(
+            F.col("t_verdict").isNull()
+            | F.col("verdict").isNull()
+            | (F.col("verdict") != F.col("t_verdict"))
+            | (F.col("keep") != F.col("t_keep"))
+        )
+        .count()
+    )
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+
+    print(
+        json.dumps(
+            dict(
+                corpus=inp,
+                cpus=int(cpus),
+                n_docs=n_docs,
+                n_base=n_base,
+                n_screened=n_screened,
+                delta_fraction=frac,
+                wall_full_sec=round(wall_full, 2),
+                wall_base_sec=round(wall_base, 2),
+                wall_screen_sec=round(wall_screen, 2),
+                screen_vs_full_speedup=round(wall_full / wall_screen, 2),
+                verdict_counts=counts,
+                n_keep=verdicts.filter("keep").count(),
+                verdict_mismatches=mism,
+                store_untouched=store_untouched,
+            )
+        )
+    )
+    return 0 if (mism == 0 and store_untouched) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
