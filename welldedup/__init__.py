@@ -13,6 +13,7 @@ from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
 from .fork import repo_fork_pairs, repo_fork_pairs_sketched, vendor_search
+from .incremental import screen_against_store, update_pipeline
 from .pipeline import PipelineResult, run_pipeline
 from .tuning import band_plan
 from .retract import retract_docs
@@ -32,6 +33,8 @@ __all__ = [
     "DEFAULT",
     "run_pipeline",
     "PipelineResult",
+    "update_pipeline",
+    "screen_against_store",
     "retract_docs",
     "CurateConfig",
     "CurateResult",
