@@ -1,0 +1,87 @@
+"""Leakage-free train/val/test split (split.py, SURVEY §2 T19)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.split import (
+    DEFAULT_FRACTIONS,
+    cluster_safe_split,
+    fold_bounds,
+    fold_expr,
+    fold_sql_case,
+)
+
+
+def _py_fold(key, fractions=DEFAULT_FRACTIONS, salt="wd-split"):
+    """Pure-Python reference of the assignment."""
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+    for fold, upper in fold_bounds(fractions):
+        if h < upper:
+            return fold
+    raise AssertionError("unreachable: last bound is 'g'")
+
+
+def test_fold_bounds_validation():
+    with pytest.raises(ValueError):
+        fold_bounds({})
+    with pytest.raises(ValueError):
+        fold_bounds({"a": 0.7, "b": 0.4})  # sums past 1
+    with pytest.raises(ValueError):
+        fold_bounds({"a": 0.5, "b": -0.1})
+    # under-1 sums are fine: the last fold absorbs the remainder
+    assert fold_bounds({"a": 0.3, "b": 0.3})[-1][1] == "g"
+
+
+def test_fold_expr_matches_python_reference(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    got = {r.k: r.fold for r in df.select("k", fold_expr(F.col("k")).alias("fold")).collect()}
+    assert all(got[k] == _py_fold(k) for k in got)
+    # every fold is populated and roughly honors its fraction
+    n = len(got)
+    for fold, frac in DEFAULT_FRACTIONS.items():
+        cnt = sum(1 for v in got.values() if v == fold)
+        assert cnt > 0
+        assert abs(cnt / n - frac) < 0.02
+
+
+def test_fold_sql_case_matches_spark(spark):
+    import duckdb
+
+    keys = list(range(500))
+    sql = f"SELECT k, {fold_sql_case('k')} AS fold FROM (SELECT unnest(?) AS k)"
+    du = dict(duckdb.sql(sql, params=[keys]).fetchall())
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sp = {r.k: r.fold for r in df.select("k", fold_expr(F.col("k")).alias("fold")).collect()}
+    assert sp == du
+
+
+def test_cluster_safe_split_no_family_straddles(spark):
+    # 300 docs, families of 3 (label = doc_id // 3), plus 30 singletons
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    labels = spark.range(0, 270).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 3).cast("long").alias("label")
+    )
+    out = cluster_safe_split(docs, labels, {"train": 0.6, "val": 0.2, "test": 0.2})
+    rows = out.collect()
+    assert len(rows) == 300 and all(r.fold in ("train", "val", "test") for r in rows)
+    by_label = {}
+    for r in rows:
+        if r.doc_id < 270:
+            by_label.setdefault(r.doc_id // 3, set()).add(r.fold)
+    assert all(len(folds) == 1 for folds in by_label.values())
+    # singletons fold by their own id — exactly the label=doc_id assignment
+    single = {r.doc_id: r.fold for r in rows if r.doc_id >= 270}
+    assert all(
+        single[k] == _py_fold(k, {"train": 0.6, "val": 0.2, "test": 0.2})
+        for k in single
+    )
+
+
+def test_split_determinism_across_plans(spark):
+    """Same keys, different partitioning/plan => identical folds (the
+    property rand()-based splits do not have)."""
+    a = spark.range(0, 1000).repartition(16).select(fold_expr(F.col("id")).alias("f"), "id")
+    b = spark.range(0, 1000).coalesce(1).select(fold_expr(F.col("id")).alias("f"), "id")
+    assert {(r.id, r.f) for r in a.collect()} == {(r.id, r.f) for r in b.collect()}

@@ -18,6 +18,7 @@ from .pipeline import PipelineResult, run_pipeline
 from .tuning import band_plan
 from .retract import retract_docs
 from .scrub import pii_counts, remove_boilerplate_lines, scrub_expr
+from .split import cluster_safe_split, fold_expr
 from .weighted import weighted_near_dup_pairs
 from .suffixarray import (
     cut_spans,
@@ -56,5 +57,7 @@ __all__ = [
     "repo_fork_pairs_sketched",
     "vendor_search",
     "band_plan",
+    "cluster_safe_split",
+    "fold_expr",
 ]
 __version__ = "0.1.0"

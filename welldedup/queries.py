@@ -2079,6 +2079,101 @@ FROM binned GROUP BY source, bin
 """
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """T19 — leakage-free train/val/test split (split.cluster_safe_split
+    semantics): fold is assigned from the md5 hex prefix of the
+    duplicate-FAMILY key (min doc_id per content sha256), never the
+    doc id, so a duplicate family can never straddle train and eval.
+    Union-with-copy plants exact-dup families; fold assignment is the
+    engine-portable md5-threshold idiom (joins.stratified_sample_expr),
+    so the DuckDB oracle reproduces it bit-for-bit.  Pure window +
+    projection — at 100 TB the family key is the label join the dedup
+    pipeline already produced, and the fold is codegen-only on top."""
+    from .split import fold_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    w = Window.partitionBy(F.sha2("text", 256))
+    fam = u.select("doc_id", F.min("doc_id").over(w).alias("family"))
+    return fam.select("doc_id", "family", fold_expr(F.col("family")).alias("fold"))
+
+
+def _sql_leakage_safe_split() -> str:
+    from .split import fold_sql_case
+
+    return f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+fam AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS family
+        FROM u)
+SELECT doc_id, family, {fold_sql_case('family')} AS fold FROM fam
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """T19 audit — measures WHY the cluster-keyed split exists: fold
+    every doc two ways (naive = hash of its own doc_id; safe = hash of
+    its family key) and count duplicate families (size >= 2) whose
+    members land in more than one fold under each scheme.  leaky_safe
+    is 0 by construction; leaky_naive > 0 whp (P ~ 1 - sum f_i^2 per
+    family ~ 3.9% at 98/1/1) — the train/eval contamination a per-doc
+    split silently ships."""
+    from .split import fold_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    w = Window.partitionBy(F.sha2("text", 256))
+    base = u.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("family"),
+        fold_expr(F.col("doc_id")).alias("naive_fold"),
+    ).withColumn("safe_fold", fold_expr(F.col("family")))
+    fams = (
+        base.groupBy("family")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("naive_fold").alias("nf"),
+            F.countDistinct("safe_fold").alias("sf"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return fams.agg(
+        F.count("*").alias("n_families"),
+        F.sum((F.col("nf") > 1).cast("bigint")).alias("leaky_naive"),
+        F.sum((F.col("sf") > 1).cast("bigint")).alias("leaky_safe"),
+    )
+
+
+def _sql_split_leakage_audit() -> str:
+    from .split import fold_sql_case
+
+    return f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+base AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS family,
+         {fold_sql_case('doc_id')} AS naive_fold
+  FROM u),
+b2 AS (SELECT *, {fold_sql_case('family')} AS safe_fold FROM base),
+fams AS (
+  SELECT family, count(*) AS n,
+         count(DISTINCT naive_fold) AS nf,
+         count(DISTINCT safe_fold) AS sf
+  FROM b2 GROUP BY family HAVING count(*) >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_families,
+       CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_naive,
+       CAST(sum(CASE WHEN sf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_safe
+FROM fams
+"""
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = _sql_split_leakage_audit()
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF: each doc's highest-scoring term.  Shape at scale: one
     explode + (doc, term) count with map-side combine, a broadcast-able
@@ -3184,6 +3279,8 @@ QUERIES = {
     "interval_overlap_events": q_interval_overlap_events,
     "stratified_sample_docs": q_stratified_sample_docs,
     "token_pack_bins": q_token_pack_bins,
+    "leakage_safe_split": q_leakage_safe_split,
+    "split_leakage_audit": q_split_leakage_audit,
     "tfidf_top_terms": q_tfidf_top_terms,
     "range_frame_orders": q_range_frame_orders,
     "lateral_order_stats": q_lateral_order_stats,
@@ -3292,6 +3389,8 @@ ORACLES = {
     "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "range_frame_orders": SQL_RANGE_FRAME_ORDERS,
     "lateral_order_stats": SQL_LATERAL_ORDER_STATS,

@@ -1,0 +1,132 @@
+"""Leakage-free train/val/test splitting (SURVEY.md §2 row T19,
+round 5).
+
+Splitting AFTER dedup by a per-document hash still leaks: two
+near-duplicate documents draw independent hashes, so a duplicate
+family of size k straddles train and eval with probability
+1 - sum(f_i^k) — the train/test-overlap failure mode documented for
+C4/RealNews (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better") that dedup exists to prevent.  The fix is one
+line of dataflow: hash the FAMILY KEY (the dedup cluster label), not
+the doc id, so every member of a duplicate family lands in the same
+fold.
+
+Operators (pure Catalyst — no Python UDFs, no shuffle of their own):
+
+- `fold_expr(key, fractions)`: deterministic fold assignment — md5 hex
+  prefix of (salt:key) compared against cumulative thresholds, the
+  same engine-portable idiom as `joins.stratified_sample_expr`.  The
+  DuckDB oracle reproduces the assignment bit-for-bit; never `rand()`
+  (non-reproducible under task retry, plan change, or cluster resize).
+- `fold_sql_case(...)`: the identical assignment as an ANSI-SQL CASE
+  for the oracle / any other engine.
+- `cluster_safe_split(docs, labels, ...)`: left-join the pipeline's
+  cluster labels and fold by label; docs absent from `labels`
+  (singletons — most of a deduplicated corpus) fold by their own
+  doc_id, which is exactly `label = doc_id` at zero join cost.
+
+Scale shape (100 TB): the fold column is a codegen-only projection on
+top of the label join the pipeline performs anyway; assignment is a
+pure function of (salt, key, fractions), so the split is reproducible
+on any cluster size and any engine with md5 — the same determinism
+contract as doc ids, cluster labels, and export shard ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# default folds: eval slices small, like a production pre-training split
+DEFAULT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+_PREFIX_LEN = 8  # 16^8 resolution, matches joins._hex_threshold
+
+
+def fold_bounds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """Ordered (fold, exclusive upper hex bound) cumulative table.
+
+    Folds are laid out over the md5-prefix domain [0, 16^8) in sorted
+    fold-name order; the LAST fold's bound is "g" (sorts after every
+    hex digit) so the chain is total even when fractions sum to
+    slightly under 1.0 in float.  Fractions must be positive and sum
+    to <= 1 + 1e-9.
+    """
+    items = sorted(fractions.items())
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    total = sum(r for _, r in items)
+    if total > 1.0 + 1e-9 or any(r <= 0 for _, r in items):
+        raise ValueError(f"fractions must be positive and sum to <= 1: {fractions}")
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    for i, (fold, rate) in enumerate(items):
+        cum += rate
+        if i == len(items) - 1:
+            bounds.append((fold, "g"))
+        else:
+            bounds.append((fold, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+    return bounds
+
+
+def _hash_prefix(key_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key_col.cast("string"))), 1, _PREFIX_LEN
+    )
+
+
+def fold_expr(
+    key_col: Column,
+    fractions: dict[str, float] | None = None,
+    salt: str = "wd-split",
+) -> Column:
+    """String Column assigning a fold ('train'/'val'/'test' by default)
+    from the md5 hex prefix of (salt:key): a CASE chain over cumulative
+    thresholds.  Same key, salt, and fractions => same fold, on every
+    engine, forever."""
+    bounds = fold_bounds(fractions or DEFAULT_FRACTIONS)
+    h = _hash_prefix(key_col, salt)
+    expr = None
+    for fold, upper in bounds:
+        cond = h < F.lit(upper)
+        expr = F.when(cond, F.lit(fold)) if expr is None else expr.when(cond, F.lit(fold))
+    return expr
+
+
+def fold_sql_case(
+    key_sql: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "wd-split",
+) -> str:
+    """The identical fold assignment as ANSI SQL (DuckDB oracle /
+    any md5-bearing engine).  `key_sql` is an expression string; it is
+    cast to VARCHAR to mirror fold_expr's cast-to-string."""
+    bounds = fold_bounds(fractions or DEFAULT_FRACTIONS)
+    h = f"substr(md5('{salt}:' || ({key_sql})::VARCHAR), 1, {_PREFIX_LEN})"
+    whens = " ".join(f"WHEN {h} < '{upper}' THEN '{fold}'" for fold, upper in bounds)
+    return f"CASE {whens} END"
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    labels: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    salt: str = "wd-split",
+) -> DataFrame:
+    """docs + a `fold` column such that every doc sharing a cluster
+    label shares a fold.
+
+    `labels` is (id_col, label_col) — e.g. the dedup pipeline's
+    clusters stage, or exact-dup families.  Docs not present in
+    `labels` are singletons and fold by their own id (coalesce), so
+    `labels` only needs to cover docs that HAVE a family — at 100 TB
+    that is the small side, and Catalyst broadcasts it when it fits.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("__sid"), F.col(label_col).alias("__family")
+    )
+    joined = docs.join(lab, docs[id_col] == lab["__sid"], "left").drop("__sid")
+    key = F.coalesce(F.col("__family").cast("string"), F.col(id_col).cast("string"))
+    return joined.withColumn("fold", fold_expr(key, fractions, salt)).drop("__family")
