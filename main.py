@@ -82,6 +82,17 @@ def parse_args(argv=None):
     )
     p.add_argument("--export-seed", type=int, default=0)
     p.add_argument(
+        "--export-folds",
+        default=None,
+        metavar="SPEC",
+        help="partition the export as fold=X/_shard=K/ with a "
+        "leakage-free train/val/test split: fold is keyed on the "
+        "doc's CLUSTER id (split.fold_expr), so a duplicate family "
+        "never straddles folds and a family keeps its fold even if "
+        "--export-rep later picks a different member. SPEC is "
+        "'train=0.98,val=0.01,test=0.01'",
+    )
+    p.add_argument(
         "--curate",
         action="store_true",
         help="run the curation funnel instead of dedup-only: --input is a "
@@ -457,8 +468,30 @@ def main(argv=None) -> int:
                 F.col("doc_id") == F.col("cluster_id")
             ).select("doc_id")
         keep = with_doc_id(code_files).join(reps, "doc_id", "left_semi")
+        fold_col = None
+        if args.export_folds:
+            from welldedup.split import fold_expr
+
+            fractions = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.export_folds.split(","))
+            }
+            # fold keyed on the FAMILY (cluster_id), not the surviving
+            # doc: stable across representative choice and incremental
+            # re-labels of members, and leakage-free by construction.
+            keep = keep.join(
+                res.clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+            ).withColumn(
+                "fold",
+                fold_expr(F.coalesce(F.col("cluster_id"), F.col("doc_id")), fractions),
+            ).drop("cluster_id")
+            fold_col = "fold"
         summary["export"] = export_corpus(
-            keep, args.export, n_shards=args.export_shards, seed=args.export_seed
+            keep,
+            args.export,
+            n_shards=args.export_shards,
+            seed=args.export_seed,
+            fold_col=fold_col,
         )
     print(json.dumps(summary))
     if args.report:

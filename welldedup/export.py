@@ -87,24 +87,33 @@ def export_corpus(
     rows_per_shard: int = 100_000,
     seed: int = 0,
     fmt: str = "parquet",
+    fold_col: str | None = None,
 ) -> dict:
     """Write the corpus as pseudorandomly-ordered, size-balanced shard
     directories (`_shard=K/`); returns {n_rows, n_shards, seed}.
     n_shards defaults to ceil(n_rows / rows_per_shard) — the one
     count() here is the export's own sizing pass, not a data path
     (callers that already know the row count pass n_shards explicitly
-    and skip it)."""
+    and skip it).
+
+    `fold_col` (e.g. split.cluster_safe_split's "fold") nests the
+    layout as `fold=X/_shard=K/`: trainers read train/ and never touch
+    eval bytes.  The shard grid stays GLOBAL (the same arithmetic
+    hash-domain slices regardless of fold), so shard membership keeps
+    the determinism contract — a fold simply owns fewer rows of each
+    shard, and `maxRecordsPerFile` bounds the file sizes either way."""
     if n_shards is None:
         n_rows = df.count()
         n_shards = max(1, math.ceil(n_rows / rows_per_shard))
     else:
         n_rows = None
     out = shuffled_shards(df, n_shards, seed)
+    partition_cols = ([fold_col] if fold_col else []) + [SHARD_COL]
     (
         out.drop("_shuffle_key")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
-        .partitionBy(SHARD_COL)
+        .partitionBy(*partition_cols)
         .format(fmt)
         .save(path)
     )
