@@ -85,3 +85,54 @@ def test_split_determinism_across_plans(spark):
     a = spark.range(0, 1000).repartition(16).select(fold_expr(F.col("id")).alias("f"), "id")
     b = spark.range(0, 1000).coalesce(1).select(fold_expr(F.col("id")).alias("f"), "id")
     assert {(r.id, r.f) for r in a.collect()} == {(r.id, r.f) for r in b.collect()}
+
+
+def test_eval_overlap_semantics(spark):
+    """contamination.eval_overlap: per-EVAL-doc distinct-gram overlap
+    with anything in train; multiplicity in train counts once; gram-less
+    docs report 0/false; plan broadcasts the EVAL side."""
+    from welldedup.contamination import eval_overlap
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d"), (11, "p q r s"), (12, "xy")],
+        "doc_id long, text string",
+    )
+    out = eval_overlap(train, ev, n=3, min_overlap=2)
+    got = {r.doc_id: r for r in out.collect()}
+    # "a b c" and "b c d" both occur in train (twice each — counted once)
+    assert got[10].n_overlap == 2 and got[10].contaminated
+    assert got[11].n_overlap == 0 and not got[11].contaminated
+    assert got[12].n_grams == 0 and got[12].n_overlap == 0 and not got[12].contaminated
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cross_fold_overlap_family_copies_never_flag(spark):
+    """The T19 point: exact copies share a family => share a fold, so a
+    planted copy can never show up as cross-fold overlap."""
+    from welldedup.contamination import eval_overlap
+    from welldedup.split import fold_expr
+
+    from pyspark.sql import Window
+
+    texts = [(i, f"unique tokens row {i} alpha beta gamma delta {i}") for i in range(200)]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    u = d.unionByName(
+        d.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    w = Window.partitionBy(F.sha2("text", 256))
+    folded = u.select(
+        "doc_id", "text",
+        fold_expr(F.min("doc_id").over(w), {"train": 0.5, "val": 0.5}).alias("fold"),
+    )
+    train = folded.filter(F.col("fold") == "train").select("doc_id", "text")
+    ev = folded.filter(F.col("fold") == "val").select("doc_id", "text")
+    out = eval_overlap(train, ev, n=5, min_overlap=1)
+    # rows are unique except their planted copy, which is in the SAME
+    # fold; with n=5 the shared "alpha beta gamma delta" run is only 4
+    # tokens wide, so no eval doc can overlap train
+    assert out.filter(F.col("contaminated")).count() == 0

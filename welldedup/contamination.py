@@ -84,3 +84,54 @@ def decontaminate(
             (F.col("n_overlap") >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def eval_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """The reverse attribution: per EVAL doc, how many of its distinct
+    n-grams occur anywhere in `train` (and the contaminated flag).
+    The hygiene check run after a train/val/test split — a val/test
+    doc sharing grams with the train fold is a leaked benchmark item.
+
+    Scale shape (100 TB train / MB eval): the broadcast side must stay
+    the eval side, so the eval dim here is (gram, eval doc id) pairs —
+    still MB-scale.  Train explodes its grams map-side, hits the
+    broadcast dim, and the only shuffle is the partial-agg distinct on
+    (eval doc, gram) — bounded by |eval grams|, never by the corpus.
+    An exact distinct-on-train-grams first would shuffle 100 TB; this
+    never does.  Every eval row appears in the output (gram-less docs
+    report 0 / false).
+    """
+    grams = word_ngrams_expr(text_col, n)
+    ev = eval_set.select(
+        F.col(id_col).alias("_eid"), F.size(grams).alias("n_grams"), grams.alias("_gs")
+    )
+    ev_dim = ev.select("_eid", F.explode("_gs").alias("gram"))
+    # train grams map-side; per-doc distinctness is irrelevant here —
+    # only EXISTENCE in train matters, and the (eval doc, gram) distinct
+    # below collapses any multiplicity (partial-agg, map-side combine).
+    tr = train.select(F.explode(grams).alias("gram"))
+    hits = (
+        tr.join(F.broadcast(ev_dim), "gram")
+        .select("_eid", "gram")
+        .distinct()
+        .groupBy("_eid")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        ev.select("_eid", "n_grams")
+        .join(hits, "_eid", "left")
+        .select(
+            F.col("_eid").alias(id_col),
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

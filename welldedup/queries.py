@@ -2174,6 +2174,62 @@ FROM fams
 SQL_SPLIT_LEAKAGE_AUDIT = _sql_split_leakage_audit()
 
 
+def q_cross_fold_overlap(spark, sf_dir):
+    """T19+T3 composition — post-split hygiene: for every val/test doc,
+    how many of its distinct word trigrams occur anywhere in the TRAIN
+    fold (contamination.eval_overlap, the reverse attribution of
+    decontaminate).  Folds are the T19 family-keyed assignment, so
+    planted exact copies can never produce cross-fold overlap; what
+    remains is genuine partial n-gram sharing.  Scale shape: the
+    broadcast side is the eval gram dim (MB at 100 TB); the train fold
+    explodes map-side and the only shuffle is the bounded
+    (eval doc, gram) distinct."""
+    from .contamination import eval_overlap
+    from .split import fold_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    w = Window.partitionBy(F.sha2("text", 256))
+    folded = u.select(
+        "doc_id", "text", fold_expr(F.min("doc_id").over(w)).alias("fold")
+    )
+    train = folded.filter(F.col("fold") == "train").select("doc_id", "text")
+    ev = folded.filter(F.col("fold") != "train").select("doc_id", "text")
+    return eval_overlap(train, ev, n=3, min_overlap=2).orderBy("doc_id")
+
+
+def _sql_cross_fold_overlap() -> str:
+    from .split import fold_sql_case
+
+    fold = fold_sql_case("min(doc_id) OVER (PARTITION BY sha256(text))")
+    return f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+folded AS (SELECT doc_id, text, {fold} AS fold FROM u),
+g AS (
+  SELECT doc_id, fold,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, fold, string_split(text, ' ') AS w FROM folded)
+),
+tr AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE fold = 'train'),
+ev AS (SELECT doc_id, gs FROM g WHERE fold <> 'train'),
+ov AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM ev) e
+  JOIN tr USING (gram) GROUP BY e.doc_id
+)
+SELECT ev.doc_id, len(ev.gs) AS n_grams,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+FROM ev LEFT JOIN ov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+SQL_CROSS_FOLD_OVERLAP = _sql_cross_fold_overlap()
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF: each doc's highest-scoring term.  Shape at scale: one
     explode + (doc, term) count with map-side combine, a broadcast-able
@@ -3281,6 +3337,7 @@ QUERIES = {
     "token_pack_bins": q_token_pack_bins,
     "leakage_safe_split": q_leakage_safe_split,
     "split_leakage_audit": q_split_leakage_audit,
+    "cross_fold_overlap": q_cross_fold_overlap,
     "tfidf_top_terms": q_tfidf_top_terms,
     "range_frame_orders": q_range_frame_orders,
     "lateral_order_stats": q_lateral_order_stats,
@@ -3391,6 +3448,7 @@ ORACLES = {
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
+    "cross_fold_overlap": SQL_CROSS_FOLD_OVERLAP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "range_frame_orders": SQL_RANGE_FRAME_ORDERS,
     "lateral_order_stats": SQL_LATERAL_ORDER_STATS,
