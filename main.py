@@ -209,6 +209,23 @@ def parse_args(argv=None):
         p.error("--screen-against is a standalone mode")
     if args.compact_bands and not args.admit:
         p.error("--compact-bands is an --admit post-drain step")
+    if args.export_folds:
+        if not args.export:
+            p.error("--export-folds requires --export")
+        try:
+            fr = {}
+            for kv in args.export_folds.split(","):
+                k, v = kv.split("=")
+                fr[k.strip()] = float(v)
+            from welldedup.split import fold_bounds
+
+            fold_bounds(fr)  # positivity / sum <= 1 validation
+        except (ValueError, TypeError) as ex:
+            p.error(
+                f"--export-folds: bad SPEC {args.export_folds!r} ({ex}); "
+                "expected e.g. 'train=0.98,val=0.01,test=0.01'"
+            )
+        args.export_folds = fr
     if args.export and (args.curate or args.retract_from or args.update_into):
         # the checkpoint stores are content-free (pipeline.DOCS_COLS),
         # so export content can only come from --input — which under
@@ -470,21 +487,17 @@ def main(argv=None) -> int:
         keep = with_doc_id(code_files).join(reps, "doc_id", "left_semi")
         fold_col = None
         if args.export_folds:
-            from welldedup.split import fold_expr
+            from welldedup.split import cluster_safe_split
 
-            fractions = {
-                k: float(v)
-                for k, v in (kv.split("=") for kv in args.export_folds.split(","))
-            }
             # fold keyed on the FAMILY (cluster_id), not the surviving
             # doc: stable across representative choice and incremental
             # re-labels of members, and leakage-free by construction.
-            keep = keep.join(
-                res.clusters.select("doc_id", "cluster_id"), "doc_id", "left"
-            ).withColumn(
-                "fold",
-                fold_expr(F.coalesce(F.col("cluster_id"), F.col("doc_id")), fractions),
-            ).drop("cluster_id")
+            keep = cluster_safe_split(
+                keep,
+                res.clusters.select("doc_id", "cluster_id"),
+                args.export_folds,
+                label_col="cluster_id",
+            )
             fold_col = "fold"
         summary["export"] = export_corpus(
             keep,

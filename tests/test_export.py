@@ -176,3 +176,30 @@ def test_cli_export_folds(tmp_path):
     assert summary["export"]["n_shards"] == 2
     fold_dirs = {p.split("fold=")[1].split("/")[0] for p in glob.glob(f"{exp}/fold=*")}
     assert fold_dirs <= {"train", "val", "test"} and "train" in fold_dirs
+
+
+def test_export_fold_preserves_in_file_order(spark, sf_dir, tmp_path):
+    """Regression: partitionBy(fold,_shard) requires write ordering by
+    the partition columns; if the within-task sort doesn't satisfy it,
+    Spark substitutes its own sort and the deterministic in-file
+    _shuffle_key order is lost.  Every file must come back sorted by
+    xxhash64(doc_id, seed)."""
+    from welldedup.split import fold_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dd = d.withColumn("fold", fold_expr(F.col("doc_id"), {"train": 0.7, "val": 0.3}))
+    p = str(tmp_path / "ordered")
+    export_corpus(dd, p, n_shards=4, fold_col="fold")
+    back = (
+        spark.read.parquet(p)
+        .withColumn("_f", F.input_file_name())
+        .withColumn("_k", F.xxhash64(F.col("doc_id"), F.lit(0)))
+        .select("_f", "_k")
+        .collect()
+    )
+    per_file = {}
+    for r in back:
+        per_file.setdefault(r._f, []).append(r._k)
+    assert per_file and all(ks == sorted(ks) for ks in per_file.values()), (
+        "in-file _shuffle_key order lost in fold-partitioned export"
+    )

@@ -136,3 +136,14 @@ def test_cross_fold_overlap_family_copies_never_flag(spark):
     # fold; with n=5 the shared "alpha beta gamma delta" run is only 4
     # tokens wide, so no eval doc can overlap train
     assert out.filter(F.col("contaminated")).count() == 0
+
+
+def test_fold_expr_null_key_fails_fast(spark):
+    """A NULL key must raise, not silently become fold=NULL (which a
+    fold-partitioned write would file under __HIVE_DEFAULT_PARTITION__)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(SparkRuntimeException, match="NULL fold key"):
+        df.select(fold_expr(F.col("k")).alias("f")).collect()

@@ -68,15 +68,25 @@ def shuffled_shards(
     n_shards: int,
     seed: int = 0,
     order_col: str = "_shuffle_key",
+    fold_col: str | None = None,
 ) -> DataFrame:
     """df → df + deterministic shuffle key + arithmetic shard id,
     hash-routed into n_shards tasks and sorted within each (one
-    exchange, no global sort, no sampled boundaries)."""
+    exchange, no global sort, no sampled boundaries).
+
+    `fold_col` must lead the within-task sort when the write will
+    partition by (fold, shard): a dynamic-partition write REQUIRES its
+    output ordered by the partition columns, and if the incoming sort
+    doesn't satisfy that, Spark silently substitutes its own
+    (fold, shard)-only sort — which destroys the `order_col` tie order
+    inside every file and with it the deterministic in-file
+    pseudorandom order this module promises."""
     keyed = df.withColumn(
         order_col, F.xxhash64(F.col("doc_id"), F.lit(seed))
     ).withColumn(SHARD_COL, shard_expr(n_shards, order_col))
+    sort_cols = ([fold_col] if fold_col else []) + [SHARD_COL, order_col]
     return keyed.repartition(n_shards, F.col(SHARD_COL)).sortWithinPartitions(
-        SHARD_COL, order_col
+        *sort_cols
     )
 
 
@@ -107,7 +117,7 @@ def export_corpus(
         n_shards = max(1, math.ceil(n_rows / rows_per_shard))
     else:
         n_rows = None
-    out = shuffled_shards(df, n_shards, seed)
+    out = shuffled_shards(df, n_shards, seed, fold_col=fold_col)
     partition_cols = ([fold_col] if fold_col else []) + [SHARD_COL]
     (
         out.drop("_shuffle_key")

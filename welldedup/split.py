@@ -58,14 +58,15 @@ def fold_bounds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     total = sum(r for _, r in items)
     if total > 1.0 + 1e-9 or any(r <= 0 for _, r in items):
         raise ValueError(f"fractions must be positive and sum to <= 1: {fractions}")
+    from .joins import _hex_threshold  # ONE source of truth for the clamp
+
     bounds: list[tuple[str, str]] = []
     cum = 0.0
     for i, (fold, rate) in enumerate(items):
         cum += rate
-        if i == len(items) - 1:
-            bounds.append((fold, "g"))
-        else:
-            bounds.append((fold, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+        # last fold absorbs the remainder: "g" sorts after every hex
+        # digit (same sentinel _hex_threshold uses for rate >= 1)
+        bounds.append((fold, "g" if i == len(items) - 1 else _hex_threshold(cum)))
     return bounds
 
 
@@ -90,7 +91,14 @@ def fold_expr(
     for fold, upper in bounds:
         cond = h < F.lit(upper)
         expr = F.when(cond, F.lit(fold)) if expr is None else expr.when(cond, F.lit(fold))
-    return expr
+    # the chain is total for any NON-NULL key (last bound is "g"); a
+    # NULL key would otherwise yield fold=NULL, which a fold-partitioned
+    # write silently files under __HIVE_DEFAULT_PARTITION__ — fail fast
+    # instead (callers coalesce: cluster_safe_split keys singletons by
+    # their own doc_id).
+    return expr.otherwise(
+        F.raise_error(F.lit("fold_expr: NULL fold key — coalesce the key first"))
+    )
 
 
 def fold_sql_case(
@@ -102,7 +110,8 @@ def fold_sql_case(
     any md5-bearing engine).  `key_sql` is an expression string; it is
     cast to VARCHAR to mirror fold_expr's cast-to-string."""
     bounds = fold_bounds(fractions or DEFAULT_FRACTIONS)
-    h = f"substr(md5('{salt}:' || ({key_sql})::VARCHAR), 1, {_PREFIX_LEN})"
+    salt_sql = salt.replace("'", "''")  # keep the literal well-formed
+    h = f"substr(md5('{salt_sql}:' || ({key_sql})::VARCHAR), 1, {_PREFIX_LEN})"
     whens = " ".join(f"WHEN {h} < '{upper}' THEN '{fold}'" for fold, upper in bounds)
     return f"CASE {whens} END"
 
