@@ -203,3 +203,26 @@ def test_export_fold_preserves_in_file_order(spark, sf_dir, tmp_path):
     assert per_file and all(ks == sorted(ks) for ks in per_file.values()), (
         "in-file _shuffle_key order lost in fold-partitioned export"
     )
+
+
+def test_export_manifest_receipt(spark, sf_dir, tmp_path):
+    """_export_manifest.json is the delivery receipt: counts come from
+    the written files and must equal the input, per fold too."""
+    import json
+
+    from welldedup.split import fold_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    p1 = str(tmp_path / "plain")
+    info = export_corpus(d, p1, n_shards=2)
+    assert info["rows_written"] == n
+    m = json.load(open(f"{p1}/_export_manifest.json"))
+    assert m["rows_written"] == n and m["n_shards"] == 2 and m["fold_col"] is None
+
+    dd = d.withColumn("fold", fold_expr(F.col("doc_id"), {"train": 0.7, "val": 0.3}))
+    p2 = str(tmp_path / "folded")
+    info2 = export_corpus(dd, p2, n_shards=2, fold_col="fold")
+    m2 = json.load(open(f"{p2}/_export_manifest.json"))
+    assert sum(m2["rows_per_fold"].values()) == n == info2["rows_written"]
+    assert set(m2["rows_per_fold"]) == {"train", "val"}

@@ -127,4 +127,30 @@ def export_corpus(
         .format(fmt)
         .save(path)
     )
-    return {"n_rows": n_rows, "n_shards": n_shards, "seed": seed}
+    info = {"n_rows": n_rows, "n_shards": n_shards, "seed": seed}
+    info.update(_write_manifest(df.sparkSession, path, info, fold_col, fmt))
+    return info
+
+
+def _write_manifest(spark, path: str, info: dict, fold_col, fmt: str) -> dict:
+    """`_export_manifest.json` beside `_SUCCESS`: the delivery receipt
+    a trainer (or a later audit) checks without trusting the producer's
+    plan — counts come from the WRITTEN FILES, not from the DataFrame
+    that was supposed to land.  For parquet both counts are
+    metadata-only (footer row counts; the per-fold groupBy keys on a
+    partition directory column), so the receipt costs no data scan at
+    any corpus size.  Underscore prefix → invisible to readers, same
+    convention as `_SUCCESS` / `_ivf_centroids.json`."""
+    import json
+    import os
+
+    back = spark.read.format(fmt).load(path)
+    extra = {"rows_written": back.count()}
+    if fold_col:
+        extra["rows_per_fold"] = {
+            r[fold_col]: r["n"]
+            for r in back.groupBy(fold_col).agg(F.count("*").alias("n")).collect()
+        }
+    with open(os.path.join(path, "_export_manifest.json"), "w") as f:
+        json.dump({**info, **extra, "fold_col": fold_col}, f, default=str)
+    return extra
