@@ -1,0 +1,101 @@
+"""Distributed heavy hitters (G4): Misra-Gries mergeable sketches +
+exact recount (textops.misra_gries_sketches / heavy_hitters).
+
+The driver-suite corpus has a 31-token vocabulary (< k), so the oracled
+query exercises the plumbing but not the pruning; these tests use a
+20k-token vocabulary with planted heavy tokens so eviction and the
+superset guarantee are actually stressed.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.textops import _mg_fold, heavy_hitters, misra_gries_sketches
+
+
+def _skewed_docs(n_docs=2000, n_heavy=5, reps=8, tail=10):
+    """Deterministic corpus: n_heavy tokens at ~reps/(reps+tail) share
+    each split round-robin, plus `tail` globally-unique tokens per doc
+    (vocab ≈ n_docs*tail >> any reasonable k)."""
+    rows = []
+    for i in range(n_docs):
+        toks = [f"h{i % n_heavy}"] * reps + [f"t{i}_{j}" for j in range(tail)]
+        rows.append(" ".join(toks))
+    return pd.DataFrame({"doc_id": range(n_docs), "text": rows})
+
+
+def _exact_counts(pdf):
+    s = pdf["text"].str.split(" ").explode()
+    return s.value_counts()
+
+
+def test_mg_fold_error_bound_and_superset():
+    """Stream a skewed token sequence through _mg_fold in chunks: the
+    surviving estimate undercounts by at most n/(k+1), and every token
+    with true count > n/k survives with a positive counter."""
+    rng = np.random.default_rng(7)
+    heavy = np.repeat([f"H{i}" for i in range(4)], 400)
+    tail = np.array([f"z{i}" for i in range(3000)])
+    stream = rng.permutation(np.concatenate([heavy, tail]))
+    k = 40
+    n = len(stream)
+    run = None
+    for chunk in np.array_split(stream, 7):
+        run = _mg_fold(run, pd.Series(chunk).value_counts(), k)
+    assert len(run) <= k
+    true = pd.Series(stream).value_counts()
+    for tok, cnt in true.items():
+        if cnt * k > n:
+            assert tok in run.index, f"heavy token {tok} evicted"
+            assert run[tok] > 0
+        if tok in run.index:
+            assert run[tok] <= cnt  # never overcounts
+            assert cnt - run[tok] <= n / (k + 1) + 1e-9
+
+
+def test_sketch_union_is_superset_and_bounded(spark):
+    pdf = _skewed_docs()
+    df = spark.createDataFrame(pdf).repartition(8)
+    k = 50
+    sk = misra_gries_sketches(df, k, "text").toPandas()
+    assert len(sk) <= k * 8, "more than k rows from some partition"
+    true = _exact_counts(pdf)
+    n = int(true.sum())
+    heavy = set(true[true * k > n].index)
+    assert heavy, "fixture must plant at least one heavy hitter"
+    assert heavy <= set(sk["token"]), "sketch union lost a true heavy hitter"
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    pdf = _skewed_docs()
+    df = spark.createDataFrame(pdf).repartition(8)
+    k = 50
+    got = heavy_hitters(df, k, "text").toPandas().sort_values("token")
+    true = _exact_counts(pdf)
+    n = int(true.sum())
+    want = true[true * k > n].rename_axis("token").reset_index(name="cnt")
+    want = want.sort_values("token")
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["cnt"]) == [int(c) for c in want["cnt"]]
+    # the planted shape: exactly the n_heavy round-robin tokens
+    assert set(got["token"]) == {f"h{i}" for i in range(5)}
+
+
+def test_heavy_hitters_no_full_vocab_shuffle(spark):
+    """Plan shape: the recount join must be a broadcast (candidates
+    side), so the exploded token stream is pruned map-side and never
+    hash-partitioned on the full vocabulary."""
+    pdf = _skewed_docs(200)
+    df = spark.createDataFrame(pdf).repartition(4)
+    plan = heavy_hitters(df, 50, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_heavy_hitters_empty_when_flat(spark, k):
+    """A flat distribution has no token above n/2 or n/3."""
+    pdf = _skewed_docs(300)
+    df = spark.createDataFrame(pdf)
+    assert heavy_hitters(df, k, "text").count() == 0

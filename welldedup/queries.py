@@ -1629,6 +1629,25 @@ GROUP BY w ORDER BY n DESC, w LIMIT 10
 """
 
 
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """G4 (round 5): exact heavy hitters (count·k > total tokens)
+    via mergeable per-partition Misra-Gries sketches + a recount of
+    the guaranteed-superset candidates — the full token stream is
+    never shuffled (textops.heavy_hitters docstring has the math).
+    Oracled exactly because the recount pass makes the output the
+    same set a full GROUP BY would produce."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.heavy_hitters(d, k=32, col="text")
+
+
+SQL_HEAVY_HITTER_TOKENS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*) AS cnt
+FROM toks, tot GROUP BY token, n HAVING count(*) * 32 > n
+"""
+
+
 def q_order_window_frames(spark, sf_dir):
     """W2 widening — explicit ROWS frame (3 PRECEDING .. 1 PRECEDING)
     plus first_value over the default running frame.  The empty frame
@@ -3317,6 +3336,7 @@ QUERIES = {
     # round-3 widening
     "grouping_sets_orders": q_grouping_sets_orders,
     "word_topk": q_word_topk,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "order_window_frames": q_order_window_frames,
     "part_string_funcs": q_part_string_funcs,
     "regexp_extract_docs": q_regexp_extract_docs,
@@ -3430,6 +3450,7 @@ ORACLES = {
     "setops_custkeys": SQL_SETOPS_CUSTKEYS,
     "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
     "word_topk": SQL_WORD_TOPK,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "order_window_frames": SQL_ORDER_WINDOW_FRAMES,
     "part_string_funcs": SQL_PART_STRING_FUNCS,
     "regexp_extract_docs": SQL_REGEXP_EXTRACT_DOCS,

@@ -103,6 +103,79 @@ def rolling_fingerprint_expr(col: str, width: int = 16):
     return F.aggregate(pieces, F.lit(0).cast("long"), lambda acc, v: F.xxhash64(acc, v))
 
 
+def _mg_fold(run, batch_counts: pd.Series, k: int) -> pd.Series:
+    """Merge a counted multiset into a running Misra-Gries(k) summary.
+
+    Mergeable-summaries form (Agarwal et al., PODS'12): add the counts,
+    then subtract the (k+1)-th largest value from every counter and
+    drop the non-positive ones — at most k survive and every counter's
+    undercount stays ≤ n_seen/(k+1).  Fully pandas-vectorized; the
+    intermediate union is bounded by k + distinct-in-batch."""
+    merged = batch_counts if run is None else run.add(batch_counts, fill_value=0)
+    if len(merged) > k:
+        m = merged.nlargest(k + 1).iloc[-1]
+        merged = merged[merged > m] - m
+    return merged.astype("int64")
+
+
+def misra_gries_sketches(df: DataFrame, k: int, col: str = "text") -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter sketches: ≤ k
+    (token, est) rows per partition, one streaming pass, O(k) state.
+
+    The guarantee that makes the two-pass `heavy_hitters` exact: any
+    token with global frequency > n/k must exceed n_p/k in at least
+    one partition (pigeonhole), and MG(k) never evicts a counter while
+    it is positive after the ≤ n_p/(k+1) total decrement — so the
+    union of partition sketches is a SUPERSET of the true heavy
+    hitters.  Batches stream through `mapInPandas` (Arrow), counting
+    is `value_counts` (C-level), merging is `_mg_fold` — no per-row
+    Python."""
+
+    def _part(batches):
+        run = None
+        for pdf in batches:
+            toks = pdf[col].fillna("").str.split(" ").explode()
+            run = _mg_fold(run, toks.value_counts(), k)
+        if run is not None and len(run):
+            yield pd.DataFrame(
+                {"token": run.index.astype(str), "est": run.values.astype("int64")}
+            )
+
+    return df.select(col).mapInPandas(_part, "token string, est long")
+
+
+def heavy_hitters(df: DataFrame, k: int, col: str = "text") -> DataFrame:
+    """Exact heavy hitters — every token with count*k > total-tokens —
+    WITHOUT ever shuffling the full token stream.
+
+    Two passes, the textbook distributed shape for 100 TB:
+      1. scan: per-partition MG(k) sketches (`misra_gries_sketches`) —
+         candidate union ≤ k·partitions rows, a guaranteed superset;
+      2. scan: exact recount of candidates only — the broadcast inner
+         join prunes the exploded stream map-side, so the groupBy
+         shuffles at most k·partitions distinct keys (partial-agg
+         collapses them per task first).
+    The only other aggregate is the 1-row token total (sum of
+    `F.size`, no explode).  Compare `q_word_topk`, which pays a full
+    (token → count) shuffle on the whole vocabulary: fine at 10^5
+    docs, the bottleneck at 10^12."""
+    cands = misra_gries_sketches(df, k, col).select("token").distinct()
+    toks = df.select(F.explode(F.split(F.col(col), " ")).alias("token"))
+    total = df.select(
+        F.sum(F.size(F.split(F.col(col), " "))).cast("long").alias("n")
+    )
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("n"))
+        .select("token", "cnt")
+    )
+
+
 def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select(
         "*",
