@@ -1,0 +1,81 @@
+"""Session-13 operators: weighted priority sampling
+(joins.priority_sample_topk) and the char-entropy quality gate
+(textops.char_entropy_exprs).  Oracle parity is covered by
+test_oracle_parity; these tests pin the operator-level properties the
+SQL mirror can't express — plan-level determinism across parallelism,
+the DLT weighted-inclusion guarantee, and closed-form entropy values."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from welldedup.joins import priority_sample_topk
+from welldedup.textops import char_entropy_exprs
+
+
+def _py_priority(doc_id: int, w: float, salt: str = "wdps") -> float:
+    """Reference priority, independent reimplementation (hashlib)."""
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
+    u = (int(h, 16) + 1) / 2**32
+    return w / u
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, w long")
+
+
+def test_priority_sample_matches_reference(spark):
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+    got = {
+        r.doc_id
+        for r in priority_sample_topk(_mk(spark, rows), "w", k=25).collect()
+    }
+    want = {
+        i for i, _ in sorted(rows, key=lambda t: (-_py_priority(t[0], t[1]), t[0]))[:25]
+    }
+    assert got == want
+
+
+def test_priority_sample_parallelism_invariant(spark):
+    rows = [(i, i % 50 + 1) for i in range(500)]
+    df = _mk(spark, rows)
+    one = {r.doc_id for r in priority_sample_topk(df.repartition(1), "w", 40).collect()}
+    eight = {r.doc_id for r in priority_sample_topk(df.repartition(8), "w", 40).collect()}
+    assert one == eight
+
+
+def test_priority_sample_heavy_item_always_kept(spark):
+    # w/u for the heavy row >= 10^12 (u <= 1); any unit-weight row caps
+    # at w/u <= 2^32 < 10^12 — the DLT guarantee, not a probabilistic one.
+    rows = [(i, 1) for i in range(100)] + [(999, 10**12)]
+    got = {r.doc_id for r in priority_sample_topk(_mk(spark, rows), "w", 5).collect()}
+    assert 999 in got and len(got) == 5
+
+
+def _ent(spark, text, head=2000):
+    df = spark.createDataFrame([(text,)], "text string")
+    n_dis, ent = char_entropy_exprs("text", head_chars=head)
+    return df.select(n_dis, ent).collect()[0]
+
+
+def test_entropy_degenerate_and_uniform(spark):
+    r = _ent(spark, "aaaa")
+    assert (r.n_distinct_chars, r.char_entropy) == (1, 0.0)
+    r = _ent(spark, "abab")
+    assert (r.n_distinct_chars, r.char_entropy) == (2, 1.0)
+    r = _ent(spark, "abcd" * 8)  # uniform over 4 symbols -> 2 bits
+    assert (r.n_distinct_chars, r.char_entropy) == (4, 2.0)
+
+
+def test_entropy_skewed_closed_form(spark):
+    # p = (1/4, 1/4, 1/2) -> H = 1.5 bits, any symbol order
+    r = _ent(spark, "abcc")
+    assert (r.n_distinct_chars, r.char_entropy) == (3, 1.5)
+
+
+def test_entropy_head_cap(spark):
+    # beyond head_chars the tail must not contribute: 8-char head of
+    # 'ab'*4 is seen, the 'zzzz...' tail is ignored
+    r = _ent(spark, "ab" * 4 + "z" * 100, head=8)
+    assert (r.n_distinct_chars, r.char_entropy) == (2, 1.0)

@@ -191,3 +191,39 @@ def _hex_threshold(rate: float) -> str:
 def sample_thresholds_sql(rates: dict[str, float]) -> dict[str, str]:
     """The same per-stratum hex thresholds for the SQL oracle."""
     return {s: _hex_threshold(r) for s, r in sorted(rates.items())}
+
+
+def priority_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wdps",
+) -> DataFrame:
+    """Weighted priority sampling (Duffield-Lund-Thorup, JACM 2007):
+    every row gets priority w/u with u ~ Uniform(0,1] derived
+    DETERMINISTICALLY from md5(salt:id) (hex32 -> (int+1)/2^32, the
+    same arithmetic the SQL oracle runs); the k largest priorities are
+    a size-k weighted sample without replacement whose
+    Horvitz-Thompson subset-sum estimates are unbiased.  This is the
+    one-pass way to take a token-weighted corpus subsample at 10^12
+    rows: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject —
+    per-partition partial top-k, a single driver merge of
+    k*n_partitions candidate rows — so the corpus is never shuffled
+    and never fully sorted.  Deterministic across engines, plans, and
+    parallelism levels (ties broken on id)."""
+    u64 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u64 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.asc(id_col))
+        .limit(k)
+        .drop("_pri")
+    )

@@ -2064,6 +2064,67 @@ def _sql_stratified_sample() -> str:
 SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample()
 
 
+def q_priority_sample_topk(spark, sf_dir):
+    """Weighted priority sampling (joins.priority_sample_topk): a
+    size-50 token-weighted corpus subsample — long docs proportionally
+    more likely — in ONE pass with no shuffle and no full sort
+    (TakeOrderedAndProject).  The oracle recomputes the identical
+    md5-derived u and w/u priority in SQL, so the selected SET must
+    match exactly."""
+    from .joins import priority_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return priority_sample_topk(d, "n_chars", k=50)
+
+
+SQL_PRIORITY_SAMPLE_TOPK = """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         n_chars / ((CAST(('0x' || substr(md5('wdps:' || doc_id::VARCHAR), 1, 8))
+                          AS BIGINT) + 1) / 4294967296.0) AS pri
+  FROM documents
+)
+ORDER BY pri DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_char_entropy_stats(spark, sf_dir):
+    """Char-distribution Shannon entropy over the doc head
+    (textops.char_entropy_exprs) + a low-entropy flag at 3.0 bits —
+    the minified/base64/binary-junk gate of a code-corpus quality
+    stack.  Pure codegen expressions; both engines fold the SAME
+    sorted count sequence, so the rounded entropy is bit-identical."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_dis, ent = textops.char_entropy_exprs("text")
+    return d.select("doc_id", n_dis, ent).withColumn(
+        "low_entropy", F.col("char_entropy") < 3.0
+    )
+
+
+SQL_CHAR_ENTROPY_STATS = """
+WITH l AS (
+  SELECT doc_id, string_split(substr(text, 1, 2000), '') AS chars
+  FROM documents WHERE n_chars > 0
+), d AS (
+  SELECT doc_id, len(chars) AS n,
+         list_sort(list_transform(list_distinct(chars),
+                   x -> len(list_filter(chars, y -> y = x)))) AS cnts
+  FROM l
+), e AS (
+  SELECT doc_id, CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+         round(-list_reduce(list_prepend(0.0, list_transform(cnts,
+                 k -> (k / n) * log2(k / n))), (acc, t) -> acc + t),
+               4) AS char_entropy
+  FROM d
+)
+SELECT doc_id, n_distinct_chars, char_entropy,
+       char_entropy < 3.0 AS low_entropy
+FROM e
+"""
+
+
 def q_token_pack_bins(spark, sf_dir):
     """Token-budget packing: assign docs to training shards of ~1000
     tokens each, per source, by start-offset binning (bin = cumulative
@@ -3354,6 +3415,8 @@ QUERIES = {
     "asof_join_null_values": q_asof_join_null_values,
     "interval_overlap_events": q_interval_overlap_events,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "priority_sample_topk": q_priority_sample_topk,
+    "char_entropy_stats": q_char_entropy_stats,
     "token_pack_bins": q_token_pack_bins,
     "leakage_safe_split": q_leakage_safe_split,
     "split_leakage_audit": q_split_leakage_audit,
@@ -3466,6 +3529,8 @@ ORACLES = {
     "asof_join_null_values": SQL_ASOF_JOIN_NULL_VALUES,
     "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "priority_sample_topk": SQL_PRIORITY_SAMPLE_TOPK,
+    "char_entropy_stats": SQL_CHAR_ENTROPY_STATS,
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,

@@ -176,6 +176,36 @@ def heavy_hitters(df: DataFrame, k: int, col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy_exprs(col: str, head_chars: int = 2000):
+    """Shannon entropy (bits/char) of the character distribution over
+    the document head — the "natural text vs minified / base64 /
+    binary junk" randomness gate (the Gopher / RefinedWeb filter
+    family applies exactly this class of feature before training).
+
+    Pure Catalyst higher-order array expressions, zero shuffle: split
+    the head into chars, count each distinct char (filter+size), SORT
+    the counts — fixing the float fold order so every engine sums the
+    identical sequence and lands on the same double — then left-fold
+    -(k/n)*log2(k/n).  O(distinct_chars * head_chars) per row, bounded
+    by head_chars; at 100 TB this rides the same single content pass
+    as every other per-file gate.  Caller must exclude empty text
+    (split('') of '' differs across engines)."""
+    chars = F.split(F.substring(F.col(col), 1, head_chars), "")
+    n = F.size(chars)
+    cnts = F.array_sort(
+        F.transform(
+            F.array_distinct(chars),
+            lambda x: F.size(F.filter(chars, lambda y: y == x)),
+        )
+    )
+    p_logp = F.transform(cnts, lambda k: (k / n) * F.log2(k / n))
+    ent = -F.aggregate(p_logp, F.lit(0.0), lambda acc, t: acc + t)
+    return [
+        F.size(cnts).cast("long").alias("n_distinct_chars"),
+        F.round(ent, 4).alias("char_entropy"),
+    ]
+
+
 def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select(
         "*",
