@@ -1,0 +1,61 @@
+"""Sorted-neighborhood candidate generation (lsh.snm_pairs) — the
+operator-level properties the SQL oracle mirror can't express: the
+O(n*window) pair budget, within-block adjacency capture, and
+plan/parallelism invariance."""
+
+from pyspark.sql import functions as F
+
+from welldedup.lsh import snm_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, bkey string")
+
+
+def test_snm_adjacent_prefix_dups_paired(spark):
+    # two near-identical headers sort adjacently inside their block
+    rows = [
+        (1, "aaaheader001"),
+        (2, "aaaheader002"),  # neighbor of 1 (offset 1)
+        (3, "zzzelsewhere"),
+        (4, "aaazheaderxx"),  # same 3-char block as 1,2 but sorts after
+    ]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in snm_pairs(_docs(spark, rows), window=1, block_chars=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (2, 4) in pairs  # within-block chain continues
+    assert not any(3 in p for p in pairs)  # different block never pairs
+
+
+def test_snm_pair_budget_and_no_dup_pairs(spark):
+    n, w = 100, 3
+    rows = [(i, f"k{i % 7:02d}x{i:04d}") for i in range(n)]
+    got = snm_pairs(_docs(spark, rows), window=w, block_chars=3).collect()
+    assert len(got) <= n * w
+    unordered = [(r.id_a, r.id_b) for r in got]
+    assert len(unordered) == len(set(unordered))
+    assert all(r.id_a < r.id_b for r in got)
+
+
+def test_snm_parallelism_invariant(spark):
+    rows = [(i, f"b{i % 5}k{(i * 31) % 97:03d}") for i in range(300)]
+    df = _docs(spark, rows)
+    one = {
+        (r.id_a, r.id_b, r.w_off)
+        for r in snm_pairs(df.repartition(1), window=2, block_chars=2).collect()
+    }
+    eight = {
+        (r.id_a, r.id_b, r.w_off)
+        for r in snm_pairs(df.repartition(8), window=2, block_chars=2).collect()
+    }
+    assert one == eight
+
+
+def test_snm_plan_partitions_by_block_not_global(spark):
+    # the window must partition on the block prefix — a global-order
+    # window would serialize 10^12 rows into one task
+    df = _docs(spark, [(i, f"p{i:03d}") for i in range(10)])
+    plan = snm_pairs(df, window=2, block_chars=2)._jdf.queryExecution().executedPlan().toString()
+    assert "_blk" in plan and "Window" in plan

@@ -228,3 +228,57 @@ def exact_dup_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") != F.col("id_a"))
         .select("id_a", F.col("doc_id").alias("id_b"), F.lit("exact").alias("src"))
     )
+
+
+def snm_pairs(
+    docs: DataFrame,
+    key_col: str = "bkey",
+    id_col: str = "doc_id",
+    window: int = 3,
+    block_chars: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995, the multi-pass SNM): rows sorted by a blocking key, each row
+    paired with its next `window` neighbors.  The classic complement
+    to LSH — it catches prefix-structured near-dups (same header, tail
+    edits) with a FIXED O(n*window) pair budget, no banding tuning.
+
+    Scale shape: the window is partitioned by the first `block_chars`
+    of the key, NOT a global order — a partitionBy-less window would
+    funnel 10^12 rows into one task.  Within-block lead() is one
+    shuffle on the block prefix; neighbors straddling a block boundary
+    are the multi-PASS part of multi-pass SNM (run again with a
+    different key, exactly as the paper prescribes), not a reason to
+    serialize the sort.  Deterministic: total order (key, id) within
+    every block.
+
+    Emits (id_a, id_b, w_off) with id_a < id_b, w_off = neighbor
+    offset 1..window.
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.substring(F.col(key_col), 1, block_chars).alias("_blk"),
+    )
+    w = Window.partitionBy("_blk").orderBy(key_col, id_col)
+    # leads materialize in their own projection first: Spark rejects
+    # window expressions nested inside a generator
+    led = d.select(
+        F.col(id_col),
+        *[F.lead(id_col, k).over(w).alias(f"_n{k}") for k in range(1, window + 1)],
+    )
+    nbrs = F.array(
+        *[
+            F.struct(F.col(f"_n{k}").alias("nid"), F.lit(k).alias("w_off"))
+            for k in range(1, window + 1)
+        ]
+    )
+    return (
+        led.select(F.col(id_col).alias("_sid"), F.explode(nbrs).alias("nb"))
+        .filter(F.col("nb.nid").isNotNull())
+        .select(
+            F.least("_sid", "nb.nid").alias("id_a"),
+            F.greatest("_sid", "nb.nid").alias("id_b"),
+            F.col("nb.w_off").cast("long").alias("w_off"),
+        )
+    )

@@ -2090,6 +2090,53 @@ LIMIT 50
 """
 
 
+def q_sorted_neighborhood_pairs(spark, sf_dir):
+    """Multi-pass sorted-neighborhood candidate generation
+    (lsh.snm_pairs): docs keyed by a whitespace-stripped lowercased
+    head prefix, each paired with its next 3 neighbors inside an
+    8-char block partition — O(n·window) pairs, one shuffle on the
+    block prefix, no global sort.  The LSH complement for
+    prefix-structured near-dups."""
+    from .lsh import snm_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.substring("text", 1, 120)), r"\s+", ""),
+            1,
+            24,
+        ).alias("bkey"),
+    )
+    return snm_pairs(d, window=3, block_chars=8)
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = r"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(substr(text, 1, 120)), '\s+', '', 'g'),
+                1, 24) AS bkey
+  FROM documents
+), b AS (
+  SELECT doc_id, bkey, substr(bkey, 1, 8) AS blk FROM k
+), n AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER w AS n1,
+         lead(doc_id, 2) OVER w AS n2,
+         lead(doc_id, 3) OVER w AS n3
+  FROM b WINDOW w AS (PARTITION BY blk ORDER BY bkey, doc_id)
+)
+SELECT least(doc_id, nid) AS id_a, greatest(doc_id, nid) AS id_b,
+       CAST(w_off AS BIGINT) AS w_off
+FROM (
+  SELECT doc_id, n1 AS nid, 1 AS w_off FROM n WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, n2 AS nid, 2 AS w_off FROM n WHERE n2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, n3 AS nid, 3 AS w_off FROM n WHERE n3 IS NOT NULL
+)
+"""
+
+
 def q_char_entropy_stats(spark, sf_dir):
     """Char-distribution Shannon entropy over the doc head
     (textops.char_entropy_exprs) + a low-entropy flag at 3.0 bits —
@@ -3417,6 +3464,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "priority_sample_topk": q_priority_sample_topk,
     "char_entropy_stats": q_char_entropy_stats,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "token_pack_bins": q_token_pack_bins,
     "leakage_safe_split": q_leakage_safe_split,
     "split_leakage_audit": q_split_leakage_audit,
@@ -3531,6 +3579,7 @@ ORACLES = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "priority_sample_topk": SQL_PRIORITY_SAMPLE_TOPK,
     "char_entropy_stats": SQL_CHAR_ENTROPY_STATS,
+    "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "token_pack_bins": SQL_TOKEN_PACK_BINS,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
