@@ -119,6 +119,13 @@ def parse_args(argv=None):
     )
     p.add_argument("--max-line-len", type=int, default=None)
     p.add_argument("--min-alpha-frac", type=float, default=None)
+    p.add_argument(
+        "--min-char-entropy",
+        type=float,
+        default=None,
+        help="curate: reject docs whose head char-entropy (bits) is "
+        "below this floor (textops.char_entropy_exprs)",
+    )
     p.add_argument("--drop-autogen", action="store_true")
     p.add_argument(
         "--scrub-pii",
@@ -260,6 +267,7 @@ def run_curate(spark, args, cfg) -> dict:
         ),
         max_line_len=args.max_line_len,
         min_alpha_frac=args.min_alpha_frac,
+        min_char_entropy=args.min_char_entropy,
         drop_autogen=args.drop_autogen,
         scrub_pii=args.scrub_pii,
         cut_repetitions_min_len=args.cut_repetitions,

@@ -242,3 +242,28 @@ def test_cut_repetitions_rewrites_survivors(spark):
     assert len(kept[1]) <= len(block) + len(filler) + 16
     reasons = {r.doc_id: r.drop_reason for r in res.decisions.collect()}
     assert reasons[1] is None and reasons[2] is None
+
+
+def test_entropy_gate_drops_minified_junk(spark):
+    # base64-ish junk has high entropy; the gate targets the OTHER
+    # tail: degenerate low-entropy heads (padding, single-char runs)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "def f(x):\n    return x + 1\n",  # normal code
+                    "a" * 500,                          # 0-bit head
+                    "ababababab" * 50,                  # 1-bit head
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+            }
+        )
+    )
+    res = curate(spark, docs, CurateConfig(min_char_entropy=3.0))
+    got = {r.doc_id: r.drop_reason for r in res.decisions.collect()}
+    assert got == {1: None, 2: "quality", 3: "quality"}
+    # gate off -> all kept
+    res2 = curate(spark, docs, CurateConfig())
+    assert all(r.drop_reason is None for r in res2.decisions.collect())

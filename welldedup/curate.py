@@ -68,6 +68,9 @@ class CurateConfig:
     max_line_len: int | None = None
     min_alpha_frac: float | None = None
     drop_autogen: bool = False
+    # char-entropy floor in bits (textops.char_entropy_exprs): rejects
+    # minified/base64/binary-junk heads.  None disables the gate.
+    min_char_entropy: float | None = None
     max_dup_line_frac: float = 0.9
     max_top_bigram_frac: float = 0.9
     decontam_ngram: int = 3
@@ -139,6 +142,13 @@ def _quality_reject(cfg: "CurateConfig") -> F.Column:
         cond = cond | (F.coalesce(alpha, F.lit(0.0)) < cfg.min_alpha_frac)
     if cfg.drop_autogen:
         cond = cond | autogen
+    if cfg.min_char_entropy is not None:
+        from .textops import char_entropy_exprs
+
+        _ndis, ent = char_entropy_exprs("text")
+        # NULL/empty text carries no information: fail the floor, same
+        # null-safety rule as the alpha gate above
+        cond = cond | (F.coalesce(ent, F.lit(0.0)) < cfg.min_char_entropy)
     return cond
 
 
