@@ -1,0 +1,215 @@
+"""Federated store merge (federate.merge_stores): combining two
+independently-built stores must reproduce the full-corpus run's
+clusters exactly, with zero content passes — including when the stores
+overlap, when cap/drop policy divergence is planted on EITHER side
+(both stores carry baked closures, unlike the fold-in's one), and
+under argument order swap."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import boiler_docs
+from welldedup import DedupConfig, run_pipeline
+from welldedup.federate import merge_stores
+from welldedup.fixtures import corpus_to_pandas, make_corpus
+from welldedup.io import StageStore
+
+
+def _labels(res) -> dict:
+    return {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+
+
+def _store(spark, cf, cfg, root) -> StageStore:
+    st = StageStore(root=str(root), config_hash=cfg.config_hash())
+    run_pipeline(spark, spark.createDataFrame(cf), cfg, store=st)
+    return st
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    """Two 150-doc stores over one 300-doc planted corpus — the planted
+    dup groups straddle the interleaved split, so the merge must find
+    cross-store evidence, not just union labels."""
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    cf, _truth = corpus_to_pandas(make_corpus(300, seed=42))
+    a, b = cf.iloc[0::2], cf.iloc[1::2]  # interleaved: dups straddle
+    full = run_pipeline(spark, spark.createDataFrame(cf), cfg)
+    root = tmp_path_factory.mktemp("fed")
+    sa = _store(spark, a, cfg, root / "a")
+    sb = _store(spark, b, cfg, root / "b")
+    return cfg, a, b, full, sa, sb
+
+
+@pytest.fixture(scope="module")
+def merged(spark, setup):
+    cfg, _a, _b, _full, sa, sb = setup
+    return merge_stores(spark, sa, sb, cfg)
+
+
+def test_merge_matches_full_run(setup, merged):
+    _cfg, a, b, full, _sa, _sb = setup
+    assert _labels(merged) == _labels(full)
+    assert merged.docs.count() == len(a) + len(b)
+    assert merged.signatures.count() == len(a) + len(b)
+
+
+def test_merge_is_symmetric(spark, setup, merged):
+    """merge(A,B) and merge(B,A) must agree — labels are min-doc-id
+    over the component, independent of which side is 'delta'."""
+    cfg, _a, _b, full, sa, sb = setup
+    swapped = merge_stores(spark, sb, sa, cfg)
+    assert _labels(swapped) == _labels(merged) == _labels(full)
+
+
+def test_merge_found_cross_store_pairs(setup, merged):
+    """The interleaved split guarantees cross-store dup pairs exist; if
+    the merge emitted none, it degenerated to a label union."""
+    _cfg, _a, _b, full, _sa, _sb = setup
+    assert merged.verified_pairs.filter("dup").count() > 0
+    # and the full run really does have non-singleton clusters
+    lbl = _labels(full)
+    assert len(set(lbl.values())) < len(lbl)
+
+
+def test_merge_plans_read_no_content(merged):
+    """Zero content passes: no plan in the merge may reference a
+    content column (the checkpoints do not even carry one)."""
+    for df in (merged.candidate_pairs, merged.verified_pairs, merged.clusters):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content#" not in plan
+        assert "MapInArrow" not in plan
+
+
+def test_merge_overlapping_stores(spark, setup, tmp_path):
+    """Stores that share rows (both crawls picked up the same repos)
+    merge to the doc_id-distinct union with full-run labels."""
+    cfg, a, b, full, sa, _sb = setup
+    b_plus = pd.concat([b, a.iloc[:40]])  # B also carries 40 of A's docs
+    sb2 = _store(spark, b_plus, cfg, tmp_path / "b_overlap")
+    res = merge_stores(spark, sa, sb2, cfg)
+    assert _labels(res) == _labels(full)
+    assert res.docs.count() == len(a) + len(b)
+
+
+def test_merge_divergence_repair_either_side(spark, tmp_path):
+    """The cap/drop policy hazard, planted so that EACH side's baked
+    closure is invalid under merged policy: a boiler group under
+    drop_bucket_over inside each store alone, over it when merged.
+    Both stores emitted pairs the full rerun suppresses (it sees the
+    merged bucket size and drops the bucket to singletons); the
+    symmetric detection must repair BOTH closures."""
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
+    fill_a, _ = corpus_to_pandas(make_corpus(40, seed=7))
+    fill_b, _ = corpus_to_pandas(make_corpus(40, seed=13))
+    a = pd.concat([boiler_docs(5), fill_a])
+    b = pd.concat([boiler_docs(5, start=100), fill_b])
+    both = pd.concat([a, b])
+
+    full = run_pipeline(spark, spark.createDataFrame(both), cfg)
+    sa = _store(spark, a, cfg, tmp_path / "a")
+    sb = _store(spark, b, cfg, tmp_path / "b")
+    res = merge_stores(spark, sa, sb, cfg)
+
+    full_labels = _labels(full)
+    assert _labels(res) == full_labels
+    # fixture sanity: the merged boiler group (10 docs > D=8) really is
+    # singletons in the full run, while each store alone clustered its 5
+    boiler_ids = [
+        r.doc_id
+        for r in run_pipeline(
+            spark, spark.createDataFrame(boiler_docs(5)), cfg
+        ).docs.collect()
+    ]
+    assert all(full_labels[d] == d for d in boiler_ids), (
+        "fixture drift: merged boiler group no longer crosses drop_bucket_over"
+    )
+    a_only = {r.doc_id: r.cluster_id for r in sa.read("clusters", spark).collect()}
+    assert any(a_only[d] != d for d in boiler_ids), (
+        "fixture drift: store A no longer clusters its boiler docs alone"
+    )
+
+
+def test_merge_divergence_b_side_all_shared(spark, tmp_path):
+    """B-side detection must use B's FULL rows, not just the B-delta:
+    here B's members of the divergent bucket are ALL shared with A, so
+    no B-delta row ever lands in the bucket and the A-vs-delta
+    direction is structurally blind to it.  A saw all 11 boiler docs
+    and dropped the bucket (labels valid); B saw only its 5 and paired
+    them (closure invalid under merged policy) — only the
+    full-B-vs-A-only direction can flag and repair it."""
+    cfg = DedupConfig(methods=("minhash",), max_bucket=8, drop_bucket_over=8)
+    fill_a, _ = corpus_to_pandas(make_corpus(40, seed=7))
+    fill_b, _ = corpus_to_pandas(make_corpus(40, seed=13))
+    boilers = boiler_docs(11)
+    a = pd.concat([boilers, fill_a])
+    b = pd.concat([boilers.iloc[:5], fill_b])  # B's boilers ⊂ A's
+    both = pd.concat([a, fill_b])
+
+    full = run_pipeline(spark, spark.createDataFrame(both), cfg)
+    sa = _store(spark, a, cfg, tmp_path / "a")
+    sb = _store(spark, b, cfg, tmp_path / "b")
+    full_labels = _labels(full)
+    assert _labels(merge_stores(spark, sa, sb, cfg)) == full_labels
+    # swapped order flags the same group through the mirrored direction
+    assert _labels(merge_stores(spark, sb, sa, cfg)) == full_labels
+    # fixture sanity: full run → boiler singletons; B alone paired its 5
+    b_only = {r.doc_id: r.cluster_id for r in sb.read("clusters", spark).collect()}
+    boiler_ids = [
+        r.doc_id
+        for r in run_pipeline(
+            spark, spark.createDataFrame(boilers.iloc[:5]), cfg
+        ).docs.collect()
+    ]
+    assert all(full_labels[d] == d for d in boiler_ids)
+    assert any(b_only[d] != d for d in boiler_ids)
+
+
+def test_merge_chains_via_out_store(spark, setup, tmp_path):
+    """merge → out_store → a later fold-in chains on the result and
+    still matches the from-scratch run over all three batches."""
+    from welldedup.incremental import update_pipeline
+
+    cfg, a, b, _full, sa, sb = setup
+    extra, _ = corpus_to_pandas(make_corpus(60, seed=99))
+    out = StageStore(root=str(tmp_path / "merged"), config_hash=cfg.config_hash())
+    merge_stores(spark, sa, sb, cfg, out_store=out)
+    for needed in ("signatures", "docs", "clusters"):
+        assert out.is_complete(needed), needed
+    upd = update_pipeline(spark, spark.createDataFrame(extra), cfg, store=out)
+    full3 = run_pipeline(
+        spark, spark.createDataFrame(pd.concat([a, b, extra])), cfg
+    )
+    assert _labels(upd) == _labels(full3)
+
+
+def test_merge_guards(spark, setup, tmp_path):
+    cfg, _a, _b, _full, sa, sb = setup
+    with pytest.raises(ValueError, match="different stores"):
+        merge_stores(spark, sa, sa, cfg)
+    other = DedupConfig(methods=("minhash",), shingle_k=7)
+    with pytest.raises(ValueError, match="different config"):
+        merge_stores(spark, sa, sb, other)
+    empty = StageStore(root=str(tmp_path / "nope"), config_hash=cfg.config_hash())
+    with pytest.raises(ValueError, match="incomplete"):
+        merge_stores(spark, sa, empty, cfg)
+    with pytest.raises(ValueError, match="out_store"):
+        merge_stores(spark, sa, sb, cfg, out_store=sa)
+    with pytest.raises(ValueError, match="substr_exact_verify"):
+        merge_stores(
+            spark, sa, sb,
+            DedupConfig(methods=("minhash", "simhash", "substr"),
+                        substr_exact_verify=True),
+        )
+
+
+def test_merge_rejects_sha_clash(spark, setup, tmp_path):
+    """A doc_id present in both stores with different content bytes is
+    a violated per-row invariant — the merge must refuse."""
+    cfg, a, _b, _full, sa, _sb = setup
+    clash = a.iloc[:5].copy()
+    clash["content"] = clash["content"] + "MUTATED\n"
+    sb_bad = _store(spark, clash, cfg, tmp_path / "bad")
+    with pytest.raises(ValueError, match="content_sha256"):
+        merge_stores(spark, sa, sb_bad, cfg)

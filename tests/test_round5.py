@@ -36,6 +36,7 @@ ROWS_ONLY_EXPECTED = {
     "candidate_pairs_minhash": None,
     "dedup_pipeline_clusters": 500,  # one label per input doc
     "incremental_update_clusters": 500,  # run half + update half: every doc labeled
+    "merge_stores_clusters": 500,    # two half-stores merged: every doc labeled
     "retract_clusters": 450,         # 500 docs minus every 10th retracted
     "span_cut_stats": 500,           # left join keeps every doc
     "self_repetition_cut": 500,      # left join keeps every doc

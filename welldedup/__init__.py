@@ -13,6 +13,7 @@ from .config import DEFAULT, DedupConfig
 from .curate import CurateConfig, CurateResult, curate
 from .export import export_corpus
 from .fork import repo_fork_pairs, repo_fork_pairs_sketched, vendor_search
+from .federate import merge_stores
 from .incremental import screen_against_store, update_pipeline
 from .pipeline import PipelineResult, run_pipeline
 from .tuning import band_plan
@@ -36,6 +37,7 @@ __all__ = [
     "PipelineResult",
     "update_pipeline",
     "screen_against_store",
+    "merge_stores",
     "retract_docs",
     "CurateConfig",
     "CurateResult",

@@ -1,0 +1,372 @@
+"""Federated store merge: combine TWO independently-built dedup stores
+into one consistent corpus with ZERO content passes, labels
+bit-identical to a full pipeline rerun over the union.
+
+The day-2 operation this serves at 10^12-file scale: two corpora were
+crawled and deduplicated on different clusters (two regions, two
+acquisition pipelines, a vendor drop plus the in-house crawl), each
+leaving a completed StageStore (signatures / docs / clusters, written
+under the SAME DedupConfig — identical shingle/signature config is the
+comparability contract, BASELINE.json).  Combining them must not rerun
+the pipeline over 2× the corpus: every byte of evidence the merged run
+needs is already in the two fused signature checkpoints (minhash,
+simhash, CDC fingerprints, line_sig/edit_prefix — SURVEY.md §1.2), so
+the merge reads ONLY compact columnar checkpoints.
+
+Relationship to `incremental.update_pipeline` (whose machinery this
+reuses): the fold-in has ONE baked transitive closure (the store's) and
+one label-free delta that arrives as raw content.  A merge has baked
+closures on BOTH sides and no content anywhere, which changes two
+things:
+
+  1. no content pass at all — the "delta" signatures are B's
+     checkpoint rows (anti-joined on doc_id against A, so stores that
+     overlap — e.g. both crawls picked up the same repos — merge
+     cleanly; a shared doc_id's signatures are bit-identical in both
+     stores because signatures are deterministic functions of content
+     and doc_id = xxhash64(repo,path,commit));
+  2. the capped/dropped pair-emit policy-divergence detection
+     (incremental._divergent_keys — the one place a checkpoint fold
+     can differ from a full rerun) must run SYMMETRICALLY:
+       - A-side: A's baked bucket lists vs the arriving B-delta rows
+         (exactly the fold-in's check), and
+       - B-side: B's FULL baked bucket lists vs the A-only rows that
+         the merge adds around them.  Full, not delta: B's closure was
+         built over all B docs including any shared with A, and the
+         arriving side is "A minus B" — this direction also catches
+         groups with NO B-delta member at all (all-shared B membership
+         plus A-only arrivals can cross `drop_bucket_over` even though
+         the A-vs-B-delta check never sees the group).
+     Both directions are exact (base and delta sides are doc-disjoint
+     by construction), so the repair scope stays minimal.
+
+Divergent groups' docs are repaired exactly as the fold-in repairs
+them: the affected clusters (whole clusters — a baked closure cannot be
+subtracted doc-wise) drop their star edges PER STORE and their docs
+ride the probe's new side, regenerating merged-policy evidence from
+checkpointed signatures.  A shared doc repaired on one side keeps the
+other store's still-valid closure.
+
+Cost model: no content I/O; per method one scan of each store's bucket
+rows + two group-key semi-joins (the B-side detection's key-distinct is
+O(A-only group keys) — the same order as the bucket stage itself, which
+is what a merge fundamentally is); pair emit runs only inside groups
+that actually gained members; CC rides (A labels ∪ B labels ∪ new
+edges) as star edges.  In prod the merged signatures/docs land as
+Iceberg appends; here `out_store` rewrites them (parquet has no
+transactional append), under the canonical stage names so a later
+`update_pipeline` / `merge_stores` can chain on the result.
+
+Bit-identity with the full rerun is tested in tests/test_federate.py,
+including planted cap/drop crossings on each side, overlapping stores,
+and argument symmetry (merge(A,B) ≡ merge(B,A) ≡ full rerun).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cluster as cc
+from . import lsh, substr, verify
+from .config import DedupConfig
+from .incremental import (
+    _at_least_one_new,
+    _divergent_keys,
+    _touched,
+    method_group_rows,
+)
+from .io import StageStore
+from .metrics import StageTimer
+from .pipeline import PipelineResult, dedup_pairs_by_priority
+
+
+def merge_stores(
+    spark: SparkSession,
+    store_a: StageStore,
+    store_b: StageStore,
+    cfg: DedupConfig | None = None,
+    out_store: StageStore | None = None,
+) -> PipelineResult:
+    """Merge two completed pipeline stores into one corpus.
+
+    Returns a PipelineResult whose docs/signatures are the MERGED
+    tables (doc_id-distinct union), whose candidate/verified pairs are
+    the merge's newly-generated evidence only (cross-store and
+    repaired groups), and whose clusters cover the whole union —
+    bit-identical to `run_pipeline` over the concatenated inputs.
+    When `out_store` is given, merged signatures/docs/clusters land
+    there under the canonical stage names (chainable), and the merge
+    deltas under `candidate_pairs_merge` / `verified_pairs_merge`.
+    """
+    cfg = cfg or DedupConfig()
+    if store_a is None or store_b is None:
+        raise ValueError("merge_stores needs two completed stores")
+    if store_a.root == store_b.root:
+        raise ValueError("store_a and store_b must be different stores")
+    if cfg.substr_exact_verify:
+        # same contract as the fold-in: the merge is content-free by
+        # design and cannot run the exact-LCS verification pass
+        raise ValueError(
+            "substr_exact_verify is not supported by the content-free "
+            "store merge: run the full pipeline over the union instead"
+        )
+    for name, st in (("store_a", store_a), ("store_b", store_b)):
+        if st.config_hash != cfg.config_hash():
+            raise ValueError(
+                f"{name} was built under a different config — identical "
+                f"shingle/signature config is part of the comparability "
+                f"contract (BASELINE.json)"
+            )
+        for needed in ("signatures", "docs", "clusters"):
+            if not st.is_complete(needed):
+                raise ValueError(f"{name} stage '{needed}' is incomplete")
+    if out_store is not None and out_store.root in (store_a.root, store_b.root):
+        raise ValueError(
+            "out_store must differ from both inputs: lazy reads of the "
+            "input checkpoints would race the overwrite"
+        )
+
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return _merge_inner(spark, cfg, store_a, store_b, out_store)
+
+
+def _merge_inner(
+    spark: SparkSession,
+    cfg: DedupConfig,
+    store_a: StageStore,
+    store_b: StageStore,
+    out_store: StageStore | None,
+) -> PipelineResult:
+    timer = StageTimer()
+    seconds: dict[str, float] = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        t0 = time.monotonic()
+        if out_store is not None:
+            out = out_store.write(name, df)
+            rows = out_store.read_manifest(name).get("rows")
+        else:
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+        seconds[name] = time.monotonic() - t0
+        timer.record(name, None, rows, int(seconds[name] * 1000))
+        return out
+
+    a_sigs = store_a.read("signatures", spark)
+    a_docs = store_a.read("docs", spark)
+    a_clusters = store_a.read("clusters", spark)
+    b_sigs = store_b.read("signatures", spark)
+    b_docs = store_b.read("docs", spark)
+    b_clusters = store_b.read("clusters", spark)
+
+    # --- 0. overlap: doc_ids present in both stores must agree on the
+    # per-row invariant (content sha256 — BASELINE.json); a mismatch is
+    # a corrupted store or an id collision and must fail loudly, never
+    # merge silently.  Compact-column equi-join; first() fetches at
+    # most one row to the driver.
+    clash = (
+        b_docs.select("doc_id", F.col("content_sha256").alias("_shb"))
+        .join(
+            a_docs.select("doc_id", F.col("content_sha256").alias("_sha")),
+            "doc_id",
+        )
+        .filter(F.col("_sha") != F.col("_shb"))
+        .first()
+    )
+    if clash is not None:
+        raise ValueError(
+            f"doc_id {clash['doc_id']} has different content_sha256 in the "
+            f"two stores — refusing to merge (per-row invariant violated)"
+        )
+    b_delta_ids = (
+        b_docs.join(a_docs.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    b_sigs_d = b_sigs.join(b_delta_ids, "doc_id", "leftsemi")
+    b_docs_d = b_docs.join(b_delta_ids, "doc_id", "leftsemi")
+    sigs_all = a_sigs.unionByName(b_sigs_d)
+    docs_all = a_docs.unionByName(b_docs_d)
+
+    # --- 1. symmetric policy-divergence detection (see module doc).
+    # Per method: touched_a = A rows in groups gaining B-delta members
+    # (doubles as the probe's old side in the no-repair case, exactly
+    # like the fold-in); touched_b = B's FULL rows in groups gaining
+    # A-only members.  Base/delta sides are doc-disjoint in both
+    # directions, so the detection thresholds see exact merged counts.
+    a_only_sigs = a_sigs.join(b_docs.select("doc_id"), "doc_id", "left_anti")
+
+    frames: dict[str, tuple[DataFrame, DataFrame, list[str]]] = {}
+    div_a_parts: list[DataFrame] = []
+    div_b_parts: list[DataFrame] = []
+    for m in ("minhash", "simhash", "substr", "weighted"):
+        if m not in cfg.methods:
+            continue
+        rows_bd, keys = method_group_rows(m, b_sigs_d, cfg)
+        rows_a, _ = method_group_rows(m, a_sigs, cfg)
+        touched_a = _touched(rows_a, rows_bd, keys).localCheckpoint(eager=True)
+        frames[m] = (rows_bd, touched_a, keys)
+        div_a_parts.append(
+            _divergent_keys(touched_a, rows_bd, keys, cfg).select(
+                F.explode("_bl").alias("doc_id")
+            )
+        )
+        rows_b_full, _ = method_group_rows(m, b_sigs, cfg)
+        rows_a_only, _ = method_group_rows(m, a_only_sigs, cfg)
+        touched_b = _touched(rows_b_full, rows_a_only, keys).localCheckpoint(
+            eager=True
+        )
+        div_b_parts.append(
+            _divergent_keys(touched_b, rows_a_only, keys, cfg).select(
+                F.explode("_bl").alias("doc_id")
+            )
+        )
+
+    def _repair_scope(parts: list[DataFrame], clusters: DataFrame, name: str):
+        """Whole-cluster closure of the divergent docs in ONE store —
+        per-store scopes stay separate because a shared doc repaired on
+        one side keeps the other store's still-valid closure."""
+        if not parts:
+            return None, 0
+        u = parts[0]
+        for d in parts[1:]:
+            u = u.unionByName(d)
+        hit = (
+            clusters.join(u.distinct(), "doc_id", "leftsemi")
+            .select("cluster_id")
+            .distinct()
+        )
+        t0 = time.monotonic()
+        scope = (
+            clusters.join(hit, "cluster_id", "leftsemi")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n = scope.count()
+        timer.record(name, None, n, int((time.monotonic() - t0) * 1000))
+        return (scope if n else None), n
+
+    repair_a, n_rep_a = _repair_scope(div_a_parts, a_clusters, "repair_scope_a")
+    repair_b, n_rep_b = _repair_scope(div_b_parts, b_clusters, "repair_scope_b")
+    n_repair = n_rep_a + n_rep_b
+
+    # --- 2. candidate pairs: only groups that gained members generate
+    # evidence; pairs must touch >= 1 "new" doc (B-delta or repaired —
+    # everything else's connectivity is baked in the star edges)
+    if n_repair:
+        rep = repair_a if repair_b is None else (
+            repair_b if repair_a is None
+            else repair_a.unionByName(repair_b).distinct()
+        )
+        new_ids = b_delta_ids.unionByName(rep).distinct().localCheckpoint(eager=True)
+    else:
+        new_ids = b_delta_ids
+    new_sigs = sigs_all.join(new_ids, "doc_id", "leftsemi")
+    old_sigs_side = sigs_all.join(new_ids, "doc_id", "left_anti")
+
+    parts: list[DataFrame] = []
+    # exact: sha groups gaining members re-star over their union; each
+    # store's internal exact closure is already in its labels (exact
+    # grouping is uncapped, so it can never diverge)
+    new_sha = docs_all.join(new_ids, "doc_id", "leftsemi").select(
+        "doc_id", "content_sha256"
+    )
+    old_sha = docs_all.join(new_ids, "doc_id", "left_anti").select(
+        "doc_id", "content_sha256"
+    )
+    touched_sha = _touched(old_sha, new_sha.select("content_sha256"), ["content_sha256"])
+    parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(new_sha)))
+
+    def _probe_rows(method: str) -> DataFrame:
+        """(new ∪ touched-old) group rows for one method — the
+        detection pass's materialized frames are reused verbatim when
+        no repair fired (one A-bucket scan per method total)."""
+        if n_repair:
+            nb, keys = method_group_rows(method, new_sigs, cfg)
+            ob, _ = method_group_rows(method, old_sigs_side, cfg)
+            return nb.unionByName(_touched(ob, nb, keys))
+        rows_bd, touched_a, _keys = frames[method]
+        return rows_bd.unionByName(touched_a)
+
+    if "minhash" in cfg.methods:
+        parts.append(
+            lsh.candidate_pairs_from_buckets(_probe_rows("minhash"), cfg, "minhash")
+        )
+    if "simhash" in cfg.methods:
+        parts.append(
+            lsh.candidate_pairs_from_buckets(_probe_rows("simhash"), cfg, "simhash")
+        )
+    if "weighted" in cfg.methods:
+        parts.append(
+            lsh.candidate_pairs_from_buckets(_probe_rows("weighted"), cfg, "weighted")
+        )
+    if "substr" in cfg.methods:
+        fpin = _probe_rows("substr")
+        if n_repair:
+            # fingerprint_pairs scans its input twice (count + lists)
+            fpin = fpin.localCheckpoint(eager=True)
+        parts.append(substr.fingerprint_pairs(fpin, cfg))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    pairs = stage(
+        "candidate_pairs_merge",
+        _at_least_one_new(dedup_pairs_by_priority(allp), new_ids),
+    )
+
+    # --- 3. verify (content-free: fused columns carry everything)
+    by_construction = pairs.filter(F.col("src").isin("exact", "substr")).select(
+        "id_a", "id_b", "src",
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+        F.lit(None).cast("double").alias("edit_sim"),
+        F.lit(True).alias("dup"),
+    )
+    near = pairs.filter(~F.col("src").isin("exact", "substr"))
+    verified = stage(
+        "verified_pairs_merge",
+        verify.verify_near_pairs(near, sigs_all, cfg).unionByName(by_construction),
+    )
+
+    # --- 4. clusters: each store's labels (minus its repaired
+    # clusters) as star edges ∪ the merge's new dup edges
+    def _edges(clusters: DataFrame, repair: DataFrame | None) -> DataFrame:
+        keep = (
+            clusters.join(repair, "doc_id", "left_anti")
+            if repair is not None
+            else clusters
+        )
+        return keep.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+
+    new_edges = verified.filter("dup").select("id_a", "id_b")
+    edges = (
+        _edges(a_clusters, repair_a)
+        .unionByName(_edges(b_clusters, repair_b))
+        .unionByName(new_edges)
+    )
+    nodes = docs_all.select("doc_id")
+    clusters = stage("clusters", cc.connected_components(nodes, edges, cfg))
+
+    if out_store is not None:
+        sigs_all = out_store.write("signatures", sigs_all)
+        docs_all = out_store.write("docs", docs_all)
+    metrics = timer.to_df(spark)
+    if out_store is not None:
+        metrics = out_store.write("metrics", metrics)
+
+    return PipelineResult(
+        docs=docs_all,
+        signatures=sigs_all,
+        candidate_pairs=pairs,
+        verified_pairs=verified,
+        clusters=clusters,
+        metrics=metrics,
+        stage_seconds=seconds,
+    )

@@ -1512,6 +1512,34 @@ def q_incremental_update_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_merge_stores_clusters(spark, sf_dir):
+    """Rows-only — the federated-merge day-2 path (federate.py): run
+    the batch pipeline separately on two hash-split halves of the
+    corpus (two stores, as if built on two clusters), then merge the
+    stores with merge_stores — zero content passes; the result is one
+    cluster label per doc across the union, identical to a full run
+    (equality, overlap, and both-side divergence repair tested in
+    tests/test_federate.py)."""
+    from .federate import merge_stores
+    from .io import StageStore
+    from .pipeline import run_pipeline
+
+    cf = docs_as_code_files(spark, sf_dir)
+    half = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0
+    # deterministic roots keyed by source fingerprint + config: repeat
+    # invocations resume the two base runs via the store gate instead
+    # of leaking checkpoint stores per call; merge_stores never mutates
+    # its inputs
+    fp = _dataset_fingerprint(f"{sf_dir}/documents.parquet")
+    ch = CFG.config_hash()
+    sa = StageStore(root=f"/tmp/wd_fed_a_{fp}_{ch}", config_hash=ch)
+    sb = StageStore(root=f"/tmp/wd_fed_b_{fp}_{ch}", config_hash=ch)
+    run_pipeline(spark, cf.filter(half), CFG, store=sa)
+    run_pipeline(spark, cf.filter(~half), CFG, store=sb)
+    res = merge_stores(spark, sa, sb, CFG)
+    return res.clusters
+
+
 def q_span_cut_stats(spark, sf_dir):
     """Rows-only — exact-substring dedup REWRITE (Lee et al. 2022
     semantics over the SA kernel's spans, suffixarray.cut_spans): keep
@@ -3519,6 +3547,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
     "incremental_update_clusters": q_incremental_update_clusters,
+    "merge_stores_clusters": q_merge_stores_clusters,
     "retract_clusters": q_retract_clusters,
     "span_cut_stats": q_span_cut_stats,
     "self_repetition_cut": q_self_repetition_cut,
