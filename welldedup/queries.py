@@ -1703,6 +1703,92 @@ FROM orders
 """
 
 
+def q_order_value_bounds(spark, sf_dir):
+    """W2 widening — first_value / last_value / nth_value over the full
+    partition frame, plus last_value(... IGNORE NULLS) over a derived
+    nullable column (the last "big" order price seen so far): the
+    null-skipping window navigation family (round-5 session-13)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    big = F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.last(big, ignorenulls=True).over(w).alias("last_big_so_far"),
+    )
+
+
+SQL_ORDER_VALUE_BOUNDS = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER full_w AS first_price,
+       last_value(o_totalprice)  OVER full_w AS last_price,
+       nth_value(o_totalprice, 2) OVER full_w AS second_price,
+       last_value(CASE WHEN o_totalprice > 200000 THEN o_totalprice END
+                  IGNORE NULLS) OVER run_w AS last_big_so_far
+FROM orders
+WINDOW full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       run_w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_latest_version_keep(spark, sf_dir):
+    """Snapshot-semantics dedup (round-5 session-13): an Iceberg code
+    table accumulates one row per (repo, path, commit); training-data
+    prep keeps only each file's LATEST commit before near-dup runs.
+    Versions are planted deterministically (every 3rd doc gets a v1
+    and every 6th also a v2 with mutated text); keep = max commit per
+    natural key, report dropped-version count per source."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    v0 = d.select("doc_id", "source", F.lit(0).alias("version"), "text")
+    v1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", F.lit(1).alias("version"),
+        F.concat(F.col("text"), F.lit(" v1")).alias("text"),
+    )
+    v2 = d.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id", "source", F.lit(2).alias("version"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    u = v0.unionByName(v1).unionByName(v2)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    kept = u.select(
+        "doc_id", "source", "version",
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("version").alias("versions_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_LATEST_VERSION_KEEP = """
+WITH u AS (
+  SELECT doc_id, source, 0 AS version, text FROM documents
+  UNION ALL
+  SELECT doc_id, source, 1, text || ' v1' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, source, 2, text || ' v2' FROM documents WHERE doc_id % 6 = 0
+), kept AS (
+  SELECT doc_id, source, version,
+         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM u
+)
+SELECT source, count(*) AS n_files, sum(version) AS versions_dropped
+FROM kept WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+
 def q_part_string_funcs(spark, sf_dir):
     """P6 widening — levenshtein / translate / lpad / substring, all
     JVM-side Catalyst expressions."""
@@ -3479,6 +3565,8 @@ QUERIES = {
     "conditional_aggs": q_conditional_aggs,
     # round-4 widening
     "percent_rank_orders": q_percent_rank_orders,
+    "order_value_bounds": q_order_value_bounds,
+    "latest_version_keep": q_latest_version_keep,
     "width_bucket_hist": q_width_bucket_hist,
     "median_orders": q_median_orders,
     "bitwise_bool_aggs": q_bitwise_bool_aggs,
@@ -3596,6 +3684,8 @@ ORACLES = {
     "regexp_extract_docs": SQL_REGEXP_EXTRACT_DOCS,
     "conditional_aggs": SQL_CONDITIONAL_AGGS,
     "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
+    "order_value_bounds": SQL_ORDER_VALUE_BOUNDS,
+    "latest_version_keep": SQL_LATEST_VERSION_KEEP,
     "width_bucket_hist": SQL_WIDTH_BUCKET_HIST,
     "median_orders": SQL_MEDIAN_ORDERS,
     "bitwise_bool_aggs": SQL_BITWISE_BOOL_AGGS,
