@@ -1,0 +1,139 @@
+"""Measure the federated store merge against a full rerun.
+
+    python tools/federate_bench.py <code_files.parquet> <cpus> \
+        [split_fraction]
+
+Scenario: two corpora were deduplicated independently (two crawls, two
+regions) and must be combined.  Splits the corpus deterministically on
+the natural-key hash into A (1-f) and B (f), builds the two stores
+(day-1 setup on each side — reported for context), then times:
+
+  wall_full   — run_pipeline over 100% of the union (combining WITHOUT
+                the merge path: re-crawl everything through one run);
+  wall_merge  — merge_stores(A, B) (combining WITH it — zero content
+                passes, checkpoints only);
+
+and checks the merge's labels are bit-identical to the full run's.
+Prints one JSON line; the headline is
+speedup = wall_full / wall_merge.  Cost model: the merge pays no
+content I/O and no signature kernels at all — its wall is bucket-row
+scans + group-key joins + CC — so the speedup grows with mean document
+size (the full run's dominant cost) and shrinks with dup density (more
+touched groups to probe)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    inp = sys.argv[1]
+    cpus = sys.argv[2]
+    frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+
+    from pyspark.sql import functions as F
+
+    from welldedup.config import DedupConfig
+    from welldedup.federate import merge_stores
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.io import StageStore
+    from welldedup.pipeline import run_pipeline
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+    spark = get_spark(
+        app_name=f"welldedup-fedbench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warm-up: absorb Python worker spawn + codegen compile
+    warm, _ = corpus_to_pandas(make_corpus(100, seed=5))
+    run_pipeline(spark, spark.createDataFrame(warm), cfg).clusters.count()
+
+    def _prewarm(path):  # page-cache warm, same rationale as pipeline_bench
+        if os.path.isdir(path):
+            for n in os.listdir(path):
+                _prewarm(os.path.join(path, n))
+        else:
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    _prewarm(inp)
+
+    code_files = spark.read.parquet(inp)
+    nbins = 1000
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+    in_b = bucket < int(round(frac * nbins))
+
+    tmp = tempfile.mkdtemp(prefix="wd_fedbench_")
+    full_store = StageStore(os.path.join(tmp, "full"), cfg.config_hash())
+    store_a = StageStore(os.path.join(tmp, "a"), cfg.config_hash())
+    store_b = StageStore(os.path.join(tmp, "b"), cfg.config_hash())
+
+    t0 = time.monotonic()
+    full = run_pipeline(spark, code_files, cfg, store=full_store)
+    n_docs = full.clusters.count()
+    wall_full = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    a = run_pipeline(spark, code_files.filter(~in_b), cfg, store=store_a)
+    n_a = a.clusters.count()
+    wall_a = time.monotonic() - t0
+    t0 = time.monotonic()
+    b = run_pipeline(spark, code_files.filter(in_b), cfg, store=store_b)
+    n_b = b.clusters.count()
+    wall_b = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    merged = merge_stores(spark, store_a, store_b, cfg)
+    n_merged = merged.clusters.count()
+    wall_merge = time.monotonic() - t0
+
+    # exact-equality check, distributed (no driver collect of labels)
+    mism = (
+        full.clusters.alias("f")
+        .join(merged.clusters.alias("m"), "doc_id", "full")
+        .filter(
+            F.col("f.cluster_id").isNull()
+            | F.col("m.cluster_id").isNull()
+            | (F.col("f.cluster_id") != F.col("m.cluster_id"))
+        )
+        .count()
+    )
+
+    print(
+        json.dumps(
+            dict(
+                corpus=inp,
+                cpus=int(cpus),
+                n_docs=n_docs,
+                n_a=n_a,
+                n_b=n_b,
+                n_merged=n_merged,
+                split_fraction=frac,
+                wall_full_sec=round(wall_full, 2),
+                wall_store_a_sec=round(wall_a, 2),
+                wall_store_b_sec=round(wall_b, 2),
+                wall_merge_sec=round(wall_merge, 2),
+                speedup=round(wall_full / wall_merge, 2),
+                labels_identical=(mism == 0),
+                cross_store_dup_pairs=merged.verified_pairs.filter("dup").count(),
+                stages_merge={
+                    k: round(v, 2) for k, v in merged.stage_seconds.items()
+                },
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

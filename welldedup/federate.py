@@ -135,6 +135,68 @@ def merge_stores(
     return _merge_inner(spark, cfg, store_a, store_b, out_store)
 
 
+def _sym_divergent_docs(
+    rows_a: DataFrame, rows_b: DataFrame, keys: list[str], cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Both divergence directions from ONE count-join, for doc-disjoint
+    sides: a group can only diverge if it exists on both sides (its
+    membership grew), so candidates come from the inner join of the two
+    per-key counts, and bucket LISTS are collected only for candidate
+    keys (the count-first discipline of incremental._divergent_keys,
+    whose per-direction flag semantics this reproduces exactly: base
+    emitted pairs [2 <= n <= D] AND the merged group crosses a
+    truncation threshold [drop crossing, or the base bottom-K list
+    loses members to the merged bottom-K]).  Returns (div_docs_a,
+    div_docs_b) — each side's to-repair doc stream — or (None, None)
+    when no group key is even a candidate."""
+    K, D = cfg.max_bucket, cfg.drop_bucket_over
+    ca = rows_a.groupBy(*keys).agg(F.count("*").alias("_an"))
+    cb = rows_b.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    tot = F.col("_an") + F.col("_bn")
+    base_a = (F.col("_an") >= 2) & (F.col("_an") <= D)
+    base_b = (F.col("_bn") >= 2) & (F.col("_bn") <= D)
+    cand = (
+        ca.join(cb, keys)
+        .filter((tot > min(K, D)) & (base_a | base_b))
+        .localCheckpoint(eager=True)
+    )
+    if cand.isEmpty():
+        # nothing crosses a truncation threshold: skip the bucket-list
+        # scans entirely (the common case on real corpora, where the
+        # default drop_bucket_over keeps groups far from the caps)
+        return None, None
+    la = (
+        rows_a.join(cand.select(*keys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_la"))
+    )
+    lb = (
+        rows_b.join(cand.select(*keys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, K).alias("_lb"))
+    )
+    merged = F.slice(F.sort_array(F.concat(F.col("_la"), F.col("_lb"))), 1, K)
+    dropped = tot > D
+    flagged = (
+        cand.join(la, keys)
+        .join(lb, keys)
+        .select(
+            "_la",
+            "_lb",
+            (base_a & (dropped | (F.size(F.array_except(F.col("_la"), merged)) > 0))).alias("_fa"),
+            (base_b & (dropped | (F.size(F.array_except(F.col("_lb"), merged)) > 0))).alias("_fb"),
+        )
+        .filter(F.col("_fa") | F.col("_fb"))
+        # one evaluation feeds both directions (and is tiny: candidate
+        # keys only), so materialize instead of recomputing the two
+        # count pipelines per consumer
+        .localCheckpoint(eager=True)
+    )
+    div_a = flagged.filter("_fa").select(F.explode("_la").alias("doc_id"))
+    div_b = flagged.filter("_fb").select(F.explode("_lb").alias("doc_id"))
+    return div_a, div_b
+
+
 def _merge_inner(
     spark: SparkSession,
     cfg: DedupConfig,
@@ -164,68 +226,103 @@ def _merge_inner(
     b_docs = store_b.read("docs", spark)
     b_clusters = store_b.read("clusters", spark)
 
-    # --- 0. overlap: doc_ids present in both stores must agree on the
-    # per-row invariant (content sha256 — BASELINE.json); a mismatch is
-    # a corrupted store or an id collision and must fail loudly, never
-    # merge silently.  Compact-column equi-join; first() fetches at
-    # most one row to the driver.
-    clash = (
+    # --- 0. overlap census: doc_ids present in both stores must agree
+    # on the per-row invariant (content sha256 — BASELINE.json); a
+    # mismatch is a corrupted store or an id collision and must fail
+    # loudly, never merge silently.  One compact-column equi-join pass
+    # yields both the clash check and the overlap count that selects
+    # the detection path below.
+    t0 = time.monotonic()
+    census = (
         b_docs.select("doc_id", F.col("content_sha256").alias("_shb"))
         .join(
             a_docs.select("doc_id", F.col("content_sha256").alias("_sha")),
             "doc_id",
         )
-        .filter(F.col("_sha") != F.col("_shb"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum((F.col("_sha") != F.col("_shb")).cast("long")).alias("n_clash"),
+        )
         .first()
     )
-    if clash is not None:
+    n_shared = census["n_shared"] or 0
+    if (census["n_clash"] or 0) > 0:
         raise ValueError(
-            f"doc_id {clash['doc_id']} has different content_sha256 in the "
-            f"two stores — refusing to merge (per-row invariant violated)"
+            f"{census['n_clash']} doc_ids have different content_sha256 in "
+            f"the two stores — refusing to merge (per-row invariant violated)"
         )
-    b_delta_ids = (
-        b_docs.join(a_docs.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    b_sigs_d = b_sigs.join(b_delta_ids, "doc_id", "leftsemi")
-    b_docs_d = b_docs.join(b_delta_ids, "doc_id", "leftsemi")
+    seconds["overlap_census"] = time.monotonic() - t0
+    if n_shared:
+        b_delta_ids = (
+            b_docs.join(a_docs.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        b_sigs_d = b_sigs.join(b_delta_ids, "doc_id", "leftsemi")
+        b_docs_d = b_docs.join(b_delta_ids, "doc_id", "leftsemi")
+    else:
+        # doc-disjoint stores (the common federated case): the delta IS
+        # store B — every per-scan semi-join degenerates away
+        b_delta_ids = b_docs.select("doc_id")
+        b_sigs_d = b_sigs
+        b_docs_d = b_docs
     sigs_all = a_sigs.unionByName(b_sigs_d)
     docs_all = a_docs.unionByName(b_docs_d)
 
     # --- 1. symmetric policy-divergence detection (see module doc).
-    # Per method: touched_a = A rows in groups gaining B-delta members
-    # (doubles as the probe's old side in the no-repair case, exactly
-    # like the fold-in); touched_b = B's FULL rows in groups gaining
-    # A-only members.  Base/delta sides are doc-disjoint in both
-    # directions, so the detection thresholds see exact merged counts.
-    a_only_sigs = a_sigs.join(b_docs.select("doc_id"), "doc_id", "left_anti")
-
-    frames: dict[str, tuple[DataFrame, DataFrame, list[str]]] = {}
+    # Disjoint stores (n_shared == 0, the common federated case): both
+    # directions fall out of ONE per-method count-join — two groupBy
+    # counts, bucket lists only for candidate keys; no touched-row
+    # materialization for detection at all.  Overlapping stores take
+    # the exact two-direction path: A's baked lists vs B-delta rows,
+    # and B's FULL lists vs A-only rows (base/delta sides doc-disjoint
+    # in both directions, so thresholds see exact merged counts).
+    frames: dict[str, tuple] = {}  # method → (rows_bd, rows_a, touched_a|None, keys)
     div_a_parts: list[DataFrame] = []
     div_b_parts: list[DataFrame] = []
+    a_only_sigs = (
+        a_sigs.join(b_docs.select("doc_id"), "doc_id", "left_anti")
+        if n_shared
+        else a_sigs
+    )
     for m in ("minhash", "simhash", "substr", "weighted"):
         if m not in cfg.methods:
             continue
+        t0 = time.monotonic()
         rows_bd, keys = method_group_rows(m, b_sigs_d, cfg)
         rows_a, _ = method_group_rows(m, a_sigs, cfg)
-        touched_a = _touched(rows_a, rows_bd, keys).localCheckpoint(eager=True)
-        frames[m] = (rows_bd, touched_a, keys)
-        div_a_parts.append(
-            _divergent_keys(touched_a, rows_bd, keys, cfg).select(
-                F.explode("_bl").alias("doc_id")
+        if n_shared:
+            # the exact two-direction path needs A's touched rows for
+            # its own base lists — materialize now (probe reuses them)
+            touched_a = _touched(rows_a, rows_bd, keys).localCheckpoint(
+                eager=True
             )
-        )
-        rows_b_full, _ = method_group_rows(m, b_sigs, cfg)
-        rows_a_only, _ = method_group_rows(m, a_only_sigs, cfg)
-        touched_b = _touched(rows_b_full, rows_a_only, keys).localCheckpoint(
-            eager=True
-        )
-        div_b_parts.append(
-            _divergent_keys(touched_b, rows_a_only, keys, cfg).select(
-                F.explode("_bl").alias("doc_id")
+            div_a_parts.append(
+                _divergent_keys(touched_a, rows_bd, keys, cfg).select(
+                    F.explode("_bl").alias("doc_id")
+                )
             )
-        )
+            rows_b_full, _ = method_group_rows(m, b_sigs, cfg)
+            rows_a_only, _ = method_group_rows(m, a_only_sigs, cfg)
+            touched_b = _touched(rows_b_full, rows_a_only, keys).localCheckpoint(
+                eager=True
+            )
+            div_b_parts.append(
+                _divergent_keys(touched_b, rows_a_only, keys, cfg).select(
+                    F.explode("_bl").alias("doc_id")
+                )
+            )
+        else:
+            # count-first: no touched-row materialization for detection;
+            # the probe's touched_a is built lazily after the repair
+            # decision (when repair fires, it would be discarded anyway)
+            touched_a = None
+            da, db = _sym_divergent_docs(rows_a, rows_bd, keys, cfg)
+            if da is not None:
+                div_a_parts.append(da)
+                div_b_parts.append(db)
+        frames[m] = (rows_bd, rows_a, touched_a, keys)
+        seconds[f"divergence_{m}"] = time.monotonic() - t0
 
     def _repair_scope(parts: list[DataFrame], clusters: DataFrame, name: str):
         """Whole-cluster closure of the divergent docs in ONE store —
@@ -248,7 +345,8 @@ def _merge_inner(
             .localCheckpoint(eager=True)
         )
         n = scope.count()
-        timer.record(name, None, n, int((time.monotonic() - t0) * 1000))
+        seconds[name] = time.monotonic() - t0
+        timer.record(name, None, n, int(seconds[name] * 1000))
         return (scope if n else None), n
 
     repair_a, n_rep_a = _repair_scope(div_a_parts, a_clusters, "repair_scope_a")
@@ -283,14 +381,19 @@ def _merge_inner(
     parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(new_sha)))
 
     def _probe_rows(method: str) -> DataFrame:
-        """(new ∪ touched-old) group rows for one method — the
-        detection pass's materialized frames are reused verbatim when
-        no repair fired (one A-bucket scan per method total)."""
+        """(new ∪ touched-old) group rows for one method — rebuilt
+        around the repair scope when repair fired, else B-delta rows ∪
+        A's touched rows (materialized here, or reused from the overlap
+        path's detection frames)."""
         if n_repair:
             nb, keys = method_group_rows(method, new_sigs, cfg)
             ob, _ = method_group_rows(method, old_sigs_side, cfg)
             return nb.unionByName(_touched(ob, nb, keys))
-        rows_bd, touched_a, _keys = frames[method]
+        rows_bd, rows_a, touched_a, keys = frames[method]
+        if touched_a is None:
+            touched_a = _touched(rows_a, rows_bd, keys).localCheckpoint(
+                eager=True
+            )
         return rows_bd.unionByName(touched_a)
 
     if "minhash" in cfg.methods:
