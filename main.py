@@ -53,6 +53,18 @@ def parse_args(argv=None):
         "survivor store lands in --output",
     )
     p.add_argument(
+        "--merge-with",
+        default=None,
+        metavar="STORE_B",
+        help="existing COMPLETED checkpoint root: federated store merge — "
+        "treat --input as a SECOND completed checkpoint root (store A, "
+        "not a data source) and merge the two corpora with zero content "
+        "passes (federate.merge_stores: overlap validated on the sha256 "
+        "invariant, cap/drop policy divergence on either side's baked "
+        "closure repaired, labels bit-identical to a full rerun over "
+        "the union); the merged store lands in --output",
+    )
+    p.add_argument(
         "--screen-against",
         default=None,
         metavar="STORE",
@@ -214,6 +226,16 @@ def parse_args(argv=None):
         or args.forks
     ):
         p.error("--screen-against is a standalone mode")
+    if args.merge_with and (
+        args.curate
+        or args.retract_from
+        or args.update_into
+        or args.export
+        or args.admit
+        or args.forks
+        or args.screen_against
+    ):
+        p.error("--merge-with is a standalone mode")
     if args.compact_bands and not args.admit:
         p.error("--compact-bands is an --admit post-drain step")
     if args.export_folds:
@@ -371,6 +393,26 @@ def main(argv=None) -> int:
         summary = dict(
             docs=n_docs,
             clusters=res.clusters.select("cluster_id").distinct().count(),
+            stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},
+            wall_sec=round(time.monotonic() - t0, 2),
+            config_hash=cfg.config_hash(),
+            output=args.output,
+        )
+        print(json.dumps(summary))
+        return 0
+    if args.merge_with:
+        from welldedup.federate import merge_stores
+
+        sa = StageStore(root=args.input, config_hash=cfg.config_hash())
+        sb = StageStore(root=args.merge_with, config_hash=cfg.config_hash())
+        out = StageStore(root=args.output, config_hash=cfg.config_hash())
+        res = merge_stores(spark, sa, sb, cfg, out_store=out)
+        n_docs = res.docs.count()
+        summary = dict(
+            mode="merge",
+            docs=n_docs,
+            clusters=res.clusters.select("cluster_id").distinct().count(),
+            cross_store_dup_pairs=res.verified_pairs.filter("dup").count(),
             stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},
             wall_sec=round(time.monotonic() - t0, 2),
             config_hash=cfg.config_hash(),

@@ -204,6 +204,49 @@ def test_merge_guards(spark, setup, tmp_path):
         )
 
 
+def test_merge_cli(spark, setup, tmp_path):
+    """`--input STORE_A --merge-with STORE_B --output OUT` merges on
+    the CLI, prints one JSON summary, and leaves a chainable store."""
+    import io as _io
+    import json
+    from contextlib import redirect_stdout
+
+    from main import main as cli_main
+
+    cfg, a, b, full, sa, sb = setup
+    out = tmp_path / "merged"
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main([
+            "--input", sa.root, "--merge-with", sb.root,
+            "--output", str(out),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["mode"] == "merge"
+    assert summary["docs"] == len(a) + len(b)
+    assert summary["cross_store_dup_pairs"] > 0
+    merged_store = StageStore(root=str(out), config_hash=cfg.config_hash())
+    for needed in ("signatures", "docs", "clusters"):
+        assert merged_store.is_complete(needed), needed
+    assert {
+        r.doc_id: r.cluster_id
+        for r in merged_store.read("clusters", spark).collect()
+    } == _labels(full)
+
+
+def test_merge_cli_is_standalone(tmp_path):
+    import pytest as _pytest
+
+    from main import main as cli_main
+
+    with _pytest.raises(SystemExit):
+        cli_main([
+            "--input", "x", "--merge-with", "y", "--output", "z",
+            "--screen-against", "w",
+        ])
+
+
 def test_merge_rejects_sha_clash(spark, setup, tmp_path):
     """A doc_id present in both stores with different content bytes is
     a violated per-row invariant — the merge must refuse."""
