@@ -1,0 +1,86 @@
+"""Child process for federate_scaling.py — one JVM per invocation so
+the master (parallelism level) is truly per-trial.
+
+    python tools/federate_child.py build <corpus.parquet> <stores_root> <cpus>
+    python tools/federate_child.py merge <stores_root> <cpus> <labels_out>
+
+`build` runs the batch pipeline over each half of the hash-split
+corpus into <stores_root>/{a,b} (resume-gated: a completed store is
+reused).  `merge` opens the two stores, times merge_stores only, and
+writes the cluster labels for cross-level bit-identity checks.  Each
+prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    mode = sys.argv[1]
+
+    from welldedup.config import DedupConfig
+    from welldedup.io import StageStore
+    from welldedup.session import get_spark
+
+    cfg = DedupConfig(methods=("minhash", "simhash", "substr"))
+
+    if mode == "build":
+        corpus, stores_root, cpus = sys.argv[2], sys.argv[3], sys.argv[4]
+        from pyspark.sql import functions as F
+
+        from welldedup.pipeline import run_pipeline
+
+        spark = get_spark(
+            app_name="wd-fed-build",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus),
+        )
+        cf = spark.read.parquet(corpus)
+        in_b = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0
+        sa = StageStore(os.path.join(stores_root, "a"), cfg.config_hash())
+        sb = StageStore(os.path.join(stores_root, "b"), cfg.config_hash())
+        t0 = time.monotonic()
+        na = run_pipeline(spark, cf.filter(~in_b), cfg, store=sa).clusters.count()
+        nb = run_pipeline(spark, cf.filter(in_b), cfg, store=sb).clusters.count()
+        print(json.dumps(dict(
+            n_a=na, n_b=nb, wall_sec=round(time.monotonic() - t0, 2),
+        )))
+        return 0
+
+    if mode == "merge":
+        stores_root, cpus, labels_out = sys.argv[2], sys.argv[3], sys.argv[4]
+        from welldedup.federate import merge_stores
+
+        spark = get_spark(
+            app_name=f"wd-fed-merge-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus),
+        )
+        sa = StageStore(os.path.join(stores_root, "a"), cfg.config_hash())
+        sb = StageStore(os.path.join(stores_root, "b"), cfg.config_hash())
+        # warm-up: absorb Python-worker spawn + codegen on a trivial plan
+        spark.range(1000).selectExpr("sum(id)").collect()
+        t0 = time.monotonic()
+        res = merge_stores(spark, sa, sb, cfg)
+        res.clusters.write.mode("overwrite").parquet(labels_out)
+        wall = time.monotonic() - t0
+        n = spark.read.parquet(labels_out).count()
+        print(json.dumps(dict(
+            cpus=int(cpus),
+            n_docs=n,
+            wall_sec=round(wall, 2),
+            docs_per_sec=round(n / wall, 1),
+            stages={k: round(v, 2) for k, v in res.stage_seconds.items()},
+        )))
+        return 0
+
+    raise SystemExit(f"unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

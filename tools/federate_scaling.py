@@ -1,0 +1,95 @@
+"""Two-cluster-size scaling evidence for the federated store merge —
+the sandbox stand-in protocol (local[N] vs local[4N], fresh JVM per
+trial, load-gated, per-level minima, labels bit-identical) applied to
+merge_stores.
+
+    python tools/federate_scaling.py <corpus.parquet> [--n 1] [--trials 2]
+
+Builds the two half-stores ONCE (resume-gated, at local[8] — store
+build cost is day-1 setup, not part of the merge comparison), then
+alternates merge trials at local[N] and local[4N], reporting per-level
+minimum walls, speedup, min-wall efficiency (speedup / 4), and the
+labels-hash equality across every trial.  Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.scaling_bench import labels_hash, wait_quiet  # noqa: E402
+
+
+def _arg(flag: str, default):
+    if flag in sys.argv:
+        return type(default)(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
+def _child(args: list[str], timeout_s: int = 7200) -> dict:
+    load = wait_quiet()
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "federate_child.py"), *args],
+        capture_output=True, text=True, timeout=timeout_s, cwd=ROOT,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"federate_child {args[:2]} failed")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["loadavg_at_start"] = round(load, 2)
+    return res
+
+
+def main() -> int:
+    corpus = sys.argv[1]
+    n = _arg("--n", 1)
+    trials = _arg("--trials", 2)
+    n4 = 4 * n
+
+    stores_root = os.path.join(
+        tempfile.gettempdir(), f"wd_fedscale_{os.path.basename(corpus)}"
+    )
+    t0 = time.monotonic()
+    build = _child(["build", corpus, stores_root, "8"])
+    build_wall = round(time.monotonic() - t0, 2)
+
+    runs: dict[int, list[dict]] = {n: [], n4: []}
+    hashes: list[str] = []
+    for t in range(trials):
+        # alternate levels inside each trial so a load window hits both
+        for lvl in (n, n4):
+            lab = os.path.join(stores_root, f"labels_{lvl}_{t}")
+            res = _child(["merge", stores_root, str(lvl), lab])
+            res["labels_hash"] = labels_hash(lab)
+            hashes.append(res["labels_hash"])
+            runs[lvl].append(res)
+            sys.stderr.write(
+                f"trial {t} local[{lvl}]: {res['wall_sec']}s "
+                f"(load {res['loadavg_at_start']})\n"
+            )
+
+    wn = min(r["wall_sec"] for r in runs[n])
+    w4 = min(r["wall_sec"] for r in runs[n4])
+    speedup = wn / w4
+    print(json.dumps(dict(
+        corpus=corpus,
+        n_docs=runs[n][0]["n_docs"],
+        build=build | dict(wall_sec=build_wall),
+        levels={str(n): runs[n], str(n4): runs[n4]},
+        wall_n_min=wn,
+        wall_4n_min=w4,
+        speedup=round(speedup, 3),
+        efficiency=round(speedup / 4, 3),
+        labels_identical=(len(set(hashes)) == 1),
+    )))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
