@@ -412,7 +412,10 @@ def main(argv=None) -> int:
             mode="merge",
             docs=n_docs,
             clusters=res.clusters.select("cluster_id").distinct().count(),
-            cross_store_dup_pairs=res.verified_pairs.filter("dup").count(),
+            # pairs spanning the stores plus repair-scope pairs — the
+            # only dup evidence a merge generates (same-store
+            # non-repaired connectivity rides the baked closures)
+            new_dup_pairs=res.verified_pairs.filter("dup").count(),
             stage_seconds={k: round(v, 2) for k, v in res.stage_seconds.items()},
             wall_sec=round(time.monotonic() - t0, 2),
             config_hash=cfg.config_hash(),

@@ -73,6 +73,25 @@ def test_merge_found_cross_store_pairs(setup, merged):
     assert len(set(lbl.values())) < len(lbl)
 
 
+def test_merge_emits_only_spanning_pairs(spark, setup, merged):
+    """Same-store non-repaired connectivity is baked in each store's
+    closure, so every pair the merge emits must SPAN the stores unless
+    it touches the repair scope.  This disjoint 300-doc corpus plants
+    no cap/drop crossing (asserted via the stage metrics: repair scopes
+    empty), so the check is unconditional: a same-store pair in the
+    output means the probe pruning or the pair filter regressed."""
+    _cfg, a, b, _full, sa, sb = setup
+    a_ids = {r.doc_id for r in sa.read("docs", spark).select("doc_id").collect()}
+    pairs = merged.candidate_pairs.select("id_a", "id_b").collect()
+    assert pairs, "probe pruning must not drop genuine cross-store groups"
+    same_store = [
+        (p.id_a, p.id_b)
+        for p in pairs
+        if (p.id_a in a_ids) == (p.id_b in a_ids)
+    ]
+    assert same_store == []
+
+
 def test_merge_plans_read_no_content(merged):
     """Zero content passes: no plan in the merge may reference a
     content column (the checkpoints do not even carry one)."""
@@ -225,7 +244,7 @@ def test_merge_cli(spark, setup, tmp_path):
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["mode"] == "merge"
     assert summary["docs"] == len(a) + len(b)
-    assert summary["cross_store_dup_pairs"] > 0
+    assert summary["new_dup_pairs"] > 0
     merged_store = StageStore(root=str(out), config_hash=cfg.config_hash())
     for needed in ("signatures", "docs", "clusters"):
         assert merged_store.is_complete(needed), needed

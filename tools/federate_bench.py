@@ -1,12 +1,16 @@
 """Measure the federated store merge against a full rerun.
 
     python tools/federate_bench.py <code_files.parquet> <cpus> \
-        [split_fraction]
+        [split_fraction] [--by-family]
 
 Scenario: two corpora were deduplicated independently (two crawls, two
 regions) and must be combined.  Splits the corpus deterministically on
-the natural-key hash into A (1-f) and B (f), builds the two stores
-(day-1 setup on each side — reported for context), then times:
+the natural-key hash into A (1-f) and B (f) — or, with --by-family, on
+the full run's dup-family label, so no near-dup family straddles the
+stores (the federated BEST case; the default hash split on a planted
+corpus is the WORST case, nearly every family straddling) — builds the
+two stores (day-1 setup on each side — reported for context), then
+times:
 
   wall_full   — run_pipeline over 100% of the union (combining WITHOUT
                 the merge path: re-crawl everything through one run);
@@ -70,8 +74,7 @@ def main() -> int:
 
     code_files = spark.read.parquet(inp)
     nbins = 1000
-    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
-    in_b = bucket < int(round(frac * nbins))
+    by_family = "--by-family" in sys.argv
 
     tmp = tempfile.mkdtemp(prefix="wd_fedbench_")
     full_store = StageStore(os.path.join(tmp, "full"), cfg.config_hash())
@@ -83,12 +86,39 @@ def main() -> int:
     n_docs = full.clusters.count()
     wall_full = time.monotonic() - t0
 
+    if by_family:
+        # split on the full run's DUP-FAMILY label, so no near-dup
+        # family straddles the stores — the federated best case (two
+        # regional crawls with their own dup structure and little
+        # cross-region duplication); measures the merge's fixed cost
+        key = F.pmod(F.xxhash64(F.col("cluster_id")), F.lit(nbins))
+        fam_b = (
+            full_store.read("clusters", spark)
+            .withColumn("_inb", key < int(round(frac * nbins)))
+            .select("doc_id", "_inb")
+        )
+        code_files = (
+            code_files.withColumn(
+                "doc_id", F.xxhash64("repo", "path", "commit")
+            )
+            .join(fam_b, "doc_id", "left")
+            .drop("doc_id")
+        )
+        in_b = F.coalesce(F.col("_inb"), F.lit(False))
+    else:
+        bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(nbins))
+        in_b = bucket < int(round(frac * nbins))
+
     t0 = time.monotonic()
-    a = run_pipeline(spark, code_files.filter(~in_b), cfg, store=store_a)
+    a = run_pipeline(
+        spark, code_files.filter(~in_b).drop("_inb"), cfg, store=store_a
+    )
     n_a = a.clusters.count()
     wall_a = time.monotonic() - t0
     t0 = time.monotonic()
-    b = run_pipeline(spark, code_files.filter(in_b), cfg, store=store_b)
+    b = run_pipeline(
+        spark, code_files.filter(in_b).drop("_inb"), cfg, store=store_b
+    )
     n_b = b.clusters.count()
     wall_b = time.monotonic() - t0
 
@@ -119,13 +149,14 @@ def main() -> int:
                 n_b=n_b,
                 n_merged=n_merged,
                 split_fraction=frac,
+                split_mode="family" if by_family else "hash",
                 wall_full_sec=round(wall_full, 2),
                 wall_store_a_sec=round(wall_a, 2),
                 wall_store_b_sec=round(wall_b, 2),
                 wall_merge_sec=round(wall_merge, 2),
                 speedup=round(wall_full / wall_merge, 2),
                 labels_identical=(mism == 0),
-                cross_store_dup_pairs=merged.verified_pairs.filter("dup").count(),
+                new_dup_pairs=merged.verified_pairs.filter("dup").count(),
                 stages_merge={
                     k: round(v, 2) for k, v in merged.stage_seconds.items()
                 },

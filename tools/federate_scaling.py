@@ -23,27 +23,46 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from tools.scaling_bench import labels_hash, wait_quiet  # noqa: E402
+from tools.scaling_bench import _arg, labels_hash, wait_quiet  # noqa: E402
+from welldedup.queries import _dataset_fingerprint  # noqa: E402
 
 
-def _arg(flag: str, default):
-    if flag in sys.argv:
-        return type(default)(sys.argv[sys.argv.index(flag) + 1])
-    return default
-
-
-def _child(args: list[str], timeout_s: int = 7200) -> dict:
-    load = wait_quiet()
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools", "federate_child.py"), *args],
-        capture_output=True, text=True, timeout=timeout_s, cwd=ROOT,
-    )
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"federate_child {args[:2]} failed")
-    res = json.loads(out.stdout.strip().splitlines()[-1])
-    res["loadavg_at_start"] = round(load, 2)
-    return res
+def _child(args: list[str], attempts: int = 2) -> dict:
+    """One load-gated child invocation with the campaign-survival
+    discipline of scaling_bench.run_level: a JVM killed by an exogenous
+    load spike is retried, and a trial overrunning the cap raises a
+    CAUGHT timeout into a retry instead of aborting the campaign after
+    N-1 good trials (the round-4 lesson)."""
+    env = dict(os.environ, WELLDEDUP_DRIVER_MEM="56g")
+    timeout_s = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "10800"))
+    last_err = ""
+    for attempt in range(attempts):
+        load = wait_quiet()
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(ROOT, "tools", "federate_child.py"), *args],
+                capture_output=True, text=True, timeout=timeout_s, cwd=ROOT,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"trial timed out after {timeout_s}s"
+            sys.stderr.write(
+                f"federate_child {args[:2]} TIMED OUT (attempt {attempt + 1})\n"
+            )
+            continue
+        if out.returncode == 0:
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            res["loadavg_at_start"] = round(load, 2)
+            return res
+        last_err = out.stderr
+        with open(f"/tmp/federate_child_fail{attempt}.err", "w") as f:
+            f.write(out.stderr)
+        sys.stderr.write(
+            f"federate_child {args[:2]} failed (attempt {attempt + 1}); "
+            f"stderr in /tmp/federate_child_fail{attempt}.err\n"
+        )
+    raise RuntimeError(f"federate_child {args[:2]} failed: {last_err[-2000:]}")
 
 
 def main() -> int:
@@ -52,8 +71,10 @@ def main() -> int:
     trials = _arg("--trials", 2)
     n4 = 4 * n
 
+    # content-fingerprinted (not just path-named): a regenerated corpus
+    # at the same path must NOT silently reuse the old half-stores
     stores_root = os.path.join(
-        tempfile.gettempdir(), f"wd_fedscale_{os.path.basename(corpus)}"
+        tempfile.gettempdir(), f"wd_fedscale_{_dataset_fingerprint(corpus)}"
     )
     t0 = time.monotonic()
     build = _child(["build", corpus, stores_root, "8"])

@@ -73,7 +73,6 @@ from . import cluster as cc
 from . import lsh, substr, verify
 from .config import DedupConfig
 from .incremental import (
-    _at_least_one_new,
     _divergent_keys,
     _touched,
     method_group_rows,
@@ -94,9 +93,11 @@ def merge_stores(
 
     Returns a PipelineResult whose docs/signatures are the MERGED
     tables (doc_id-distinct union), whose candidate/verified pairs are
-    the merge's newly-generated evidence only (cross-store and
-    repaired groups), and whose clusters cover the whole union —
-    bit-identical to `run_pipeline` over the concatenated inputs.
+    the merge's newly-generated evidence only (pairs SPANNING the two
+    stores plus pairs touching repaired docs — same-store connectivity
+    is never regenerated; it rides each store's baked star edges), and
+    whose clusters cover the whole union — bit-identical to
+    `run_pipeline` over the concatenated inputs.
     When `out_store` is given, merged signatures/docs/clusters land
     there under the canonical stage names (chainable), and the merge
     deltas under `candidate_pairs_merge` / `verified_pairs_merge`.
@@ -135,9 +136,45 @@ def merge_stores(
     return _merge_inner(spark, cfg, store_a, store_b, out_store)
 
 
+def _cross_store_or_repaired(
+    pairs: DataFrame, b_delta_ids: DataFrame, rep: DataFrame | None
+) -> DataFrame:
+    """Keep only pairs the two baked closures can NOT already encode:
+    pairs spanning the stores, and pairs touching a repaired doc (whose
+    closure was discarded).  Same-store non-repaired pairs are always
+    redundant — symmetric form of incremental's both-old drop: if both
+    members of a surviving merged group are in one store, they are in
+    that store's own bottom-K for the group (bottom-K of a superset is
+    a subset of bottom-K of the subset, member-wise), and that group
+    survived the same policy at the store's own size (its count only
+    grew toward the caps), so the store's own run emitted the pair and
+    its verified-dup verdict (a deterministic function of the two
+    signatures) is baked in the store's labels.  The one direction this
+    cannot cover — the store emitted evidence the merged policy
+    suppresses — is exactly what the symmetric divergence detection
+    repairs.  Membership joins against the compact id dims; AQE picks
+    broadcast when they are small."""
+    ba = b_delta_ids.select(F.col("doc_id").alias("_ba"))
+    bb = b_delta_ids.select(F.col("doc_id").alias("_bb"))
+    out = pairs.join(ba, pairs.id_a == ba._ba, "left").join(
+        bb, pairs.id_b == bb._bb, "left"
+    )
+    keep = F.col("_ba").isNotNull() != F.col("_bb").isNotNull()
+    drop_cols = ["_ba", "_bb"]
+    if rep is not None:
+        ra = rep.select(F.col("doc_id").alias("_ra"))
+        rb = rep.select(F.col("doc_id").alias("_rb"))
+        out = out.join(ra, pairs.id_a == ra._ra, "left").join(
+            rb, pairs.id_b == rb._rb, "left"
+        )
+        keep = keep | F.col("_ra").isNotNull() | F.col("_rb").isNotNull()
+        drop_cols += ["_ra", "_rb"]
+    return out.filter(keep).drop(*drop_cols)
+
+
 def _sym_divergent_docs(
     rows_a: DataFrame, rows_b: DataFrame, keys: list[str], cfg: DedupConfig
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Both divergence directions from ONE count-join, for doc-disjoint
     sides: a group can only diverge if it exists on both sides (its
     membership grew), so candidates come from the inner join of the two
@@ -147,24 +184,28 @@ def _sym_divergent_docs(
     emitted pairs [2 <= n <= D] AND the merged group crosses a
     truncation threshold [drop crossing, or the base bottom-K list
     loses members to the merged bottom-K]).  Returns (div_docs_a,
-    div_docs_b) — each side's to-repair doc stream — or (None, None)
-    when no group key is even a candidate."""
+    div_docs_b, shared_keys): the two to-repair doc streams (None when
+    no key is even a candidate) plus the MATERIALIZED set of group keys
+    present on both sides — the only groups whose membership grew, i.e.
+    the only groups that can generate non-redundant pair evidence; the
+    probe below restricts both sides' rows to it, so single-store
+    groups never reach the pair emit at all."""
     K, D = cfg.max_bucket, cfg.drop_bucket_over
     ca = rows_a.groupBy(*keys).agg(F.count("*").alias("_an"))
     cb = rows_b.groupBy(*keys).agg(F.count("*").alias("_bn"))
     tot = F.col("_an") + F.col("_bn")
     base_a = (F.col("_an") >= 2) & (F.col("_an") <= D)
     base_b = (F.col("_bn") >= 2) & (F.col("_bn") <= D)
-    cand = (
-        ca.join(cb, keys)
-        .filter((tot > min(K, D)) & (base_a | base_b))
-        .localCheckpoint(eager=True)
-    )
+    # one materialization serves the divergence candidates AND the pair
+    # probe's group restriction: rows = keys on both sides, a set the
+    # count join must compute either way
+    shared = ca.join(cb, keys).localCheckpoint(eager=True)
+    cand = shared.filter((tot > min(K, D)) & (base_a | base_b))
     if cand.isEmpty():
         # nothing crosses a truncation threshold: skip the bucket-list
         # scans entirely (the common case on real corpora, where the
         # default drop_bucket_over keeps groups far from the caps)
-        return None, None
+        return None, None, shared
     la = (
         rows_a.join(cand.select(*keys), keys, "leftsemi")
         .groupBy(*keys)
@@ -194,7 +235,7 @@ def _sym_divergent_docs(
     )
     div_a = flagged.filter("_fa").select(F.explode("_la").alias("doc_id"))
     div_b = flagged.filter("_fb").select(F.explode("_lb").alias("doc_id"))
-    return div_a, div_b
+    return div_a, div_b, shared
 
 
 def _merge_inner(
@@ -312,16 +353,19 @@ def _merge_inner(
                     F.explode("_bl").alias("doc_id")
                 )
             )
+            # probe hint: A's touched rows (the materialized stream)
+            frames[m] = (rows_bd, rows_a, touched_a, keys)
         else:
             # count-first: no touched-row materialization for detection;
-            # the probe's touched_a is built lazily after the repair
-            # decision (when repair fires, it would be discarded anyway)
-            touched_a = None
-            da, db = _sym_divergent_docs(rows_a, rows_bd, keys, cfg)
+            # the detection's count join yields the shared-key set the
+            # probe restricts BOTH sides to — single-store groups never
+            # reach the pair emit (their pairs are baked in that
+            # store's own closure; see _cross_store_or_repaired)
+            da, db, shared_keys = _sym_divergent_docs(rows_a, rows_bd, keys, cfg)
             if da is not None:
                 div_a_parts.append(da)
                 div_b_parts.append(db)
-        frames[m] = (rows_bd, rows_a, touched_a, keys)
+            frames[m] = (rows_bd, rows_a, shared_keys, keys)
         seconds[f"divergence_{m}"] = time.monotonic() - t0
 
     def _repair_scope(parts: list[DataFrame], clusters: DataFrame, name: str):
@@ -354,13 +398,17 @@ def _merge_inner(
     n_repair = n_rep_a + n_rep_b
 
     # --- 2. candidate pairs: only groups that gained members generate
-    # evidence; pairs must touch >= 1 "new" doc (B-delta or repaired —
-    # everything else's connectivity is baked in the star edges)
+    # evidence, and only pairs the baked closures cannot encode are
+    # kept — pairs SPANNING the stores, plus pairs touching a repaired
+    # doc (same-store non-repaired connectivity is baked in that
+    # store's star edges; see _cross_store_or_repaired)
+    rep = None
     if n_repair:
         rep = repair_a if repair_b is None else (
             repair_b if repair_a is None
             else repair_a.unionByName(repair_b).distinct()
         )
+        rep = rep.localCheckpoint(eager=True)
         new_ids = b_delta_ids.unionByName(rep).distinct().localCheckpoint(eager=True)
     else:
         new_ids = b_delta_ids
@@ -381,20 +429,24 @@ def _merge_inner(
     parts.append(lsh.exact_dup_pairs(touched_sha.unionByName(new_sha)))
 
     def _probe_rows(method: str) -> DataFrame:
-        """(new ∪ touched-old) group rows for one method — rebuilt
-        around the repair scope when repair fired, else B-delta rows ∪
-        A's touched rows (materialized here, or reused from the overlap
-        path's detection frames)."""
+        """Group rows feeding one method's pair emit — rebuilt around
+        the repair scope when repair fired (asymmetric: new ∪ touched-
+        old, with the pair filter discarding the redundant same-store
+        emissions); else restricted to groups that actually GAINED
+        members: disjoint stores semi-join both sides against the
+        detection's shared-key set (pure-A and pure-B groups never
+        reach the emit), overlapping stores take B-delta rows ∪ A's
+        touched rows (detection already materialized them)."""
         if n_repair:
             nb, keys = method_group_rows(method, new_sigs, cfg)
             ob, _ = method_group_rows(method, old_sigs_side, cfg)
             return nb.unionByName(_touched(ob, nb, keys))
-        rows_bd, rows_a, touched_a, keys = frames[method]
-        if touched_a is None:
-            touched_a = _touched(rows_a, rows_bd, keys).localCheckpoint(
-                eager=True
-            )
-        return rows_bd.unionByName(touched_a)
+        rows_bd, rows_a, hint, keys = frames[method]
+        if n_shared:
+            return rows_bd.unionByName(hint)  # hint = touched_a
+        return rows_bd.unionByName(rows_a).join(
+            hint.select(*keys), keys, "leftsemi"
+        )  # hint = shared_keys
 
     if "minhash" in cfg.methods:
         parts.append(
@@ -419,7 +471,7 @@ def _merge_inner(
         allp = allp.unionByName(p)
     pairs = stage(
         "candidate_pairs_merge",
-        _at_least_one_new(dedup_pairs_by_priority(allp), new_ids),
+        _cross_store_or_repaired(dedup_pairs_by_priority(allp), b_delta_ids, rep),
     )
 
     # --- 3. verify (content-free: fused columns carry everything)

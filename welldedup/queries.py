@@ -1532,7 +1532,11 @@ def q_merge_stores_clusters(spark, sf_dir):
     # its inputs
     fp = _dataset_fingerprint(f"{sf_dir}/documents.parquet")
     ch = CFG.config_hash()
-    sa = StageStore(root=f"/tmp/wd_fed_a_{fp}_{ch}", config_hash=ch)
+    # store A is the SAME (slice, config) as the incremental/screen
+    # queries' base store — share their root so a parity/bench sweep
+    # that runs all three builds that half-corpus pipeline once
+    # (merge_stores never mutates its inputs, so the reuse is safe)
+    sa = StageStore(root=f"/tmp/wd_inc_base_{fp}_{ch}", config_hash=ch)
     sb = StageStore(root=f"/tmp/wd_fed_b_{fp}_{ch}", config_hash=ch)
     run_pipeline(spark, cf.filter(half), CFG, store=sa)
     run_pipeline(spark, cf.filter(~half), CFG, store=sb)
