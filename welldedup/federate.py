@@ -444,9 +444,16 @@ def _merge_inner(
         rows_bd, rows_a, hint, keys = frames[method]
         if n_shared:
             return rows_bd.unionByName(hint)  # hint = touched_a
-        return rows_bd.unionByName(rows_a).join(
-            hint.select(*keys), keys, "leftsemi"
-        )  # hint = shared_keys
+        # hint = shared_keys.  MATERIALIZED: every pair emit is
+        # two-phase (count scan + list scan), and a lazy probe would
+        # pay the band-explode + semi-join twice per method — the same
+        # reason the fold-in checkpoints touched_a (measured: a lazy
+        # probe read ~1.7× the stage wall at 200k/local[4])
+        return (
+            rows_bd.unionByName(rows_a)
+            .join(hint.select(*keys), keys, "leftsemi")
+            .localCheckpoint(eager=True)
+        )
 
     if "minhash" in cfg.methods:
         parts.append(
