@@ -43,6 +43,28 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     assert "Exchange" not in plan, plan
 
 
+def test_write_bucketed_reclaims_orphan_location(spark, sf_dir, tmp_path):
+    """A run killed mid-write leaves the managed LOCATION on disk with
+    no catalog entry; the next write_bucketed must reclaim it instead
+    of dying with LOCATION_ALREADY_EXISTS (kill-anywhere idempotence,
+    same contract as the stage store)."""
+    import os
+
+    name = "wd_bkt_orphan"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    try:
+        write_bucketed(d, name, ["doc_id"], 2)
+        assert spark.table(name).count() == d.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_mismatched_bucketing_still_correct(spark, sf_dir, bucketed_tables):
     """Joining a bucketed table against a plain dataframe falls back
     to a normal shuffle join — correctness is never bucketing-dependent."""

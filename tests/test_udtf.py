@@ -1,0 +1,70 @@
+"""F4 UDTF surface (udtfs.py): semantics vs a pure-Python reference and
+the arrow plan shape.  Engine-vs-DuckDB parity for the oracled query
+`udtf_shingle_rows` rides test_oracle_parity like every other oracle."""
+
+from __future__ import annotations
+
+from welldedup.queries import QUERIES
+from welldedup.udtfs import ShingleRows, register_udtfs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_shingles(text: str, k: int):
+    ws = text.split(" ")
+    return [(i, " ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)]
+
+
+def test_shingle_rows_matches_python_reference(spark):
+    register_udtfs(spark)
+    docs = [
+        ("a b c d e", 3),
+        ("one two", 3),        # shorter than k: no rows
+        ("x", 1),              # k=1: one row per word
+        ("a  b", 2),           # double space: empty token kept, positions align
+    ]
+    df = spark.createDataFrame(docs, "text string, k int")
+    df.createOrReplaceTempView("udtf_fixture")
+    got = {
+        (r["text"], r["pos"], r["shingle"])
+        for r in spark.sql(
+            "SELECT text, s.pos, s.shingle "
+            "FROM udtf_fixture, LATERAL shingle_rows(text, k) s"
+        ).collect()
+    }
+    want = {(t, p, s) for t, k in docs for p, s in _py_shingles(t, k)}
+    assert got == want
+
+
+def test_shingle_rows_null_and_bad_k(spark):
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(None, 3), ("a b", 0), ("a b", None)], "text string, k int"
+    )
+    df.createOrReplaceTempView("udtf_fixture_null")
+    # LATERAL (cross) join: rows whose UDTF emits nothing disappear
+    out = spark.sql(
+        "SELECT s.pos FROM udtf_fixture_null, LATERAL shingle_rows(text, k) s"
+    )
+    assert out.count() == 0
+
+
+def test_udtf_query_plan_is_arrow(spark):
+    """The registered form must run the Arrow-batched UDTF evaluator,
+    never the pickled row-at-a-time one — the same no-per-row-Python
+    rule every other Python boundary in the engine obeys."""
+    plan = (
+        QUERIES["udtf_shingle_rows"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_udtf_class_is_iterator_contract():
+    """Direct kernel check without a session: eval is a generator whose
+    rows match the (pos, shingle) contract."""
+    impl = ShingleRows.func()  # @udtf wraps the class; .func is the impl
+    rows = list(impl.eval("p q r s", 2))
+    assert rows == [(0, "p q"), (1, "q r"), (2, "r s")]
+    assert list(impl.eval(None, 2)) == []

@@ -323,6 +323,26 @@ def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | 
     writer.saveAsTable(table)
 
 
+def spark_catalog_has(spark, table: str) -> bool:
+    """True iff the session catalog knows `table` (default database)."""
+    return spark.catalog.tableExists(table)
+
+
+def _reclaim_orphan_location(spark, table: str) -> None:
+    """Delete a managed-table LOCATION left behind by a killed run.
+
+    Only called when the catalog does NOT know the table, so the
+    directory (if present) is unreachable garbage: no live table can
+    point at it.  Uses the Hadoop FileSystem of the warehouse path, so
+    it works for any warehouse scheme, not just local files."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -349,7 +369,19 @@ def write_bucketed(
 
     n_buckets sizing: files-per-bucket ~ table_bytes / (n_buckets ×
     target_file); at 10^12 docs bucket counts in the 10^4-10^5 range
-    keep buckets HDFS-block-sized while bounding task count."""
+    keep buckets HDFS-block-sized while bounding task count.
+
+    Crash hygiene: a run killed mid-write can leave the managed
+    LOCATION on disk with no catalog entry (the session catalog here
+    is per-process), and `saveAsTable` then fails with
+    LOCATION_ALREADY_EXISTS — `mode("overwrite")` only overwrites
+    tables the catalog knows about.  The orphaned location is
+    reclaimed first, so the write is idempotent under kill-anywhere,
+    same contract as the stage store (is_complete manifests).  In prod
+    the Iceberg catalog makes this transactional; the reclaim is the
+    session-catalog seam's equivalent."""
+    if "." not in table and not spark_catalog_has(df.sparkSession, table):
+        _reclaim_orphan_location(df.sparkSession, table)
     w = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -1394,6 +1394,33 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_udtf_shingle_rows(spark, sf_dir):
+    """F4 — Python UDTF (arrow-optimized) as a LATERAL table function:
+    one row per word-3-shingle with its position (udtfs.ShingleRows).
+    S5's shingling primitive exposed the way a SQL user would reach
+    for it; the pipeline's hot path keeps it fused (signatures.py).
+    Plan carries ArrowEvalPythonUDTF (pinned in tests/test_udtf.py).
+    """
+    from .udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("wd_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.shingle "
+        "FROM wd_udtf_docs, LATERAL shingle_rows(text, 3) s"
+    )
+
+
+SQL_UDTF_SHINGLE_ROWS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(unnest(range(greatest(len(ws) - 2, 0))) AS INT) AS pos,
+       unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+                             i -> array_to_string(ws[i + 1 : i + 3], ' '))) AS shingle
+FROM w
+"""
+
+
 def q_ann_lsh_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(e, dim=64, n_planes=16, n_bands=4)
@@ -3623,6 +3650,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     # multimodal plumbing
     "binary_meta": q_binary_meta,
+    # UDTF surface (F4)
+    "udtf_shingle_rows": q_udtf_shingle_rows,
     # rows-only (non-SQL-expressible)
     "minhash_signatures": q_minhash_signatures,
     "icws_signatures": q_icws_signatures,
@@ -3716,6 +3745,7 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_stats": SQL_LANG_STATS,
+    "udtf_shingle_rows": SQL_UDTF_SHINGLE_ROWS,
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "repetition_stats": SQL_REPETITION_STATS,
     "source_quota_cap": SQL_SOURCE_QUOTA_CAP,

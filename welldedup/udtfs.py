@@ -1,0 +1,56 @@
+"""Python UDTFs (SURVEY.md §2.2 row F4) — lateral table functions.
+
+Every exploding operator in the engine's HOT paths stays native
+(`posexplode` / array exprs / `mapInArrow`), so a UDTF is never
+load-bearing here; this module exists because F4 is part of the UDF
+surface a complete engine exposes, and some shapes users write ARE
+genuinely table functions: one input row → a variable number of typed
+output rows driven by imperative logic that would be awkward as nested
+`transform`/`sequence` expressions.
+
+The demonstration operator is the dedup domain's own primitive lifted
+to a table function: `shingle_rows(text, k)` emits one row per
+word-k-shingle with its position — S5's shingling (signatures.py) as a
+`LATERAL` join instead of a fused signature kernel.  It is registered
+arrow-optimized (`useArrow=True`), so the plan carries
+`ArrowEvalPythonUDTF` (batched Arrow transfer), never the pickled
+row-at-a-time `BatchEvalPythonUDTF` — same rule as every other Python
+boundary in this engine (SURVEY.md §2.2 F1/F2; plan-shape pinned in
+tests/test_round5.py).
+
+Scale shape (100 TB): a UDTF is a map-side operator — no shuffle, no
+state; output rows stream per Arrow batch.  Fan-out is bounded by the
+shingle count (≈ words per doc), so output ≈ k× input bytes: fine as a
+lateral expansion feeding a partial agg, wrong as a materialized
+corpus copy — which is exactly why the pipeline keeps shingling fused
+inside the one content pass (signatures.py) instead of materializing
+this table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="pos: int, shingle: string", useArrow=True)
+class ShingleRows:
+    """Word-k-shingles of `text` with 0-based positions.
+
+    Tokenization contract matches queries.py's word ops: split on a
+    single space, empties kept (so positions line up with DuckDB's
+    `string_split`).  Docs shorter than k words emit nothing.
+    """
+
+    def eval(self, text: str, k: int):  # noqa: D102 — contract above
+        if text is None or k is None or k <= 0:
+            return
+        ws = text.split(" ")
+        join = " ".join
+        for i in range(len(ws) - k + 1):
+            yield i, join(ws[i : i + k])
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Idempotently register the module's UDTFs for SQL/LATERAL use."""
+    spark.udtf.register("shingle_rows", ShingleRows)
