@@ -1,0 +1,164 @@
+"""transformWithStateInPandas twin of the first-seen dedup
+(streaming.stateful_first_seen_tws).
+
+The TWS Python state server speaks protobuf; `google.protobuf` is not
+installed in this sandbox, so the end-to-end equivalence test
+auto-skips here (with the exact reason) and runs wherever protobuf
+exists.  The processor KERNEL — the only logic this module adds over
+the applyInPandasWithState form — is tested below against a fake
+ValueState, including batch-order state accumulation and suppressed
+replays."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from welldedup.streaming import make_first_seen_processor
+
+HAVE_PROTOBUF = importlib.util.find_spec("google") is not None and (
+    importlib.util.find_spec("google.protobuf") is not None
+)
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+class _FakeValueState:
+    """get/update surface of pyspark's ValueState, in-memory."""
+
+    def __init__(self):
+        self.v = None
+
+    def get(self):
+        return self.v
+
+    def update(self, new):
+        self.v = tuple(new)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        assert name == "n" and "long" in str(schema)
+        return self.state
+
+
+def _batch(ids, sha="S"):
+    return pd.DataFrame({"doc_id": ids, "content_sha256": [sha] * len(ids)})
+
+
+def test_first_seen_kernel_emits_only_first_batch_min_id():
+    proc = make_first_seen_processor()
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    # first batch for the key: min doc_id survives, n_copies = batch size
+    out1 = list(proc.handleInputRows(("S",), iter([_batch([7, 3, 9])]), None))
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row["doc_id"], row["content_sha256"], row["n_copies"]) == (3, "S", 3)
+    assert handle.state.get() == (3,)
+
+    # replay in a later batch: suppressed, state keeps counting
+    out2 = list(proc.handleInputRows(("S",), iter([_batch([11])]), None))
+    assert out2 == []
+    assert handle.state.get() == (4,)
+
+    # empty-frame invocation: no emit, state untouched
+    out3 = list(proc.handleInputRows(("S",), iter([_batch([])]), None))
+    assert out3 == []
+    assert handle.state.get() == (4,)
+
+
+def test_first_seen_kernel_multiple_frames_one_batch():
+    """The rows iterator may deliver several pandas chunks for one key
+    in one batch — they count as ONE first batch."""
+    proc = make_first_seen_processor()
+    proc.init(_FakeHandle())
+    out = list(
+        proc.handleInputRows(("S",), iter([_batch([5, 2]), _batch([8])]), None)
+    )
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["doc_id"], row["n_copies"]) == (2, 3)
+
+
+@pytest.mark.skipif(
+    not HAVE_PROTOBUF,
+    reason="transformWithState needs google.protobuf (state-server "
+    "protocol); not installed in this sandbox",
+)
+@pytest.mark.parametrize("shards", [1, 4])
+def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path, shards):
+    """Both state APIs must emit the IDENTICAL row set for the same
+    two-batch input (including a replayed sha across the restart)."""
+    from welldedup.streaming import (
+        read_code_files_stream,
+        stateful_first_seen,
+        stateful_first_seen_tws,
+    )
+
+    def _rows(tag, n, content=None):
+        return [
+            dict(repo="r", path=f"{tag}_{i}.py", commit="c0", lang="python",
+                 content=content or f"def f_{tag}_{i}(): pass\n")
+            for i in range(n)
+        ]
+
+    def _drain(op, src, out, ckpt):
+        q = (
+            op(read_code_files_stream(spark, str(src)), shards=shards)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = _rows("a", 3) + _rows("dup", 2, content="SAME\n")
+    batch2 = _rows("dup2", 1, content="SAME\n") + _rows("b", 1)
+
+    results = {}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        for name, op in (
+            ("apply", stateful_first_seen),
+            ("tws", stateful_first_seen_tws),
+        ):
+            out = str(tmp_path / f"out_{name}_{shards}")
+            ckpt = str(tmp_path / f"ck_{name}_{shards}")
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame(batch1)),
+                str(src / "b1.parquet"),
+            )
+            _drain(op, src, out, ckpt)
+            # second drain, fresh query on the same checkpoint: the
+            # replayed SAME content must be suppressed by restored state
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame(batch2)),
+                str(src / "b2.parquet"),
+            )
+            _drain(op, src, out, ckpt)
+            results[name] = sorted(
+                (r["doc_id"], r["content_sha256"], r["n_copies"])
+                for r in spark.read.parquet(out).collect()
+            )
+            (src / "b1.parquet").unlink()
+            (src / "b2.parquet").unlink()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # 3 uniques + SAME survivor from batch1, 1 new unique from batch2
+    assert len(results["tws"]) == 5
+    assert results["tws"] == results["apply"]
+    n_copies = {sha: n for _, sha, n in results["tws"]}
+    assert 2 in n_copies.values()  # SAME counted twice in its first batch

@@ -450,6 +450,23 @@ def admitted_corpus(
     return docs.join(admitted, "doc_id", "left_semi").dropDuplicates(["doc_id"])
 
 
+def _first_seen_keyed(stream: DataFrame, shards: int):
+    """Shared keying for the two first-seen state APIs: (doc_id, sha)
+    rows plus the optional content-derived shard column (sharding never
+    changes per-key semantics — each sha maps to exactly one shard)."""
+    keyed = prep.with_sha256(prep.with_doc_id(stream)).select(
+        "doc_id", "content_sha256"
+    )
+    group_cols = ["content_sha256"]
+    if shards > 1:
+        keyed = keyed.withColumn(
+            "shard",
+            F.pmod(F.xxhash64("content_sha256"), F.lit(shards)).cast("int"),
+        )
+        group_cols = ["shard", "content_sha256"]
+    return keyed, group_cols
+
+
 def stateful_first_seen(
     stream: DataFrame, cfg: DedupConfig | None = None, shards: int = 1
 ):
@@ -488,16 +505,7 @@ def stateful_first_seen(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     cfg = cfg or DedupConfig()
-    keyed = prep.with_sha256(prep.with_doc_id(stream)).select(
-        "doc_id", "content_sha256"
-    )
-    group_cols = ["content_sha256"]
-    if shards > 1:
-        keyed = keyed.withColumn(
-            "shard",
-            F.pmod(F.xxhash64("content_sha256"), F.lit(shards)).cast("int"),
-        )
-        group_cols = ["shard", "content_sha256"]
+    keyed, group_cols = _first_seen_keyed(stream, shards)
 
     def first_seen(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: F811 — executor-side import
@@ -519,6 +527,85 @@ def stateful_first_seen(
         stateStructType="n long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_first_seen_processor():
+    """The transformWithState first-seen kernel, as a factory so the
+    class is importable without a live state server: tests drive
+    handleInputRows against a fake ValueState (the API surface it
+    touches is get/update only)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, pdfs, timer_values):
+            import pandas as pd  # noqa: F811 — executor-side import
+
+            frames = [p for p in pdfs if len(p)]
+            if not frames:
+                return
+            prior = self._n.get()
+            seen = prior[0] if prior is not None else 0
+            rows = pd.concat(frames, ignore_index=True)
+            if seen == 0:
+                first = rows.nsmallest(1, "doc_id").copy()
+                first["n_copies"] = len(rows)  # first-batch copies only
+                yield first[["doc_id", "content_sha256", "n_copies"]]
+            self._n.update((seen + len(rows),))
+
+        def close(self) -> None:
+            pass
+
+    return _FirstSeen()
+
+
+def stateful_first_seen_tws(
+    stream: DataFrame, cfg: DedupConfig | None = None, shards: int = 1
+):
+    """`stateful_first_seen` on the Spark 4 arbitrary-state API
+    (`transformWithStateInPandas`, SPARK-49791): identical semantics
+    and output — only a sha's first-ever row is emitted (min doc_id in
+    its first batch), later copies increment per-key state and are
+    suppressed across micro-batches and restarts.  Output equivalence
+    with the applyInPandasWithState form is pinned in
+    tests/test_streaming_tws.py on the same input sequence.
+
+    Why both exist: applyInPandasWithState is the stable 3.x-era
+    operator; transformWithState is where new state features land
+    (typed state variables, per-state TTL, timers, initial state,
+    state-reader lineage) and REQUIRES the RocksDB state store
+    provider — set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider before starting the query, which is this
+    engine's 10^12-key posture anyway (state off-heap/on-disk, key
+    count bounded per shard).  Per-key state here is ONE long
+    (ValueState "n"), the minimum possible, exactly as in the
+    applyInPandasWithState form.
+
+    Environment note: the transformWithState Python state server
+    speaks protobuf, and `google.protobuf` is not installed in this
+    sandbox — starting the query here fails in the driver-side worker
+    with ImportError.  The operator is complete and the equivalence
+    test auto-enables wherever protobuf exists
+    (tests/test_streaming_tws.py skips with the exact reason
+    otherwise; the processor kernel itself is unit-tested against a
+    fake ValueState).  Same declared-seam pattern as the Iceberg jars
+    (io.py) and codec decode (multimodal.py).
+    """
+    cfg = cfg or DedupConfig()
+    keyed, group_cols = _first_seen_keyed(stream, shards)
+
+    return keyed.groupBy(*group_cols).transformWithStateInPandas(
+        statefulProcessor=make_first_seen_processor(),
+        outputStructType="doc_id long, content_sha256 string, n_copies long",
+        outputMode="append",
+        timeMode="none",
     )
 
 
