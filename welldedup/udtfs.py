@@ -16,7 +16,7 @@ arrow-optimized (`useArrow=True`), so the plan carries
 `ArrowEvalPythonUDTF` (batched Arrow transfer), never the pickled
 row-at-a-time `BatchEvalPythonUDTF` — same rule as every other Python
 boundary in this engine (SURVEY.md §2.2 F1/F2; plan-shape pinned in
-tests/test_round5.py).
+tests/test_udtf.py).
 
 Scale shape (100 TB): a UDTF is a map-side operator — no shuffle, no
 state; output rows stream per Arrow batch.  Fan-out is bounded by the
