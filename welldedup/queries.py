@@ -1401,13 +1401,19 @@ def q_udtf_shingle_rows(spark, sf_dir):
     for it; the pipeline's hot path keeps it fused (signatures.py).
     Plan carries ArrowEvalPythonUDTF (pinned in tests/test_udtf.py).
     """
+    import hashlib
+
     from .udtfs import register_udtfs
 
     register_udtfs(spark)
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("wd_udtf_docs")
+    # sf-specific view name: the returned plan is lazy, so a shared
+    # name would read whichever sf_dir registered LAST if a caller
+    # builds plans for two scale factors before collecting either
+    view = f"wd_udtf_docs_{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
     return spark.sql(
         "SELECT doc_id, s.pos, s.shingle "
-        "FROM wd_udtf_docs, LATERAL shingle_rows(text, 3) s"
+        f"FROM {view}, LATERAL shingle_rows(text, 3) s"
     )
 
 
