@@ -1,0 +1,90 @@
+"""Extra benchmarks for the optimization round (bench.py is FROZEN for
+measurement; this file holds the guide-§1.4 noop-sink isolation runs
+and stage-level attribution that OPTIMIZATION_r06.md cites).
+
+Usage:
+  python bench_extra.py queries  [sf_dir] [name ...]   # per-query noop timing
+  python bench_extra.py pipeline [sf_dir]              # stage_seconds breakdown
+  python bench_extra.py pairs    [sf_dir]              # per-method pair profile
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import HEADLINE, _force  # noqa: E402
+
+
+def _spark():
+    from welldedup.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+    return get_spark(
+        app_name="welldedup-bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+
+def bench_queries(sf_dir: str, names: list[str], trials: int | None = None) -> None:
+    from welldedup.queries import QUERIES
+
+    if trials is None:
+        trials = int(os.environ.get("BENCH_EXTRA_TRIALS", "3"))
+    spark = _spark()
+    _force(QUERIES["minhash_signatures"](spark, sf_dir))  # warm-up
+    out: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(trials):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, sf_dir))
+            out[name].append(round(time.monotonic() - t0, 3))
+    best = {n: min(ts) for n, ts in out.items()}
+    print(json.dumps({"sf_dir": sf_dir, "min": best,
+                      "total_min": round(sum(best.values()), 3),
+                      "trials": out, "loadavg1": os.getloadavg()[0]}))
+
+
+def bench_pipeline(sf_dir: str) -> None:
+    from welldedup.pipeline import run_pipeline
+    from welldedup.queries import CFG, docs_as_code_files
+
+    spark = _spark()
+    for i in range(3):
+        t0 = time.monotonic()
+        res = run_pipeline(spark, docs_as_code_files(spark, sf_dir), CFG)
+        _force(res.clusters)
+        wall = round(time.monotonic() - t0, 3)
+        print(json.dumps({"trial": i, "wall": wall,
+                          "stage_seconds": {k: round(v, 3) for k, v in
+                                            res.stage_seconds.items()}}))
+
+
+def bench_pairs(sf_dir: str) -> None:
+    from welldedup.pipeline import profile_candidate_pairs, run_pipeline
+    from welldedup.queries import CFG, docs_as_code_files
+
+    spark = _spark()
+    res = run_pipeline(spark, docs_as_code_files(spark, sf_dir), CFG)
+    print(json.dumps(profile_candidate_pairs(res.docs, res.signatures, CFG)))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    if mode == "queries":
+        bench_queries(sf_dir, sys.argv[3:] or HEADLINE)
+    elif mode == "pipeline":
+        bench_pipeline(sf_dir)
+    elif mode == "pairs":
+        bench_pairs(sf_dir)
+    else:
+        raise SystemExit(f"unknown mode {mode}")

@@ -70,7 +70,12 @@ def connected_components(
     max_rounds = max_rounds or (cfg.cc_max_rounds if cfg else 50)
 
     # single-pass symmetrize: each edge row explodes to both directions,
-    # so the (possibly expensive) edge plan is evaluated exactly once.
+    # so the (possibly expensive) edge plan is evaluated exactly once —
+    # the checkpoint materializes it before the two contraction passes
+    # below re-read it.  No distinct: the contraction's partial
+    # aggregations absorb repeats map-side, where the old up-front
+    # distinct was a full shuffle of the job's BIGGEST table (88M rows
+    # for the 44M-edge sf1.0 word-jaccard graph — guide §2.4).
     sym = edges.select(
         F.explode(
             F.array(
@@ -79,25 +84,35 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # dedupe once: repeated edges multiply every round's join output.
-    # The edge count rides the checkpoint as an observe() — no extra job.
     obs_sym = Observation(f"cc_sym_{id(sym)}")
-    sym = (
-        sym.distinct()
-        .observe(obs_sym, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    sym = sym.observe(obs_sym, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
     )
 
     self_labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     if int(obs_sym.get["n"] or 0) == 0:
         return self_labels
 
-    # loop state = endpoint nodes only (O(docs-in-pairs), not O(corpus))
+    # --- contraction pass (guide §2.3 "aggregate before you shuffle"):
+    # duplicate-cluster graphs are DENSE (near-cliques), so iterating
+    # over the raw edge multiset pays O(E) per round.  One min-neighbor
+    # labeling (map-side partial agg over 2|E| rows → one row per
+    # endpoint) collapses every dense structure, and the loop then runs
+    # on the RELABELED edge set — near-cliques contract to almost
+    # nothing in this single pass.  Labels stay exact component-member
+    # doc_ids, so the converged result (min doc_id per component) is
+    # bit-identical to the uncontracted loop: the component minimum m
+    # labels itself (m < all its neighbors) and contraction preserves
+    # connectivity, so min-propagation over the contracted graph still
+    # reaches the same global min for every member.
     obs0 = Observation(f"cc_init_{id(sym)}")
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    lab0 = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "mn").alias("cluster_id"),
+        )
         .observe(
             obs0,
             F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
@@ -105,8 +120,59 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    prev_sum = obs0.get["label_sum"]
-    n_active = int(obs0.get["n"])
+    n_endpoints = int(obs0.get["n"])
+    threshold0 = cfg.cc_broadcast_max_labels if cfg else 2_000_000
+    l0 = F.broadcast(lab0) if n_endpoints <= threshold0 else lab0
+    la = l0.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("_la"))
+    lb = l0.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_lb"))
+    cedges = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("id_a"),
+            F.greatest("_la", "_lb").alias("id_b"),
+        )
+        .distinct()  # map-side combine collapses the dense repeats
+    )
+    csym = cedges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    obs_c = Observation(f"cc_contracted_{id(csym)}")
+    csym = csym.observe(obs_c, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    if int(obs_c.get["n"] or 0) == 0:
+        # the single contraction pass already converged every component
+        lab_final0 = F.broadcast(lab0) if n_endpoints <= threshold0 else lab0
+        return self_labels.select("doc_id").join(
+            lab_final0, "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+
+    # loop state = contracted label-nodes only
+    obs1 = Observation(f"cc_loop_init_{id(csym)}")
+    labels = (
+        csym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .observe(
+            obs1,
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs1.get["label_sum"]
+    n_active = int(obs1.get["n"])
+    sym = csym
     # small-graph fast path: duplicate-pair endpoints are a few % of a
     # deduplicated corpus, so the label table usually fits a broadcast.
     # Broadcasting both per-round join sides leaves ONE shuffle per
@@ -162,8 +228,22 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
 
+    # compose: endpoint → contraction label → converged loop label.
+    # Contracted label-nodes absent from the loop kept their lab0 label
+    # (they had no surviving contracted edge — impossible here since
+    # every loop node has one, but the left join keeps it total).
+    floop = labels.select(
+        F.col("doc_id").alias("_l0"), F.col("cluster_id").alias("_fin")
+    )
+    floop_side = F.broadcast(floop) if bcast else floop
+    lab_full = lab0.join(
+        floop_side, lab0.cluster_id == floop._l0, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("_fin", F.col("cluster_id")).alias("cluster_id"),
+    )
     # isolated nodes label themselves; endpoint nodes take the loop's label
-    lab_final = F.broadcast(labels) if bcast else labels
+    lab_final = F.broadcast(lab_full) if n_endpoints <= threshold0 else lab_full
     return self_labels.select("doc_id").join(lab_final, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),

@@ -126,36 +126,236 @@ def _group_size_guard(df: DataFrame, keys: list, scale_path: str) -> DataFrame:
     return df.join(F.broadcast(counts), keys).filter(ok.isNull()).drop("_gn")
 
 
+# --- bit-packed all-pairs set-intersection kernel (guide §4.2) -------
+# The guarded oracle-parity pair queries compared word ARRAYS pair-by-
+# pair in Catalyst (array_intersect per surviving pair — O(|A|+|B|)
+# string hashing per pair, dominated word_jaccard_pairs/cc_clusters at
+# 5.8s/6.9s of the 23.7s sf0.1 headline).  Per source group the word
+# sets draw from a tiny shared vocabulary, so each set bit-packs into
+# ceil(V/64) uint64 words and |A∩B| is AND+popcount — vectorized numpy
+# over row blocks, ~100× less work per pair, and exact for ANY vocab
+# size (W grows with V).  The kernel emits a slack SUPERSET of
+# qualifying pairs as integer evidence (inter, sa, sb); the
+# authoritative jac arithmetic + round + threshold stays in Catalyst,
+# byte-identical to the previous expression, so emitted rows cannot
+# drift.
+_WJ_CAND_SCHEMA = "id_a long, id_b long, inter long, sa long, sb long"
+_POPLUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int32)
+
+
+def _wj_group_arrays(pdf: pd.DataFrame):
+    """Shared group prep: (ids, set sizes, bit-packed masks) or None
+    when fewer than two non-null word sets exist."""
+    n_all = len(pdf)
+    if n_all > _PAIR_GROUP_LIMIT:
+        raise RuntimeError(
+            f"all-pairs group exceeds {_PAIR_GROUP_LIMIT} rows; "
+            "use dedup_pipeline_clusters (MinHash-LSH) at this scale"
+        )
+    # null word arrays never pair (the previous join condition was null
+    # → false for them); drop up front
+    rows = [(i, w) for i, w in zip(pdf["doc_id"].to_numpy(), pdf["w"])
+            if w is not None]
+    if len(rows) < 2:
+        return None
+    n = len(rows)
+    ids = np.fromiter((r[0] for r in rows), np.int64, n)
+    lengths = np.fromiter((len(r[1]) for r in rows), np.int64, n)
+    total = int(lengths.sum())
+    flat = (
+        np.concatenate([np.asarray(r[1], dtype=object) for r in rows])
+        if total else np.zeros(0, dtype=object)
+    )
+    codes = pd.factorize(flat)[0].astype(np.int64)
+    vocab = int(codes.max()) + 1 if codes.size else 1
+    n_words = (vocab + 63) // 64
+    masks = np.zeros((n, n_words), np.uint64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    np.bitwise_or.at(
+        masks,
+        (row_ids, codes >> 6),
+        np.uint64(1) << (codes & 63).astype(np.uint64),
+    )
+    return ids, lengths, masks
+
+
+def _wj_inter_blocks(lengths: np.ndarray, masks: np.ndarray):
+    """Yield (s, e, inter) row blocks of the all-pairs intersection-size
+    matrix: inter[r, j] = |set(s+r) ∩ set(j)|, exact popcounts.  Block
+    size bounds the temporaries to tens of MB regardless of group size
+    (the group guard caps n at 20k)."""
+    n = lengths.shape[0]
+    n_words = masks.shape[1]
+    blk = max(1, 2_000_000 // n)
+    for s in range(0, n - 1, blk):
+        e = min(s + blk, n)
+        acc = np.zeros((e - s, n), np.int32)
+        for w in range(n_words):
+            andm = masks[s:e, w][:, None] & masks[None, :, w]
+            acc += _POPLUT[andm.view(np.uint8)].reshape(e - s, n, 8).sum(
+                axis=2, dtype=np.int32
+            )
+        yield s, e, acc
+
+
+def _wj_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = ("id_a", "id_b", "inter", "sa", "sb")
+    g = _wj_group_arrays(pdf)
+    if g is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    ids, lengths, masks = g
+    n = ids.shape[0]
+    out_a, out_b, out_i = [], [], []
+    for s, e, acc in _wj_inter_blocks(lengths, masks):
+        sa = lengths[s:e][:, None]
+        sb = lengths[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = acc / (sa + sb - acc)
+        # slack 0.4999 < the exact 0.49995 round-to-0.5 boundary: the
+        # few sub-threshold pairs emitted are removed by the Catalyst
+        # filter; no qualifying pair can be missed
+        cand = jac >= 0.4999
+        cand &= np.arange(n)[None, :] > np.arange(s, e)[:, None]
+        bi, bj = np.nonzero(cand)
+        out_a.append(bi + s)
+        out_b.append(bj)
+        out_i.append(acc[bi, bj])
+    ia = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    ib = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    iv = np.concatenate(out_i) if out_i else np.zeros(0, np.int32)
+    da, db = ids[ia], ids[ib]
+    swap = da > db
+    return pd.DataFrame(
+        {
+            "id_a": np.where(swap, db, da),
+            "id_b": np.where(swap, da, db),
+            "inter": iv.astype(np.int64),
+            "sa": np.where(swap, lengths[ib], lengths[ia]),
+            "sb": np.where(swap, lengths[ia], lengths[ib]),
+        }
+    )
+
+
+def _wj_exact_edge_filter(ei, ej, inter, lengths):
+    """Index pairs whose EXACT rounded jaccard passes the 0.5 gate —
+    the same predicate Catalyst applies to word_jaccard_pairs, decided
+    in integer arithmetic.  round(i/d, 4) >= 0.5  ⟺  i/d >= 0.5 when
+    the union d < 10000 (for 2i < d, jac <= 0.5 − 1/(2d) < 0.49995),
+    and i/d >= 0.5 ⟺ 3·inter >= sa + sb.  In the d >= 10000 regime the
+    boundary band is decided per pair by replicating Spark's
+    BigDecimal(Double.toString(x)) HALF_UP rounding via Decimal(repr)."""
+    sa, sb = lengths[ei], lengths[ej]
+    keep = 3 * inter >= sa + sb
+    d = sa + sb - inter
+    gray = (~keep) & (d >= 10000) & (inter * 20000 >= d * 9998)
+    if gray.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        gi = np.nonzero(gray)[0]
+        for t in gi:
+            x = float(inter[t]) / float(d[t])
+            if Decimal(repr(x)).quantize(q, ROUND_HALF_UP) >= Decimal("0.5"):
+                keep[t] = True
+    return keep
+
+
+def _wj_star_edges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Connectivity-reduced form of the exact word-jaccard pair graph
+    for the CC query: per source group, decide every pair with the
+    EXACT threshold predicate, run min-label connected components over
+    the group in numpy (pointer-halving label propagation), and emit
+    one STAR edge (component-min doc_id ↔ member) per non-root member
+    — O(n) rows instead of O(n²).  Valid because word-jaccard edges are
+    intra-source by construction (the pair join is keyed on source), so
+    per-group components ARE the global components; the downstream CC
+    operator converges on the stars to bit-identical labels."""
+    cols = ("id_a", "id_b")
+    g = _wj_group_arrays(pdf)
+    if g is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    ids, lengths, masks = g
+    n = ids.shape[0]
+    e_i, e_j = [], []
+    for s, e, acc in _wj_inter_blocks(lengths, masks):
+        cand = 3 * acc >= (lengths[s:e][:, None] + lengths[None, :])
+        # the d >= 10000 gray band (possible only when a set exceeds
+        # 5000 distinct words) needs the exact-decimal check; the cheap
+        # integer form above already keeps everything at i/d >= 0.5
+        if int(lengths.max()) * 2 >= 10000:
+            near = (~cand) & (
+                acc * 20000 >= (lengths[s:e][:, None] + lengths[None, :] - acc)
+                * 9998
+            )
+            bi, bj = np.nonzero(near)
+            if bi.size:
+                keep = _wj_exact_edge_filter(
+                    bi + s, bj, acc[bi, bj].astype(np.int64), lengths
+                )
+                cand[bi[keep], bj[keep]] = True
+        cand &= np.arange(n)[None, :] > np.arange(s, e)[:, None]
+        bi, bj = np.nonzero(cand)
+        e_i.append(bi + s)
+        e_j.append(bj)
+    ei = np.concatenate(e_i) if e_i else np.zeros(0, np.int64)
+    ej = np.concatenate(e_j) if e_j else np.zeros(0, np.int64)
+    if ei.size == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    # min-label CC in rank space (ranks order by doc_id, so the min
+    # rank of a component is the min doc_id member)
+    order = np.argsort(ids, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    u, v = rank[ei], rank[ej]
+    p = np.arange(n, dtype=np.int64)
+    for _ in range(2 * int(np.ceil(np.log2(n))) + 4):
+        prev = p.copy()
+        np.minimum.at(p, u, p[v])
+        np.minimum.at(p, v, p[u])
+        p = p[p]  # pointer halving
+        if np.array_equal(p, prev):
+            break
+    else:
+        # pathological topology (long adversarially-ranked chains):
+        # finish with an always-correct sequential union-find
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u.tolist(), v.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        p = np.fromiter((find(x) for x in range(n)), np.int64, n)
+    roots = p != np.arange(n)
+    member = ids[order[np.nonzero(roots)[0]]]
+    root = ids[order[p[roots]]]
+    return pd.DataFrame({"id_a": root, "id_b": member})
+
+
 def q_word_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
-    d = _group_size_guard(d, ["source"], "dedup_pipeline_clusters (MinHash-LSH)")
-    d = d.withColumn("sw", F.size("w"))
-    a = d.select(
-        F.col("doc_id").alias("id_a"), "source",
-        F.col("w").alias("wa"), F.col("sw").alias("sa"),
+    # group-size guard semantics preserved: the kernel raises the same
+    # all-pairs-budget error for any group beyond _PAIR_GROUP_LIMIT
+    cand = d.groupBy("source").applyInPandas(
+        _wj_candidates_kernel, _WJ_CAND_SCHEMA
     )
-    b = d.select(
-        F.col("doc_id").alias("id_b"), "source",
-        F.col("w").alias("wb"), F.col("sw").alias("sb"),
-    )
-    # AllPairs-style length prefilter, exactness-preserving: for sets,
-    # jac = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so any pair whose
-    # set-size ratio is below the (round-slack-adjusted) threshold can
-    # be dropped BEFORE the expensive array_intersect — this prunes the
-    # bulk of the O(m²) guarded pairs down to near-duplicate-shaped
-    # ones while returning bit-identical rows.
-    j = a.join(b, "source").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.least("sa", "sb").cast("double")
-           >= F.lit(0.49995) * F.greatest("sa", "sb"))
-    )
-    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
-    # |A∪B| = |A| + |B| − |A∩B| for deduped arrays: one array kernel
-    # per pair instead of two (array_union dropped)
+    inter = F.col("inter").cast("double")
+    # identical arithmetic to the previous Catalyst form: int sizes,
+    # |A∪B| = sa + sb − inter, double division, round(…, 4), >= 0.5
     jac = inter / (F.col("sa") + F.col("sb") - inter)
-    return j.select(
+    return cand.select(
         "id_a", "id_b", F.round(jac, 4).alias("jac")
     ).filter(F.col("jac") >= 0.5)
 
@@ -335,9 +535,21 @@ HAVING round(CAST(sum(least(a.c, b.c)) AS DOUBLE)
 
 def q_cc_clusters(spark, sf_dir):
     """Connected components over word-jaccard edges — the iterative
-    join-and-propagate loop vs DuckDB's recursive CTE."""
+    join-and-propagate loop vs DuckDB's recursive CTE.
+
+    The edge feed is the connectivity-reduced star form of the exact
+    pair graph (_wj_star_edges_kernel): word-jaccard edges are
+    intra-source by construction, so the per-group kernel can decide
+    every pair with the exact threshold predicate and ship O(n) star
+    edges instead of the O(n²) pair list (44M rows at sf1.0) — the
+    downstream CC operator converges to bit-identical labels."""
     d = _t(spark, sf_dir, "documents")
-    edges = q_word_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    w = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    edges = w.groupBy("source").applyInPandas(
+        _wj_star_edges_kernel, "id_a long, id_b long"
+    )
     nodes = d.select("doc_id")
     return cc.connected_components(nodes, edges, CFG)
 
@@ -1650,14 +1862,26 @@ def q_retract_clusters(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
+def _sf_view(spark, sf_dir: str, table: str, prefix: str) -> str:
+    """sf-keyed temp-view name: plans are lazy, so a FIXED view name
+    would resolve to whichever sf_dir registered last if a caller
+    builds plans for two scale factors before collecting either (the
+    hazard commit 22652c6 fixed for the UDTF view)."""
+    import hashlib
+
+    view = f"{prefix}_{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    _t(spark, sf_dir, table).createOrReplaceTempView(view)
+    return view
+
+
 def q_grouping_sets_orders(spark, sf_dir):
     """G3 — GROUPING SETS (the general form rollup/cube specialize)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("wd_orders_gs")
+    view = _sf_view(spark, sf_dir, "orders", "wd_orders_gs")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
                count(*) AS n, round(sum(o_totalprice), 2) AS revenue
-        FROM wd_orders_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
         """
@@ -2603,16 +2827,16 @@ def q_lateral_order_stats(spark, sf_dir):
     aggregate + equi-join — verify via .explain: no nested-loop): per
     customer, order count and total spend from a lateral aggregate.
     SQL surface because LATERAL has no DataFrame-API spelling."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("wd_lat_customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("wd_lat_orders")
+    v_cust = _sf_view(spark, sf_dir, "customer", "wd_lat_customer")
+    v_ord = _sf_view(spark, sf_dir, "orders", "wd_lat_orders")
     return spark.sql(
-        """
+        f"""
         SELECT c.c_custkey, l.n_orders, l.total_spend
-        FROM wd_lat_customer c,
+        FROM {v_cust} c,
         LATERAL (
           SELECT CAST(count(*) AS BIGINT) AS n_orders,
                  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
-          FROM wd_lat_orders o WHERE o.o_custkey = c.c_custkey
+          FROM {v_ord} o WHERE o.o_custkey = c.c_custkey
         ) l
         """
     )
