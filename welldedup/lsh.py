@@ -136,10 +136,62 @@ def candidate_pairs_from_buckets(
     merge to the same bottom-k the unsalted plan yields.  A degenerate
     bucket's list build spreads over n_salt tasks instead of one.
     """
-    # two-phase: a cheap partial-aggregating COUNT finds the >= 2-doc
-    # buckets first (the overwhelming majority of buckets are
-    # singletons, and collect_list on millions of singleton groups is
-    # allocation-bound); only surviving buckets pay the list build.
+    cap = cfg.max_bucket
+    if cfg.salt_partitions <= 1:
+        # single-exchange form: bucket size and bottom-cap rank come
+        # from ONE window over the bucket key (sorted by doc_id), the
+        # filter drops singleton/degenerate buckets BEFORE any list is
+        # built, and the same-key aggregation reuses the window's
+        # partitioning — no second exchange, no counts join, and no
+        # broadcast of a counts table that is mostly singletons (the
+        # previous two-phase shape broadcast 2M bucket counts at the
+        # 50k-doc scale factor and evaluated the bucket stream twice —
+        # guide §2.4).  Skew metrics ride the window stream as
+        # conditional observe() aggregates over the per-bucket first
+        # row — unchanged semantics, zero extra passes.
+        w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        bw = buckets.select(
+            "band_id",
+            "band_hash",
+            "doc_id",
+            F.count(F.lit(1))
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
+            F.row_number().over(w).alias("rn"),
+        )
+        if observations is not None:
+            obs = Observation(f"buckets_{src}")
+            first = F.col("rn") == 1
+            dropped = first & (F.col("n") > cfg.drop_bucket_over)
+            bw = bw.observe(
+                obs,
+                F.sum(first.cast("long")).alias("buckets_total"),
+                F.sum(dropped.cast("long")).alias("buckets_dropped"),
+                F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias(
+                    "docs_in_dropped"
+                ),
+            )
+            observations.append((f"buckets_{src}", obs))
+        # rn <= cap IS the bottom-cap-by-doc_id of the sorted bucket, so
+        # no list ever exceeds cap elements even before the slice
+        kept = (
+            bw.filter(
+                (F.col("n") >= 2)
+                & (F.col("n") <= cfg.drop_bucket_over)
+                & (F.col("rn") <= cap)
+            )
+            .groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        )
+        return _explode_id_pairs(kept, src)
+
+    # salted path (cfg.salt_partitions > 1): distributive bottom-k via
+    # per-(bucket, salt) shards — the two-phase count prefilter stays,
+    # since the shard aggregation is keyed differently from the count
     counts_all = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("n")
     )
@@ -157,38 +209,36 @@ def candidate_pairs_from_buckets(
         (F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over)
     )
     survivors = buckets.join(counts, ["band_id", "band_hash"])
-    cap = cfg.max_bucket
-    if cfg.salt_partitions > 1:
-        n_salt = cfg.salt_partitions
-        pre = (
-            survivors.withColumn(
-                "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
-            )
-            .groupBy("band_id", "band_hash", "salt")
-            .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids"))
+    n_salt = cfg.salt_partitions
+    pre = (
+        survivors.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
         )
-        if observations is not None:
-            sobs = Observation(f"salt_{src}")
-            pre = pre.observe(
-                sobs, F.count(F.lit(1)).alias("salt_groups")
-            )
-            observations.append((f"salt_{src}", sobs))
-        kept = pre.groupBy("band_id", "band_hash").agg(
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("ids"))), 1, cap
-            ).alias("ids")
+        .groupBy("band_id", "band_hash", "salt")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids"))
+    )
+    if observations is not None:
+        sobs = Observation(f"salt_{src}")
+        pre = pre.observe(
+            sobs, F.count(F.lit(1)).alias("salt_groups")
         )
-    else:
-        kept = survivors.groupBy("band_id", "band_hash").agg(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids")
-        )
-    # explode (i, j) index pairs from the sorted unique list.  NO
-    # distinct here: the same pair surfacing from many bands is deduped
-    # by the caller's union groupBy (map-side combine absorbs the
-    # repeats) — a per-method distinct would be one extra full shuffle
-    # of the pair set for nothing.  Callers that use a single method's
-    # pairs directly should dropDuplicates() themselves.
-    pairs = (
+        observations.append((f"salt_{src}", sobs))
+    kept = pre.groupBy("band_id", "band_hash").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("ids"))), 1, cap
+        ).alias("ids")
+    )
+    return _explode_id_pairs(kept, src)
+
+
+def _explode_id_pairs(kept: DataFrame, src: str) -> DataFrame:
+    """(…, ids sorted array) → (id_a, id_b, src) index-pair explosion.
+    NO distinct here: the same pair surfacing from many bands is deduped
+    by the caller's union groupBy (map-side combine absorbs the
+    repeats) — a per-method distinct would be one extra full shuffle
+    of the pair set for nothing.  Callers that use a single method's
+    pairs directly should dropDuplicates() themselves."""
+    return (
         kept.select(F.col("ids"))
         .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
         .select(
@@ -198,7 +248,6 @@ def candidate_pairs_from_buckets(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("src", F.lit(src))
     )
-    return pairs
 
 
 def dropped_bucket_stats(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -224,26 +224,16 @@ def substr_candidate_pairs(
     emit → groupBy(pair) count filter.  Shuffles: one on fp, one on
     the pair key.
 
-    The fingerprint stream feeds TWO consumers (the count filter and
-    the list build), so it is persisted — without it the full content
-    pass through the Arrow kernel runs twice (measured ~2× the whole
-    stage).  MEMORY_AND_DISK keeps lineage intact (recomputable on
-    executor loss, unlike localCheckpoint), and the persisted shape is
-    the compact (doc_id, fp) stream — ~n_bytes/2^density_bits rows —
-    not content.  The cache is scoped to the stage, not the session:
-    callers pass `persisted` and unpersist once the pair output is
-    materialized (pipeline.py does) — otherwise every invocation in a
-    long-lived session leaks a cached fingerprint stream into the
-    block store until session end.
+    The single-exchange window shape in fingerprint_pairs scans the
+    fingerprint stream exactly ONCE, so the standalone path no longer
+    persists it (the old two-phase shape had two consumers and cached
+    the stream between them; `persisted` is kept in the signature for
+    callers that still pass a scope list — it stays empty).
     """
-    from pyspark import StorageLevel
-
     fn = make_fingerprint_arrow_fn(cfg)
     fps = docs.select("doc_id", "content").mapInArrow(
         fn, "doc_id long, fp long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if persisted is not None:
-        persisted.append(fps)
+    )
     return fingerprint_pairs(fps, cfg, observations)
 
 
@@ -257,31 +247,44 @@ def fingerprint_pairs(
     the stage checkpoint — no persist, no second content scan; the two
     consumers below re-read the compact checkpoint, not content).
 
-    The input must be cheap to evaluate twice (a checkpoint projection
-    or a persisted stream): the count phase and the list build each
-    scan it once."""
-    # two-phase (see lsh.candidate_pairs_from_buckets): cheap COUNT
-    # finds shared fingerprints; only those pay the list build
-    counts_all = fps.groupBy("fp").agg(F.count("*").alias("n"))
+    Single-exchange shape (see lsh.candidate_pairs_from_buckets): one
+    window over the fp key yields bucket size + bottom-cap rank, the
+    filter drops singleton/degenerate fingerprints BEFORE any list is
+    built, and the same-key aggregation reuses the window partitioning
+    — the input is scanned ONCE (the old two-phase count+join scanned
+    it twice and broadcast the counts table)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    bw = fps.select(
+        "fp",
+        "doc_id",
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
     if observations is not None:
         from pyspark.sql import Observation
 
         obs = Observation("buckets_substr")
-        dropped = F.col("n") > cfg.drop_bucket_over
-        counts_all = counts_all.observe(
+        first = F.col("rn") == 1
+        dropped = first & (F.col("n") > cfg.drop_bucket_over)
+        bw = bw.observe(
             obs,
-            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(first.cast("long")).alias("buckets_total"),
             F.sum(dropped.cast("long")).alias("buckets_dropped"),
             F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("docs_in_dropped"),
         )
         observations.append(("buckets_substr", obs))
-    counts = counts_all.filter(
-        (F.col("n") >= 2) & (F.col("n") <= cfg.drop_bucket_over)
-    )
     grouped = (
-        fps.join(counts, "fp")
+        bw.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") <= cfg.drop_bucket_over)
+            & (F.col("rn") <= cfg.max_bucket)
+        )
         .groupBy("fp")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.max_bucket).alias("ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
     pair_counts = (
         grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
