@@ -62,10 +62,16 @@ def connected_components(
     edges: DataFrame,
     cfg: DedupConfig | None = None,
     max_rounds: int | None = None,
+    edges_cheap: bool = False,
 ) -> DataFrame:
     """nodes(doc_id) + edges(id_a, id_b) → clusters(doc_id, cluster_id).
 
     Every node appears in the output; isolated nodes label themselves.
+
+    `edges_cheap=True` promises the edge plan is already materialized
+    (a stage checkpoint) — the contraction's two passes then re-read it
+    directly instead of paying a localCheckpoint of the symmetrized
+    stream (one job + one cache write saved per invocation).
     """
     max_rounds = max_rounds or (cfg.cc_max_rounds if cfg else 50)
 
@@ -84,14 +90,14 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    obs_sym = Observation(f"cc_sym_{id(sym)}")
-    sym = sym.observe(obs_sym, F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=True
-    )
-
     self_labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    if int(obs_sym.get["n"] or 0) == 0:
-        return self_labels
+    if not edges_cheap:
+        obs_sym = Observation(f"cc_sym_{id(sym)}")
+        sym = sym.observe(obs_sym, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        if int(obs_sym.get["n"] or 0) == 0:
+            return self_labels
 
     # --- contraction pass (guide §2.3 "aggregate before you shuffle"):
     # duplicate-cluster graphs are DENSE (near-cliques), so iterating
@@ -121,6 +127,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_endpoints = int(obs0.get["n"])
+    if n_endpoints == 0:
+        return self_labels
     threshold0 = cfg.cc_broadcast_max_labels if cfg else 2_000_000
     l0 = F.broadcast(lab0) if n_endpoints <= threshold0 else lab0
     la = l0.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("_la"))

@@ -231,6 +231,96 @@ def candidate_pairs_from_buckets(
     return _explode_id_pairs(kept, src)
 
 
+# band_id keyspace per method (band_buckets offsets): the ranges let a
+# UNIONED bucket stream recover each pair's source method from the
+# bucket it came out of, so several banding methods can share one
+# exchange + window + pair emit (candidate_pairs_multi)
+_BAND_RANGES = {
+    "minhash": (0, 1000),
+    "simhash": (1000, 2000),
+    "weighted": (2000, 3000),
+}
+
+
+def candidate_pairs_multi(
+    bucket_streams: list,
+    cfg: DedupConfig,
+    observations: list | None = None,
+) -> DataFrame:
+    """[(src, buckets)] → candidate pairs for ALL banding methods from
+    ONE single-exchange window pass.
+
+    The methods' band_id keyspaces are disjoint by construction
+    (band_buckets offsets, _BAND_RANGES), so the unioned stream
+    partitions by (band_id, band_hash) exactly as the per-method calls
+    would — identical buckets, identical capped lists, identical pairs
+    — while paying one exchange instead of one per method.  `src` is
+    recovered from the bucket's band_id range.  Per-method skew/drop
+    metrics keep their names and semantics: one observe() per method
+    with range-conditional aggregates, zero extra passes.
+
+    Unsalted only — the salted distributive bottom-k keeps the
+    per-method shape (callers branch on cfg.salt_partitions)."""
+    assert cfg.salt_partitions <= 1, "salted emit is per-method"
+    srcs = [s for s, _ in bucket_streams]
+    buckets = bucket_streams[0][1]
+    for _, b in bucket_streams[1:]:
+        buckets = buckets.unionByName(b)
+    cap = cfg.max_bucket
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    bw = buckets.select(
+        "band_id",
+        "band_hash",
+        "doc_id",
+        F.count(F.lit(1))
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    if observations is not None:
+        for src in srcs:
+            lo, hi = _BAND_RANGES[src]
+            in_rng = (F.col("band_id") >= lo) & (F.col("band_id") < hi)
+            first = (F.col("rn") == 1) & in_rng
+            dropped = first & (F.col("n") > cfg.drop_bucket_over)
+            obs = Observation(f"buckets_{src}")
+            bw = bw.observe(
+                obs,
+                F.sum(first.cast("long")).alias("buckets_total"),
+                F.sum(dropped.cast("long")).alias("buckets_dropped"),
+                F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias(
+                    "docs_in_dropped"
+                ),
+            )
+            observations.append((f"buckets_{src}", obs))
+    kept = (
+        bw.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") <= cfg.drop_bucket_over)
+            & (F.col("rn") <= cap)
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    src_expr = F.when(
+        F.col("band_id") < _BAND_RANGES["simhash"][0], F.lit("minhash")
+    ).when(
+        F.col("band_id") < _BAND_RANGES["weighted"][0], F.lit("simhash")
+    ).otherwise(F.lit("weighted"))
+    return (
+        kept.select(F.col("ids"), src_expr.alias("src"))
+        .select(F.posexplode("ids").alias("i", "id_a"), "ids", "src")
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+            "src",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
 def _explode_id_pairs(kept: DataFrame, src: str) -> DataFrame:
     """(…, ids sorted array) → (id_a, id_b, src) index-pair explosion.
     NO distinct here: the same pair surfacing from many bands is deduped

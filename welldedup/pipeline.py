@@ -132,8 +132,26 @@ def _run_pipeline_inner(
     sigs = stage("signatures", build_sigs)
 
     # --- docs table: a projection of the fused stage (zero content
-    # re-scan; n_tokens came from the kernel's token-run lengths)
-    docs = stage("docs", lambda: sigs.select(*DOCS_COLS), rows_in_from="signatures")
+    # re-scan; n_tokens came from the kernel's token-run lengths).
+    # In-memory mode skips the checkpoint: re-evaluating a pure
+    # projection of the already-materialized signature checkpoint is
+    # cheaper than another cache write + job, and row lineage is the
+    # signature stage's by construction.
+    if store is not None:
+        docs = stage(
+            "docs", lambda: sigs.select(*DOCS_COLS), rows_in_from="signatures"
+        )
+    else:
+        t_docs = time.monotonic()
+        docs = sigs.select(*DOCS_COLS)
+        seconds["docs"] = time.monotonic() - t_docs
+        stage_rows["docs"] = stage_rows.get("signatures")
+        timer.record(
+            "docs",
+            stage_rows.get("signatures"),
+            stage_rows.get("signatures"),
+            int(seconds["docs"] * 1000),
+        )
 
     # --- candidate pairs: exact (sha star edges) + per enabled method.
     # Pure Catalyst over the compact fused checkpoint — content is
@@ -231,10 +249,14 @@ def _run_pipeline_inner(
 
     verified = stage("verified_pairs", build_verified, rows_in_from="candidate_pairs")
 
-    # --- clustering
+    # --- clustering (verified is a stage checkpoint, so the CC
+    # contraction passes re-read it directly — edges_cheap skips the
+    # redundant symmetrized-edge materialization)
     def build_clusters():
         edges = verified.filter("dup").select("id_a", "id_b")
-        return cc.connected_components(docs.select("doc_id"), edges, cfg)
+        return cc.connected_components(
+            docs.select("doc_id"), edges, cfg, edges_cheap=True
+        )
 
     clusters = stage("clusters", build_clusters, rows_in_from="verified_pairs")
 
@@ -272,18 +294,25 @@ def build_candidate_pairs(
     per-method profiling."""
     methods = cfg.methods if methods is None else methods
     parts = [lsh.exact_dup_pairs(docs)]
+    streams = []
     if "minhash" in methods:
-        b = lsh.band_buckets(sigs, cfg)
-        parts.append(lsh.candidate_pairs_from_buckets(b, cfg, "minhash", pair_obs))
+        streams.append(("minhash", lsh.band_buckets(sigs, cfg)))
     if "simhash" in methods:
-        sb = lsh.simhash_buckets(sigs, cfg)
-        parts.append(lsh.candidate_pairs_from_buckets(sb, cfg, "simhash", pair_obs))
+        streams.append(("simhash", lsh.simhash_buckets(sigs, cfg)))
+    if "weighted" in methods:
+        streams.append(
+            ("weighted", lsh.band_buckets(sigs, cfg, col="icws", band_offset=2000))
+        )
+    if streams and cfg.salt_partitions <= 1:
+        # every banding method rides ONE exchange + window + pair emit
+        # (band_id keyspaces are disjoint — lsh.candidate_pairs_multi)
+        parts.append(lsh.candidate_pairs_multi(streams, cfg, pair_obs))
+    else:
+        for src, b in streams:
+            parts.append(lsh.candidate_pairs_from_buckets(b, cfg, src, pair_obs))
     if "substr" in methods:
         fps = sigs.select("doc_id", F.explode("fps").alias("fp"))
         parts.append(substr.fingerprint_pairs(fps, cfg, pair_obs))
-    if "weighted" in methods:
-        wb = lsh.band_buckets(sigs, cfg, col="icws", band_offset=2000)
-        parts.append(lsh.candidate_pairs_from_buckets(wb, cfg, "weighted", pair_obs))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)

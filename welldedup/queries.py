@@ -145,19 +145,25 @@ _POPLUT = np.unpackbits(
 ).sum(axis=1).astype(np.int32)
 
 
-def _wj_group_arrays(pdf: pd.DataFrame):
+def _wj_group_arrays(
+    pdf: pd.DataFrame,
+    scale_path: str = "dedup_pipeline_clusters (MinHash-LSH)",
+    min_len: int = 0,
+):
     """Shared group prep: (ids, set sizes, bit-packed masks) or None
-    when fewer than two non-null word sets exist."""
+    when fewer than two non-null word sets exist.  The group-size guard
+    counts the FULL group (before the optional min_len row floor) —
+    identical semantics to the old Catalyst _group_size_guard."""
     n_all = len(pdf)
     if n_all > _PAIR_GROUP_LIMIT:
         raise RuntimeError(
             f"all-pairs group exceeds {_PAIR_GROUP_LIMIT} rows; "
-            "use dedup_pipeline_clusters (MinHash-LSH) at this scale"
+            f"use {scale_path} at this scale"
         )
     # null word arrays never pair (the previous join condition was null
     # → false for them); drop up front
     rows = [(i, w) for i, w in zip(pdf["doc_id"].to_numpy(), pdf["w"])
-            if w is not None]
+            if w is not None and len(w) >= min_len]
     if len(rows) < 2:
         return None
     n = len(rows)
@@ -217,6 +223,46 @@ def _wj_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # few sub-threshold pairs emitted are removed by the Catalyst
         # filter; no qualifying pair can be missed
         cand = jac >= 0.4999
+        cand &= np.arange(n)[None, :] > np.arange(s, e)[:, None]
+        bi, bj = np.nonzero(cand)
+        out_a.append(bi + s)
+        out_b.append(bj)
+        out_i.append(acc[bi, bj])
+    ia = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    ib = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    iv = np.concatenate(out_i) if out_i else np.zeros(0, np.int32)
+    da, db = ids[ia], ids[ib]
+    swap = da > db
+    return pd.DataFrame(
+        {
+            "id_a": np.where(swap, db, da),
+            "id_b": np.where(swap, da, db),
+            "inter": iv.astype(np.int64),
+            "sa": np.where(swap, lengths[ib], lengths[ia]),
+            "sb": np.where(swap, lengths[ia], lengths[ib]),
+        }
+    )
+
+
+def _containment_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """containment_pairs twin of _wj_candidates_kernel: emits the slack
+    superset of pairs with inter / min(sa, sb) >= 0.7999 (< the exact
+    0.79995 round-to-0.8 boundary); rows below the word floor never
+    pair, exactly like the old sw >= 10 filter."""
+    cols = ("id_a", "id_b", "inter", "sa", "sb")
+    g = _wj_group_arrays(
+        pdf, scale_path="substr CDC fingerprints (S9)", min_len=10
+    )
+    if g is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    ids, lengths, masks = g
+    n = ids.shape[0]
+    out_a, out_b, out_i = [], [], []
+    for s, e, acc in _wj_inter_blocks(lengths, masks):
+        mins = np.minimum(lengths[s:e][:, None], lengths[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cont = acc / mins
+        cand = cont >= 0.7999
         cand &= np.arange(n)[None, :] > np.arange(s, e)[:, None]
         bi, bj = np.nonzero(cand)
         out_a.append(bi + s)
@@ -474,24 +520,22 @@ def q_containment_pairs(spark, sf_dir):
     when sizes diverge, containment does not).  The scalable analog is
     the CDC-fingerprint substring path (S9); this is its exact,
     pair-bounded verification twin.  min-size floor keeps trivial
-    vocabularies (tiny docs share stopwords) out."""
+    vocabularies (tiny docs share stopwords) out.
+
+    Same bit-packed kernel as word_jaccard_pairs: the group guard and
+    the >=10-word floor keep their original semantics (guard counts the
+    FULL group; the floor drops rows inside the kernel before pairing),
+    and the authoritative containment arithmetic + round + threshold
+    stays in Catalyst over the kernel's integer evidence."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
-    d = _group_size_guard(d, ["source"], "substr CDC fingerprints (S9)")
-    d = d.withColumn("sw", F.size("w")).filter(F.col("sw") >= 10)
-    a = d.select(
-        F.col("doc_id").alias("id_a"), "source",
-        F.col("w").alias("wa"), F.col("sw").alias("sa"),
+    cand = d.groupBy("source").applyInPandas(
+        _containment_candidates_kernel, _WJ_CAND_SCHEMA
     )
-    b = d.select(
-        F.col("doc_id").alias("id_b"), "source",
-        F.col("w").alias("wb"), F.col("sw").alias("sb"),
-    )
-    j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    inter = F.col("inter").cast("double")
     cont = inter / F.least("sa", "sb")
-    return j.select(
+    return cand.select(
         "id_a", "id_b", F.round(cont, 4).alias("containment")
     ).filter(F.col("containment") >= 0.8)
 
