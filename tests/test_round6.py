@@ -1,0 +1,234 @@
+"""Round-6 optimization tests: the bit-packed intersection kernels,
+the star-edge CC feed, the contraction pass in connected_components,
+and the single-exchange pair emit — each pinned against the shape it
+replaced (same rows, same metrics semantics)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from welldedup.config import DedupConfig
+from welldedup.queries import (
+    _PAIR_GROUP_LIMIT,
+    _containment_candidates_kernel,
+    _wj_candidates_kernel,
+    _wj_star_edges_kernel,
+)
+
+
+def _rand_rows(vocabn: int, ndocs: int, seed: int, with_null: bool = True):
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(vocabn)]
+    rows = []
+    for _ in range(ndocs):
+        k = rng.randint(1, min(vocabn, 40))
+        rows.append(
+            (rng.getrandbits(40), list(nprng.choice(vocab, size=k, replace=False)))
+        )
+    if with_null:
+        rows.append((rng.getrandbits(40), None))
+    return rows
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "w": [r[1] for r in rows]}
+    )
+
+
+@pytest.mark.parametrize("vocabn,ndocs", [(5, 80), (31, 150), (200, 120)])
+def test_wj_candidates_kernel_vs_bruteforce(vocabn, ndocs):
+    rows = _rand_rows(vocabn, ndocs, seed=vocabn * 1000 + ndocs)
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.sa, r.sb)
+        for r in _wj_candidates_kernel(_pdf(rows)).itertuples()
+    }
+    exp = {}
+    valid = [(i, set(w)) for i, w in rows if w is not None]
+    for (i, wa), (j, wb) in itertools.combinations(valid, 2):
+        inter, sa, sb = len(wa & wb), len(wa), len(wb)
+        if inter / (sa + sb - inter) >= 0.4999:
+            a, b = sorted((i, j))
+            exp[(a, b)] = (inter, sa if a == i else sb, sb if a == i else sa)
+    assert got == exp
+
+
+@pytest.mark.parametrize("vocabn,ndocs", [(8, 100), (31, 200)])
+def test_star_edges_kernel_components_match_bruteforce(vocabn, ndocs):
+    rows = _rand_rows(vocabn, ndocs, seed=vocabn * 7 + ndocs)
+    out = _wj_star_edges_kernel(_pdf(rows))
+    parent = {i: i for i, w in rows if w is not None}
+
+    def find(p, x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for t in out.itertuples():
+        a, b = find(parent, t.id_a), find(parent, t.id_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    got = {i: find(parent, i) for i in parent}
+
+    bparent = {i: i for i, w in rows if w is not None}
+    valid = [(i, set(w)) for i, w in rows if w is not None]
+    for (i, wa), (j, wb) in itertools.combinations(valid, 2):
+        inter = len(wa & wb)
+        if 3 * inter >= len(wa) + len(wb):  # exact round(j,4) >= 0.5 gate
+            a, b = find(bparent, i), find(bparent, j)
+            if a != b:
+                bparent[max(a, b)] = min(a, b)
+    exp = {i: find(bparent, i) for i in bparent}
+    assert got == exp
+    # star form: id_a is always the component-min member
+    for t in out.itertuples():
+        assert t.id_a == exp[t.id_b]
+
+
+def test_containment_kernel_vs_bruteforce():
+    rows = _rand_rows(31, 150, seed=99)
+    got = {
+        (r.id_a, r.id_b): r.inter
+        for r in _containment_candidates_kernel(_pdf(rows)).itertuples()
+    }
+    exp = {}
+    valid = [(i, set(w)) for i, w in rows if w is not None and len(w) >= 10]
+    for (i, wa), (j, wb) in itertools.combinations(valid, 2):
+        inter = len(wa & wb)
+        if inter / min(len(wa), len(wb)) >= 0.7999:
+            a, b = sorted((i, j))
+            exp[(a, b)] = inter
+    assert got == exp
+
+
+def test_kernel_group_guard_raises():
+    big = _pdf([(i, ["a"]) for i in range(_PAIR_GROUP_LIMIT + 1)])
+    with pytest.raises(RuntimeError, match="all-pairs group exceeds"):
+        _wj_candidates_kernel(big)
+    with pytest.raises(RuntimeError, match="substr CDC fingerprints"):
+        _containment_candidates_kernel(big)
+
+
+def test_star_kernel_pathological_chain_falls_back_correctly():
+    """A long chain whose doc_ids descend along it maximizes label
+    travel distance; components must still be exact (vectorized loop or
+    union-find fallback)."""
+    n = 400
+    # sliding 3-word window: doc i shares 2/3 words with doc i+1
+    # (jac = 2/4 = 0.5, passes) and 1/3 with doc i+2 (fails)
+    rows = []
+    for i in range(n):
+        rows.append((n - i, [f"w{i}", f"w{i + 1}", f"w{i + 2}"]))
+    out = _wj_star_edges_kernel(_pdf(rows))
+    # every doc except the min-id root gets exactly one star edge
+    assert len(out) == n - 1
+    assert set(out["id_a"]) == {1}
+    assert set(out["id_b"]) == set(range(2, n + 1))
+
+
+def test_pair_emit_window_form_matches_two_phase(spark):
+    """The single-exchange window emit must produce exactly the pairs
+    (and observation values) of the old count-then-join shape — pinned
+    here against an independent Python recomputation."""
+    from welldedup import lsh
+
+    rng = random.Random(4)
+    rows = []
+    for doc in range(300):
+        for band in range(4):
+            rows.append((band, rng.randint(0, 40), doc))
+    buckets = spark.createDataFrame(
+        rows, "band_id int, band_hash long, doc_id long"
+    )
+    cfg = DedupConfig(max_bucket=8, drop_bucket_over=30)
+    obs: list = []
+    pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh.candidate_pairs_from_buckets(
+            buckets, cfg, "minhash", obs
+        ).dropDuplicates(["id_a", "id_b"]).collect()
+    )
+    # reference: per bucket, bottom-cap sorted doc list, all pairs
+    byb: dict = {}
+    for band, h, doc in rows:
+        byb.setdefault((band, h), []).append(doc)
+    exp = set()
+    total = dropped = docs_in_dropped = 0
+    for ids in byb.values():
+        total += 1
+        if len(ids) > cfg.drop_bucket_over:
+            dropped += 1
+            docs_in_dropped += len(ids)
+            continue
+        if len(ids) < 2:
+            continue
+        ids = sorted(ids)[: cfg.max_bucket]
+        exp |= set(itertools.combinations(ids, 2))
+    assert pairs == sorted(exp)
+    vals = dict(obs)["buckets_minhash"].get
+    assert vals["buckets_total"] == total
+    assert vals["buckets_dropped"] == dropped
+    assert vals["docs_in_dropped"] == docs_in_dropped
+
+
+def test_multi_emit_equals_per_method(spark):
+    """candidate_pairs_multi over unioned method streams == the union
+    of per-method emits (band keyspaces are disjoint)."""
+    from welldedup import lsh, prep
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.signatures import add_signatures
+
+    cfg = DedupConfig(methods=("minhash", "simhash"))
+    pdf, _ = corpus_to_pandas(make_corpus(120, seed=7))
+    prepared = prep.prepare_docs(spark.createDataFrame(pdf), cfg)
+    sigs = add_signatures(prepared, cfg).localCheckpoint(eager=True)
+    streams = [
+        ("minhash", lsh.band_buckets(sigs, cfg)),
+        ("simhash", lsh.simhash_buckets(sigs, cfg)),
+    ]
+    multi = sorted(
+        map(tuple, lsh.candidate_pairs_multi(streams, cfg).collect())
+    )
+    single = sorted(
+        map(
+            tuple,
+            lsh.candidate_pairs_from_buckets(streams[0][1], cfg, "minhash")
+            .unionByName(
+                lsh.candidate_pairs_from_buckets(streams[1][1], cfg, "simhash")
+            )
+            .collect(),
+        )
+    )
+    assert multi == single
+
+
+def test_cc_contraction_edges_cheap_equivalence(spark):
+    """connected_components with edges_cheap=True (no symmetrized-edge
+    checkpoint) must produce identical labels, including on graphs
+    where the contraction alone does NOT converge (a chain)."""
+    from welldedup.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    chain = [(i, i + 1) for i in range(0, 30)]
+    extra = [(35, 38), (36, 38)]
+    edges = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    a = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    b = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges, edges_cheap=True).collect()
+    }
+    exp = {i: (0 if i <= 30 else i) for i in range(40)}
+    exp.update({35: 35, 36: 35, 38: 35})
+    assert a == exp
+    assert b == exp
