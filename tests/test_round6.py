@@ -47,16 +47,16 @@ def _pdf(rows):
 def test_wj_candidates_kernel_vs_bruteforce(vocabn, ndocs):
     rows = _rand_rows(vocabn, ndocs, seed=vocabn * 1000 + ndocs)
     got = {
-        (r.id_a, r.id_b): (r.inter, r.sa, r.sb)
+        (r.id_a, r.id_b): (r.inter, r.d)
         for r in _wj_candidates_kernel(_pdf(rows)).itertuples()
     }
     exp = {}
     valid = [(i, set(w)) for i, w in rows if w is not None]
     for (i, wa), (j, wb) in itertools.combinations(valid, 2):
-        inter, sa, sb = len(wa & wb), len(wa), len(wb)
-        if inter / (sa + sb - inter) >= 0.4999:
+        inter, union = len(wa & wb), len(wa | wb)
+        if union and inter / union >= 0.4999:
             a, b = sorted((i, j))
-            exp[(a, b)] = (inter, sa if a == i else sb, sb if a == i else sa)
+            exp[(a, b)] = (inter, union)
     assert got == exp
 
 

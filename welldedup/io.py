@@ -324,20 +324,31 @@ def write_code_files_table(df: DataFrame, table: str, partition_by: list[str] | 
 
 
 def spark_catalog_has(spark, table: str) -> bool:
-    """True iff the session catalog knows `table` (default database)."""
-    return spark.catalog.tableExists(table)
+    """True iff the session catalog knows `table` in the DEFAULT
+    database — the database whose managed location the bucketed writes
+    below use.  Qualified explicitly so a caller that has switched
+    databases cannot make the orphan-reclaim below mistake a live
+    default.<table> for garbage (round-5 advice)."""
+    return spark.catalog.tableExists(f"default.{table}")
 
 
 def _reclaim_orphan_location(spark, table: str) -> None:
     """Delete a managed-table LOCATION left behind by a killed run.
 
-    Only called when the catalog does NOT know the table, so the
-    directory (if present) is unreachable garbage: no live table can
-    point at it.  Uses the Hadoop FileSystem of the warehouse path, so
+    Only called when the catalog does NOT know `default.<table>`, so
+    the directory (if present) is unreachable garbage: no live table
+    can point at it.  The resolved path must be a direct child of the
+    warehouse dir — a belt-and-braces guard against ever recursing
+    outside it.  Uses the Hadoop FileSystem of the warehouse path, so
     it works for any warehouse scheme, not just local files."""
+    if spark.catalog.tableExists(f"default.{table}"):
+        return
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
+    wpath = jvm.org.apache.hadoop.fs.Path(warehouse)
     path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    if str(path.getParent().toUri().getPath()) != str(wpath.toUri().getPath()):
+        return
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)

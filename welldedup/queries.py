@@ -139,7 +139,13 @@ def _group_size_guard(df: DataFrame, keys: list, scale_path: str) -> DataFrame:
 # authoritative jac arithmetic + round + threshold stays in Catalyst,
 # byte-identical to the previous expression, so emitted rows cannot
 # drift.
-_WJ_CAND_SCHEMA = "id_a long, id_b long, inter long, sa long, sb long"
+# candidate evidence is integer and small: inter and the derived
+# denominators fit int32, and shipping (inter, union d) instead of
+# (inter, sa, sb) cuts the Arrow transfer of the 44M-row sf1.0 pair
+# stream by 40% — Catalyst recomputes the identical doubles from the
+# exact integers (guide §2.3 "narrower types")
+_WJ_CAND_SCHEMA = "id_a long, id_b long, inter int, d int"
+_CONT_CAND_SCHEMA = "id_a long, id_b long, inter int, m int"
 _POPLUT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
 ).sum(axis=1).astype(np.int32)
@@ -207,18 +213,25 @@ def _wj_inter_blocks(lengths: np.ndarray, masks: np.ndarray):
 
 
 def _wj_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    cols = ("id_a", "id_b", "inter", "sa", "sb")
     g = _wj_group_arrays(pdf)
     if g is None:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int32"),
+                "d": pd.Series(dtype="int32"),
+            }
+        )
     ids, lengths, masks = g
     n = ids.shape[0]
-    out_a, out_b, out_i = [], [], []
+    out_a, out_b, out_i, out_d = [], [], [], []
     for s, e, acc in _wj_inter_blocks(lengths, masks):
         sa = lengths[s:e][:, None]
         sb = lengths[None, :]
+        d = sa + sb - acc
         with np.errstate(divide="ignore", invalid="ignore"):
-            jac = acc / (sa + sb - acc)
+            jac = acc / d
         # slack 0.4999 < the exact 0.49995 round-to-0.5 boundary: the
         # few sub-threshold pairs emitted are removed by the Catalyst
         # filter; no qualifying pair can be missed
@@ -228,18 +241,19 @@ def _wj_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a.append(bi + s)
         out_b.append(bj)
         out_i.append(acc[bi, bj])
+        out_d.append(d[bi, bj])
     ia = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
     ib = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
     iv = np.concatenate(out_i) if out_i else np.zeros(0, np.int32)
+    dv = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
     da, db = ids[ia], ids[ib]
     swap = da > db
     return pd.DataFrame(
         {
             "id_a": np.where(swap, db, da),
             "id_b": np.where(swap, da, db),
-            "inter": iv.astype(np.int64),
-            "sa": np.where(swap, lengths[ib], lengths[ia]),
-            "sb": np.where(swap, lengths[ia], lengths[ib]),
+            "inter": iv.astype(np.int32),
+            "d": dv.astype(np.int32),
         }
     )
 
@@ -247,17 +261,23 @@ def _wj_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 def _containment_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """containment_pairs twin of _wj_candidates_kernel: emits the slack
     superset of pairs with inter / min(sa, sb) >= 0.7999 (< the exact
-    0.79995 round-to-0.8 boundary); rows below the word floor never
-    pair, exactly like the old sw >= 10 filter."""
-    cols = ("id_a", "id_b", "inter", "sa", "sb")
+    0.79995 round-to-0.8 boundary) as (inter, m=min size); rows below
+    the word floor never pair, exactly like the old sw >= 10 filter."""
     g = _wj_group_arrays(
         pdf, scale_path="substr CDC fingerprints (S9)", min_len=10
     )
     if g is None:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int32"),
+                "m": pd.Series(dtype="int32"),
+            }
+        )
     ids, lengths, masks = g
     n = ids.shape[0]
-    out_a, out_b, out_i = [], [], []
+    out_a, out_b, out_i, out_m = [], [], [], []
     for s, e, acc in _wj_inter_blocks(lengths, masks):
         mins = np.minimum(lengths[s:e][:, None], lengths[None, :])
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -268,18 +288,19 @@ def _containment_candidates_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a.append(bi + s)
         out_b.append(bj)
         out_i.append(acc[bi, bj])
+        out_m.append(mins[bi, bj])
     ia = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
     ib = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
     iv = np.concatenate(out_i) if out_i else np.zeros(0, np.int32)
+    mv = np.concatenate(out_m) if out_m else np.zeros(0, np.int64)
     da, db = ids[ia], ids[ib]
     swap = da > db
     return pd.DataFrame(
         {
             "id_a": np.where(swap, db, da),
             "id_b": np.where(swap, da, db),
-            "inter": iv.astype(np.int64),
-            "sa": np.where(swap, lengths[ib], lengths[ia]),
-            "sb": np.where(swap, lengths[ia], lengths[ib]),
+            "inter": iv.astype(np.int32),
+            "m": mv.astype(np.int32),
         }
     )
 
@@ -397,10 +418,10 @@ def q_word_jaccard_pairs(spark, sf_dir):
     cand = d.groupBy("source").applyInPandas(
         _wj_candidates_kernel, _WJ_CAND_SCHEMA
     )
-    inter = F.col("inter").cast("double")
-    # identical arithmetic to the previous Catalyst form: int sizes,
-    # |A∪B| = sa + sb − inter, double division, round(…, 4), >= 0.5
-    jac = inter / (F.col("sa") + F.col("sb") - inter)
+    # identical arithmetic to the previous Catalyst form: both operands
+    # are exact small integers, so inter/d is bit-for-bit the old
+    # inter/(sa + sb − inter) double, then round(…, 4) >= 0.5
+    jac = F.col("inter").cast("double") / F.col("d")
     return cand.select(
         "id_a", "id_b", F.round(jac, 4).alias("jac")
     ).filter(F.col("jac") >= 0.5)
@@ -531,10 +552,9 @@ def q_containment_pairs(spark, sf_dir):
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     cand = d.groupBy("source").applyInPandas(
-        _containment_candidates_kernel, _WJ_CAND_SCHEMA
+        _containment_candidates_kernel, _CONT_CAND_SCHEMA
     )
-    inter = F.col("inter").cast("double")
-    cont = inter / F.least("sa", "sb")
+    cont = F.col("inter").cast("double") / F.col("m")
     return cand.select(
         "id_a", "id_b", F.round(cont, 4).alias("containment")
     ).filter(F.col("containment") >= 0.8)
