@@ -138,7 +138,13 @@ def test_pipeline_single_content_pass_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "content#" not in verify_plan and "MapInArrow" not in verify_plan
-    assert "LeftSemi" in verify_plan  # still pair-bounded
+    # round 6: the fused path is single-pass — line_sig rides the pair
+    # join itself (inherently pair-bounded), so the LeftSemi prune and
+    # the second join pass are gone; the pairs⋈sigs subtree appears in
+    # the plan exactly once (the two-phase shape evaluated it per
+    # branch).  The standalone content path keeps its LeftSemi
+    # (test_similarity_plans.test_verify_projection_is_pair_bounded).
+    assert "LeftSemi" not in verify_plan
     # fused output carries signatures AND fingerprints from one pass
     assert "fps" in res.signatures.columns and "minhash" in res.signatures.columns
     assert res.docs.columns == DOCS_COLS

@@ -232,3 +232,140 @@ def test_cc_contraction_edges_cheap_equivalence(spark):
     exp.update({35: 35, 36: 35, 38: 35})
     assert a == exp
     assert b == exp
+
+
+def _verify_test_rows():
+    """Rows exercising every verify branch: jaccard-accept, edit-accept,
+    edit-reject, prefilter-drop, and the ≤3-line char fallback."""
+    base = "\n".join(f"def f_{k}(a, b):\n    return a + b * {k}" for k in range(25))
+    rng = random.Random(11)
+
+    def scrambled(frac):
+        lines = base.split("\n")
+        for i in range(0, int(len(lines) * frac)):
+            lines[i] = lines[i].replace("return", f"yield_{rng.randint(0, 9)}")
+        return "\n".join(lines)
+
+    mini = "x = [%s]" % ", ".join(str(i) for i in range(200))
+    return [
+        dict(repo="r", path="a.py", commit="c", lang="py", content=base),
+        dict(repo="r", path="b.py", commit="c", lang="py",
+             content=base.replace("f_7", "g_7")),
+        dict(repo="r", path="c.py", commit="c", lang="py",
+             content=scrambled(0.3)),
+        dict(repo="r", path="d.py", commit="c", lang="py",
+             content=scrambled(0.7)),
+        dict(repo="r", path="mini1.py", commit="c", lang="py", content=mini),
+        dict(repo="r", path="mini2.py", commit="c", lang="py",
+             content=mini.replace("42", "43")),
+        dict(repo="r", path="far.py", commit="c", lang="py",
+             content="import os\nwhile True:\n    print('zzz')\n" * 30),
+    ]
+
+
+@pytest.mark.parametrize("exact_j", [False, True])
+def test_verify_fused_single_pass_matches_two_phase(spark, exact_j):
+    """Round 6: verify_pairs on the fused checkpoint (docs IS the
+    signature table) runs the single-pass form — its rows and values
+    must be identical to the two-phase shape it replaced (forced here
+    by passing a distinct docs frame with the same line_sig columns)."""
+    from welldedup import prep, verify
+    from welldedup.signatures import add_signatures_fused
+
+    cfg = DedupConfig(verify_exact_jaccard=exact_j)
+    df = spark.createDataFrame(pd.DataFrame(_verify_test_rows()))
+    sigs = add_signatures_fused(
+        prep.prepare_base(df, cfg), cfg
+    ).localCheckpoint(eager=True)
+    ids = sorted(r.doc_id for r in sigs.select("doc_id").collect())
+    pairs = spark.createDataFrame(
+        [(a, b, "minhash") for a, b in itertools.combinations(ids, 2)],
+        "id_a long, id_b long, src string",
+    )
+    fused = verify.verify_pairs(pairs, sigs, sigs, cfg)
+    # same table contents, different frame object → two-phase line_sig path
+    two_phase = verify.verify_pairs(pairs, sigs, sigs.select(*sigs.columns), cfg)
+    plan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan  # single pass: no prune/second join
+    assert "LeftSemi" in two_phase._jdf.queryExecution().optimizedPlan().toString()
+
+    def rows(df_):
+        return {
+            (r.id_a, r.id_b): (r.src, r.jaccard_est, r.jaccard, r.edit_sim, r.dup)
+            for r in df_.collect()
+        }
+    a, b = rows(fused), rows(two_phase)
+    assert a == b
+    assert len(a) >= 4  # prefilter dropped some, kept several
+    # every branch is represented
+    vals = list(a.values())
+    assert any(v[4] and v[2] >= cfg.jaccard_threshold for v in vals)
+    assert any(v[3] is not None for v in vals)
+    assert any(not v[4] for v in vals)
+
+
+def test_band_buckets_posexplode_matches_struct_form(spark):
+    """Round 6: band_buckets' posexplode+lookup generator must emit
+    exactly the rows of the struct-array explode it replaced (same
+    band_ids, same hashes, same types)."""
+    from welldedup import lsh, prep
+    from welldedup.fixtures import corpus_to_pandas, make_corpus
+    from welldedup.signatures import add_signatures
+
+    cfg = DedupConfig()
+    pdf, _ = corpus_to_pandas(make_corpus(60, seed=13))
+    prepared = prep.prepare_docs(spark.createDataFrame(pdf), cfg)
+    sigs = add_signatures(prepared, cfg).localCheckpoint(eager=True)
+    new = lsh.band_buckets(sigs, cfg)
+    # reference: the pre-round-6 struct-array explode, inlined
+    entries = [
+        F.struct(
+            F.lit(gid).alias("band_id"),
+            F.xxhash64(
+                F.lit(gid),
+                *[F.element_at("minhash", start + j) for j in range(ln)],
+            ).alias("band_hash"),
+        )
+        for gid, start, ln in lsh._banding_specs(cfg)
+    ]
+    old = sigs.select("doc_id", F.explode(F.array(*entries)).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_cc_query_star_bypass_equals_full_cc(spark):
+    """Round 6: q_cc_clusters labels via one left join against the
+    star edges must equal running the full CC operator over them —
+    the kernel's id_a is the component-min root and sources are
+    disjoint, so the loop has nothing left to propagate."""
+    from welldedup.cluster import connected_components
+
+    rows = []
+    for g in range(3):
+        rows.extend(
+            (r[0] + g * 10**7, r[1]) for r in _rand_rows(12, 120, seed=g, with_null=False)
+        )
+    pdf = _pdf(rows)
+    pdf["source"] = [f"s{i % 3}" for i in range(len(pdf))]
+    sdf = spark.createDataFrame(pdf)
+    edges = sdf.groupBy("source").applyInPandas(
+        _wj_star_edges_kernel, "id_a long, id_b long"
+    ).localCheckpoint(eager=True)
+    assert edges.count() > 0
+    nodes = sdf.select("doc_id")
+    full = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    labels = edges.select(
+        F.col("id_b").alias("doc_id"), F.col("id_a").alias("cluster_id")
+    )
+    bypass = {
+        r.doc_id: r.cluster_id
+        for r in nodes.join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        .collect()
+    }
+    assert bypass == full

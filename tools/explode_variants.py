@@ -1,0 +1,115 @@
+"""Round-6: compare band-explode shapes (struct-array explode vs
+posexplode over a plain long array + literal band_id lookup)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from welldedup import lsh, prep, signatures
+    from welldedup.queries import CFG, docs_as_code_files
+    from welldedup.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="explode-variants", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    prepared = prep.prepare_base(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = signatures.add_signatures_fused(prepared, CFG).localCheckpoint()
+    sigs.count()
+
+    specs = lsh._banding_specs(CFG)
+
+    def t(name, build):
+        best = None
+        for _ in range(5):
+            t0 = time.monotonic()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({"name": name, "sec": round(best, 3)}))
+
+    def current():
+        return lsh.band_buckets(sigs, CFG)
+
+    def posexplode_lookup():
+        hashes = F.array(*[
+            F.xxhash64(F.lit(gid), *[F.element_at("minhash", start + j)
+                                     for j in range(ln)])
+            for gid, start, ln in specs
+        ])
+        band_ids = F.array(*[F.lit(gid) for gid, _, _ in specs])
+        return (
+            sigs.select("doc_id", F.posexplode(hashes).alias("pos", "band_hash"))
+            .select(
+                "doc_id",
+                F.element_at(band_ids, F.col("pos") + 1).alias("band_id"),
+                "band_hash",
+            )
+        )
+
+    def posexplode_outer_project():
+        hashes = F.array(*[
+            F.xxhash64(F.lit(gid), *[F.element_at("minhash", start + j)
+                                     for j in range(ln)])
+            for gid, start, ln in specs
+        ])
+        # band_id decoded arithmetically: first 16 gids are 0..15, next
+        # 32 are 100..131 (pos is 0-based)
+        bid = F.when(F.col("pos") < 16, F.col("pos")).otherwise(
+            F.col("pos") + 84)
+        return (
+            sigs.select("doc_id", F.posexplode(hashes).alias("pos", "band_hash"))
+            .select("doc_id", bid.alias("band_id"), "band_hash")
+        )
+
+    def explode_zip():
+        # stack() rows via union-free: explode(arrays_zip(ids, hashes))
+        hashes = F.array(*[
+            F.xxhash64(F.lit(gid), *[F.element_at("minhash", start + j)
+                                     for j in range(ln)])
+            for gid, start, ln in specs
+        ])
+        band_ids = F.array(*[F.lit(gid).cast("long") for gid, _, _ in specs])
+        return (
+            sigs.select("doc_id",
+                        F.explode(F.arrays_zip(band_ids.alias("band_id"),
+                                               hashes.alias("band_hash"))).alias("b"))
+            .select("doc_id", "b.band_id", "b.band_hash")
+        )
+
+    for name, b in [("current struct explode", current),
+                    ("posexplode + lit lookup", posexplode_lookup),
+                    ("posexplode + arith band_id", posexplode_outer_project),
+                    ("explode arrays_zip", explode_zip)]:
+        t(name, b)
+
+    # sanity: identical output sets (decimal sum — no ANSI overflow)
+    def cs(df):
+        row = df.groupBy().agg(
+            F.sum(F.xxhash64("doc_id", "band_id", "band_hash")
+                  .cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row[0], row[1], [f.dataType.simpleString() for f in df.schema.fields])
+
+    a = cs(current())
+    print(json.dumps({"current": str(a)}))
+    for name, b in [("posexplode + lit lookup", posexplode_lookup),
+                    ("posexplode + arith band_id", posexplode_outer_project),
+                    ("explode arrays_zip", explode_zip)]:
+        v = cs(b())
+        print(json.dumps({"variant": name, "checksum_match": v == a, "val": str(v)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

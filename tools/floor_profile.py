@@ -1,0 +1,61 @@
+"""Round-6: isolate fixed job latency vs real compute in the band
+explode path.  Usage: python tools/floor_profile.py [sf_dir]"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from welldedup import lsh, prep, signatures
+    from welldedup.queries import CFG, docs_as_code_files
+    from welldedup.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="floor-profile", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    prepared = prep.prepare_base(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = signatures.add_signatures_fused(prepared, CFG).localCheckpoint()
+    sigs.count()
+    n_parts = sigs.rdd.getNumPartitions()
+    print(json.dumps({"sig_partitions": n_parts}))
+
+    def t(name, build):
+        best = None
+        for _ in range(5):
+            t0 = time.monotonic()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({"name": name, "sec": round(best, 3)}))
+
+    t("noop of range(1)", lambda: spark.range(1))
+    t("noop of sigs.doc_id", lambda: sigs.select("doc_id"))
+    t("noop of sigs full", lambda: sigs)
+    t("explode 48 lit structs", lambda: sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_id"), F.lit(i).alias("band_hash"))
+            for i in range(48)
+        ])).alias("b")))
+    t("band_buckets", lambda: lsh.band_buckets(sigs, CFG))
+    # hash without explode
+    entries = [
+        F.xxhash64(F.lit(gid), *[F.element_at("minhash", start + j)
+                                 for j in range(ln)])
+        for gid, start, ln in lsh._banding_specs(CFG)
+    ]
+    t("48 xxhash64 no explode", lambda: sigs.select("doc_id", F.array(*entries)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

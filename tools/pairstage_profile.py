@@ -1,0 +1,101 @@
+"""Round-6 profiling: break the candidate_pairs stage (and verified)
+into sub-plans and time each against the MATERIALIZED signature
+checkpoint, min-of-N (guide §1.4 noop isolation).
+
+Usage: python tools/pairstage_profile.py [sf_dir] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from welldedup import lsh, verify
+    from welldedup.pipeline import (
+        DOCS_COLS, build_candidate_pairs, dedup_pairs_by_priority,
+    )
+    from welldedup.queries import CFG, docs_as_code_files
+    from welldedup.session import get_spark
+    from welldedup import prep, signatures
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="pairstage-profile", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    prepared = prep.prepare_base(docs_as_code_files(spark, sf_dir), CFG)
+    sigs = signatures.add_signatures_fused(prepared, CFG).localCheckpoint()
+    sigs.count()
+    docs = sigs.select(*DOCS_COLS)
+
+    def t(name, build, action="noop"):
+        best = None
+        for _ in range(trials):
+            spark.sparkContext.setJobDescription(f"profile: {name}")
+            t0 = time.monotonic()
+            df = build()
+            if action == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.localCheckpoint(eager=True)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({"name": name, "sec": round(best, 3)}))
+
+    buckets = lambda: lsh.band_buckets(sigs, CFG)  # noqa: E731
+
+    t("band_buckets (explode only)", buckets)
+    t("exact_dup_pairs", lambda: lsh.exact_dup_pairs(docs))
+    t("multi_emit (window+agg+explode)",
+      lambda: lsh.candidate_pairs_multi([("minhash", buckets())], CFG))
+    t("full stage plan (noop)",
+      lambda: build_candidate_pairs(docs, sigs, CFG))
+    t("full stage plan (localCheckpoint)",
+      lambda: build_candidate_pairs(docs, sigs, CFG), action="ckpt")
+
+    pairs = build_candidate_pairs(docs, sigs, CFG).localCheckpoint()
+    pairs.count()
+
+    near = pairs.filter(~F.col("src").isin("exact", "substr"))
+    t("verify_near_pairs (noop)",
+      lambda: verify.verify_near_pairs(near, sigs, CFG))
+
+    def build_verified():
+        def _by_construction(p):
+            return p.select(
+                "id_a", "id_b", "src",
+                F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+                F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+                F.lit(None).cast("double").alias("edit_sim"),
+                F.lit(True).alias("dup"),
+            )
+        by_construction = _by_construction(
+            pairs.filter(F.col("src").isin("exact", "substr")))
+        return verify.verify_near_pairs(near, sigs, CFG).unionByName(
+            by_construction)
+
+    t("verified full (noop)", build_verified)
+    t("verified full (localCheckpoint)", build_verified, action="ckpt")
+
+    verified = build_verified().localCheckpoint()
+    verified.count()
+    from welldedup import cluster as cc
+    t("clusters (noop)",
+      lambda: cc.connected_components(
+          docs.select("doc_id"), verified.filter("dup").select("id_a", "id_b"),
+          CFG, edges_cheap=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -614,8 +614,18 @@ def q_cc_clusters(spark, sf_dir):
     pair graph (_wj_star_edges_kernel): word-jaccard edges are
     intra-source by construction, so the per-group kernel can decide
     every pair with the exact threshold predicate and ship O(n) star
-    edges instead of the O(n²) pair list (44M rows at sf1.0) — the
-    downstream CC operator converges to bit-identical labels."""
+    edges instead of the O(n²) pair list (44M rows at sf1.0).
+
+    Round 6: the star edges ARE the final labels.  Sources partition
+    the docs, components never span groups, and the kernel's id_a is
+    the component-min doc_id (pinned against brute force in
+    tests/test_round6.py) — so one left join (member → root, isolated
+    docs label themselves) replaces the whole iterative CC operator:
+    3 eager checkpoint jobs + the loop become a single broadcast join,
+    with bit-identical labels (the CC loop over disjoint stars
+    converges to exactly these roots).  The pipeline's clusters stage
+    keeps the full operator — its edges span methods and are not
+    group-local."""
     d = _t(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
@@ -623,8 +633,13 @@ def q_cc_clusters(spark, sf_dir):
     edges = w.groupBy("source").applyInPandas(
         _wj_star_edges_kernel, "id_a long, id_b long"
     )
-    nodes = d.select("doc_id")
-    return cc.connected_components(nodes, edges, CFG)
+    labels = edges.select(
+        F.col("id_b").alias("doc_id"), F.col("id_a").alias("cluster_id")
+    )
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 SQL_CC_CLUSTERS = """

@@ -131,6 +131,65 @@ def verify_near_pairs(
     return verify_pairs(near, sigs, sigs, cfg, est_cols=tuple(est_cols))
 
 
+def _verify_pairs_fused(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    est_cols: list,
+    keep_shingles: bool,
+) -> DataFrame:
+    """Single-pass verify over the fused signature checkpoint: identical
+    output rows/values to the two-phase shape (same joins, same
+    estimator/threshold arithmetic, edit_sim NULL exactly where the
+    jaccard gate already accepted), one evaluation of the pair join."""
+    sig_cols = ["doc_id", *est_cols, "line_sig", "edit_prefix"] + (
+        ["shingles"] if keep_shingles else []
+    )
+    sig = sigs.select(*sig_cols)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"e{i}_a") for i, c in enumerate(est_cols)],
+        F.col("line_sig").alias("lsig_a"),
+        F.col("edit_prefix").alias("c_a"),
+        *([F.col("shingles").alias("sh_a")] if keep_shingles else []),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"e{i}_b") for i, c in enumerate(est_cols)],
+        F.col("line_sig").alias("lsig_b"),
+        F.col("edit_prefix").alias("c_b"),
+        *([F.col("shingles").alias("sh_b")] if keep_shingles else []),
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    ests = [
+        jaccard_est_expr(f"e{i}_a", f"e{i}_b", cfg.n_hashes)
+        for i in range(len(est_cols))
+    ]
+    est_expr = ests[0] if len(ests) == 1 else F.greatest(*ests)
+    j = j.withColumn("jaccard_est", est_expr)
+    j = j.filter(F.col("jaccard_est") >= cfg.est_prefilter)
+    if keep_shingles:
+        exact = exact_jaccard_expr("sh_a", "sh_b")
+        j = j.withColumn(
+            "jaccard", exact if len(ests) == 1 else F.greatest(exact, *ests[1:])
+        )
+    else:
+        j = j.withColumn("jaccard", F.col("jaccard_est"))
+    few_lines = (F.length("lsig_a") <= 3) & (F.length("lsig_b") <= 3)
+    edit = F.when(few_lines, edit_sim_expr("c_a", "c_b", cfg)).otherwise(
+        line_edit_sim_expr(F.col("lsig_a"), F.col("lsig_b"), cfg)
+    )
+    out = j.select(
+        "id_a", "id_b", "src", "jaccard_est", "jaccard",
+        F.when(F.col("jaccard") < cfg.jaccard_threshold, edit).alias("edit_sim"),
+    )
+    return out.withColumn(
+        "dup",
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | (F.coalesce(F.col("edit_sim"), F.lit(0.0)) >= cfg.edit_sim_threshold),
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     signatures: DataFrame,
@@ -159,6 +218,19 @@ def verify_pairs(
     """
     est_cols = list(est_cols)
     keep_shingles = cfg.verify_exact_jaccard and est_cols[0] == "minhash"
+    if docs is signatures and "line_sig" in docs.columns:
+        # fused-checkpoint path (the pipeline and every day-2 caller):
+        # line_sig/edit_prefix live in the SAME table as the estimator
+        # columns, so the whole verdict is ONE pass — the two per-side
+        # joins carry (est, lsig ≈1 char/line, prefix ≈null) and every
+        # column of the output is a projection of that join.  The
+        # previous two-phase shape re-evaluated the pairs⋈sa⋈sb subtree
+        # once per branch (accepted / edited / the edited branch's
+        # pair-id derivation — three evaluations) and paid 3 extra
+        # exchanges (distinct + semi-join + the second join pass) to
+        # prune a projection that reads no content either way.
+        return _verify_pairs_fused(pairs, signatures, cfg, est_cols,
+                                   keep_shingles)
     sig_cols = ["doc_id", *est_cols] + (["shingles"] if keep_shingles else [])
     sig = signatures.select(*sig_cols)
 
