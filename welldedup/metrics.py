@@ -71,6 +71,15 @@ class StageTimer:
             )
         )
 
+    def amend_rows_in(self, stage: str, rows_in: int | None):
+        """Back-fill rows_in for a stage whose input count only became
+        known after it ran (a fused upstream plan counted by an
+        observation that fires with this stage's action)."""
+        for r in reversed(self.records):
+            if r["stage"] == stage:
+                r["rows_in"] = rows_in
+                return
+
     def time_stage(self, stage: str, fn):
         t0 = time.monotonic()
         out = fn()

@@ -161,31 +161,53 @@ def _run_pipeline_inner(
     # are never silent.
     pair_obs: list = []
 
-    def build_pairs():
-        pair_obs.clear()  # force-rerun must not double-record
-        return build_candidate_pairs(docs, sigs, cfg, pair_obs)
+    # in-memory mode fuses the pair emit into the verified stage (one
+    # scan of the pair stream — verify.verify_all_pairs_fused), so the
+    # pair checkpoint job + cache round-trip disappear; the LCS-refine
+    # config keeps the two-stage shape (its verify branch re-reads
+    # content on substr pair endpoints and re-references the pair plan).
+    fuse_pairs = store is None and not (
+        cfg.substr_exact_verify and "substr" in cfg.methods
+    )
+    if fuse_pairs:
+        pairs = build_candidate_pairs(docs, sigs, cfg, pair_obs)
+        pairs_rows_obs = Observation(f"pairs_rows_{timer.run_id}")
+        pairs_observed = pairs.observe(
+            pairs_rows_obs, F.count(F.lit(1)).alias("rows")
+        )
+    else:
+        def build_pairs():
+            pair_obs.clear()  # force-rerun must not double-record
+            return build_candidate_pairs(docs, sigs, cfg, pair_obs)
 
-    pairs = stage("candidate_pairs", build_pairs, rows_in_from="signatures")
-    # bucket-skew accounting: buckets_<src> rows carry (rows_in = docs
-    # inside dropped buckets, rows_out = dropped bucket count);
-    # salt_<src> rows carry the salt fan-out (rows_out = salted groups)
-    for oname, obs in pair_obs:
-        try:
-            vals = obs.get
-        except Exception:
-            # AQE empty-relation propagation can prune the observed
-            # subtree (e.g. an empty join side on a tiny corpus) — then
-            # there were no rows on that path and nothing was dropped.
-            continue
-        if oname.startswith("salt_"):
-            timer.record(oname, None, int(vals["salt_groups"]), 0)
-        else:
-            timer.record(
-                oname,
-                int(vals["docs_in_dropped"] or 0),
-                int(vals["buckets_dropped"] or 0),
-                0,
-            )
+        pairs = stage("candidate_pairs", build_pairs, rows_in_from="signatures")
+
+    def _collect_pair_obs():
+        # bucket-skew accounting: buckets_<src> rows carry (rows_in =
+        # docs inside dropped buckets, rows_out = dropped bucket
+        # count); salt_<src> rows carry the salt fan-out (rows_out =
+        # salted groups)
+        for oname, obs in pair_obs:
+            try:
+                vals = obs.get
+            except Exception:
+                # AQE empty-relation propagation can prune the observed
+                # subtree (e.g. an empty join side on a tiny corpus) —
+                # then there were no rows on that path and nothing was
+                # dropped.
+                continue
+            if oname.startswith("salt_"):
+                timer.record(oname, None, int(vals["salt_groups"]), 0)
+            else:
+                timer.record(
+                    oname,
+                    int(vals["docs_in_dropped"] or 0),
+                    int(vals["buckets_dropped"] or 0),
+                    0,
+                )
+
+    if not fuse_pairs:
+        _collect_pair_obs()
 
     # --- verification (exact pairs skip similarity checks by definition)
     def build_verified():
@@ -247,7 +269,30 @@ def _run_pipeline_inner(
         verified = verify.verify_near_pairs(near, sigs, cfg)
         return verified.unionByName(by_construction)
 
-    verified = stage("verified_pairs", build_verified, rows_in_from="candidate_pairs")
+    if fuse_pairs:
+        verified = stage(
+            "verified_pairs",
+            lambda: verify.verify_all_pairs_fused(pairs_observed, sigs, cfg),
+            rows_in_from="candidate_pairs",
+        )
+        # the pair plan just ran (inlined, exactly once) — fill in the
+        # candidate_pairs lineage from its observations, and re-key the
+        # verified stage's rows_in now that the pair count is known
+        _collect_pair_obs()
+        try:
+            pairs_rows = int(pairs_rows_obs.get["rows"])
+        except Exception:
+            pairs_rows = None
+        stage_rows["candidate_pairs"] = pairs_rows
+        seconds.setdefault("candidate_pairs", 0.0)
+        timer.record(
+            "candidate_pairs", stage_rows.get("signatures"), pairs_rows, 0
+        )
+        timer.amend_rows_in("verified_pairs", pairs_rows)
+    else:
+        verified = stage(
+            "verified_pairs", build_verified, rows_in_from="candidate_pairs"
+        )
 
     # --- clustering (verified is a stage checkpoint, so the CC
     # contraction passes re-read it directly — edges_cheap skips the

@@ -190,6 +190,106 @@ def _verify_pairs_fused(
     )
 
 
+def est_cols_for(cfg: DedupConfig) -> tuple:
+    """Estimator columns for the near-dup verdict under cfg.methods
+    (the any-enabled-method acceptance rule — see verify_near_pairs)."""
+    cols = []
+    if (
+        "minhash" in cfg.methods
+        or "simhash" in cfg.methods
+        or "weighted" not in cfg.methods
+    ):
+        cols.append("minhash")
+    if "weighted" in cfg.methods:
+        cols.append("icws")
+    return tuple(cols)
+
+
+def verify_all_pairs_fused(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """The whole verified_pairs stage in ONE scan of the candidate-pair
+    stream: by-construction rows (exact / substr — sha equality and the
+    shared-fingerprint threshold already verified them at emit time)
+    pass through with their pinned columns, near rows get the fused
+    single-pass verdict.  Output rows/values are identical to
+    `by_construction ∪ verify_near_pairs(near)` — but that union
+    referenced the (unmaterialized) pair plan once per branch, which
+    forced the pipeline to checkpoint the pair stage first; this form
+    lets the pair plan inline into the verified stage and evaluate
+    exactly once.  Requires cfg.substr_exact_verify off (the LCS
+    refinement re-reads content on its own schedule — callers keep the
+    two-stage shape for it)."""
+    est_cols = list(est_cols_for(cfg))
+    keep_shingles = cfg.verify_exact_jaccard and est_cols[0] == "minhash"
+    sig_cols = ["doc_id", *est_cols, "line_sig", "edit_prefix"] + (
+        ["shingles"] if keep_shingles else []
+    )
+    sig = sigs.select(*sig_cols)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"e{i}_a") for i, c in enumerate(est_cols)],
+        F.col("line_sig").alias("lsig_a"),
+        F.col("edit_prefix").alias("c_a"),
+        *([F.col("shingles").alias("sh_a")] if keep_shingles else []),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"e{i}_b") for i, c in enumerate(est_cols)],
+        F.col("line_sig").alias("lsig_b"),
+        F.col("edit_prefix").alias("c_b"),
+        *([F.col("shingles").alias("sh_b")] if keep_shingles else []),
+    )
+    # every pair id exists in sigs (exact pairs come from the docs
+    # projection of the same checkpoint, substr pairs from its fps),
+    # so the inner join drops nothing
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    ests = [
+        jaccard_est_expr(f"e{i}_a", f"e{i}_b", cfg.n_hashes)
+        for i in range(len(est_cols))
+    ]
+    est_expr = ests[0] if len(ests) == 1 else F.greatest(*ests)
+    is_bc = F.col("src").isin("exact", "substr")
+    j = j.withColumn("_est", est_expr).filter(
+        is_bc | (F.col("_est") >= cfg.est_prefilter)
+    )
+    if keep_shingles:
+        exact = exact_jaccard_expr("sh_a", "sh_b")
+        jac_near = exact if len(ests) == 1 else F.greatest(exact, *ests[1:])
+    else:
+        jac_near = F.col("_est")
+    j = j.withColumn("_jac", jac_near)
+    few_lines = (F.length("lsig_a") <= 3) & (F.length("lsig_b") <= 3)
+    edit = F.when(few_lines, edit_sim_expr("c_a", "c_b", cfg)).otherwise(
+        line_edit_sim_expr(F.col("lsig_a"), F.col("lsig_b"), cfg)
+    )
+    bc_null = F.lit(None).cast("double")
+    out = j.select(
+        "id_a",
+        "id_b",
+        "src",
+        F.when(F.col("src") == "exact", 1.0)
+        .when(F.col("src") == "substr", bc_null)
+        .otherwise(F.col("_est"))
+        .alias("jaccard_est"),
+        F.when(F.col("src") == "exact", 1.0)
+        .when(F.col("src") == "substr", bc_null)
+        .otherwise(F.col("_jac"))
+        .alias("jaccard"),
+        F.when(
+            ~is_bc & (F.col("_jac") < cfg.jaccard_threshold), edit
+        ).alias("edit_sim"),
+        is_bc.alias("_bc"),
+        (F.col("_jac") >= cfg.jaccard_threshold).alias("_jac_ok"),
+    )
+    return out.withColumn(
+        "dup",
+        F.col("_bc")
+        | F.col("_jac_ok")
+        | (F.coalesce(F.col("edit_sim"), F.lit(0.0)) >= cfg.edit_sim_threshold),
+    ).drop("_bc", "_jac_ok")
+
+
 def verify_pairs(
     pairs: DataFrame,
     signatures: DataFrame,
