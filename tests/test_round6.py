@@ -369,3 +369,44 @@ def test_cc_query_star_bypass_equals_full_cc(spark):
         .collect()
     }
     assert bypass == full
+
+
+@pytest.mark.parametrize("methods", [("minhash",), ("minhash", "simhash", "substr")])
+def test_verify_all_pairs_fused_equals_union_form(spark, methods):
+    """Round 6: the one-scan verified stage (verify_all_pairs_fused)
+    must produce exactly the rows of by_construction ∪
+    verify_near_pairs(near) — the two-branch union it replaced."""
+    from welldedup import prep, verify
+    from welldedup.signatures import add_signatures_fused
+
+    cfg = DedupConfig(methods=methods)
+    rows = _verify_test_rows()
+    # add an exact duplicate so the by-construction branch is non-empty
+    rows.append(dict(rows[0], path="a_copy.py"))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = add_signatures_fused(
+        prep.prepare_base(df, cfg), cfg
+    ).localCheckpoint(eager=True)
+    from welldedup.pipeline import DOCS_COLS, build_candidate_pairs
+
+    docs = sigs.select(*DOCS_COLS)
+    pairs = build_candidate_pairs(docs, sigs, cfg).localCheckpoint(eager=True)
+    assert pairs.filter("src = 'exact'").count() > 0
+
+    fused = verify.verify_all_pairs_fused(pairs, sigs, cfg)
+
+    near = pairs.filter(~F.col("src").isin("exact", "substr"))
+    bc = pairs.filter(F.col("src").isin("exact", "substr")).select(
+        "id_a", "id_b", "src",
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard_est"),
+        F.when(F.col("src") == "exact", 1.0).alias("jaccard"),
+        F.lit(None).cast("double").alias("edit_sim"),
+        F.lit(True).alias("dup"),
+    )
+    union = verify.verify_near_pairs(near, sigs, cfg).unionByName(bc)
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    assert fused.columns == union.columns
+    assert rows_of(fused) == rows_of(union)

@@ -82,15 +82,11 @@ def connected_components(
     # aggregations absorb repeats map-side, where the old up-front
     # distinct was a full shuffle of the job's BIGGEST table (88M rows
     # for the 44M-edge sf1.0 word-jaccard graph — guide §2.4).
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-            )
-        ).alias("e")
+    sym = edges.selectExpr(
+        "explode(array(named_struct('src', id_a, 'dst', id_b),"
+        " named_struct('src', id_b, 'dst', id_a))) as e"
     ).select("e.src", "e.dst")
-    self_labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    self_labels = nodes.selectExpr("doc_id", "doc_id as cluster_id")
     if not edges_cheap:
         obs_sym = Observation(f"cc_sym_{id(sym)}")
         sym = sym.observe(obs_sym, F.count(F.lit(1)).alias("n")).localCheckpoint(
@@ -114,15 +110,12 @@ def connected_components(
     obs0 = Observation(f"cc_init_{id(sym)}")
     lab0 = (
         sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.least("src", "mn").alias("cluster_id"),
-        )
+        .agg(F.expr("min(dst) as mn"))
+        .selectExpr("src as doc_id", "least(src, mn) as cluster_id")
         .observe(
             obs0,
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
-            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(cast(cluster_id as decimal(38,0))) as label_sum"),
+            F.expr("count(1) as n"),
         )
         .localCheckpoint(eager=True)
     )
@@ -131,25 +124,18 @@ def connected_components(
         return self_labels
     threshold0 = cfg.cc_broadcast_max_labels if cfg else 2_000_000
     l0 = F.broadcast(lab0) if n_endpoints <= threshold0 else lab0
-    la = l0.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("_la"))
-    lb = l0.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_lb"))
+    la = l0.selectExpr("doc_id as src", "cluster_id as _la")
+    lb = l0.selectExpr("doc_id as dst", "cluster_id as _lb")
     cedges = (
         sym.join(la, "src")
         .join(lb, "dst")
-        .filter(F.col("_la") != F.col("_lb"))
-        .select(
-            F.least("_la", "_lb").alias("id_a"),
-            F.greatest("_la", "_lb").alias("id_b"),
-        )
+        .filter("_la != _lb")
+        .selectExpr("least(_la, _lb) as id_a", "greatest(_la, _lb) as id_b")
         .distinct()  # map-side combine collapses the dense repeats
     )
-    csym = cedges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-            )
-        ).alias("e")
+    csym = cedges.selectExpr(
+        "explode(array(named_struct('src', id_a, 'dst', id_b),"
+        " named_struct('src', id_b, 'dst', id_a))) as e"
     ).select("e.src", "e.dst")
     obs_c = Observation(f"cc_contracted_{id(csym)}")
     csym = csym.observe(obs_c, F.count(F.lit(1)).alias("n")).localCheckpoint(
@@ -168,13 +154,13 @@ def connected_components(
     # loop state = contracted label-nodes only
     obs1 = Observation(f"cc_loop_init_{id(csym)}")
     labels = (
-        csym.select(F.col("src").alias("doc_id"))
+        csym.selectExpr("src as doc_id")
         .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .selectExpr("doc_id", "doc_id as cluster_id")
         .observe(
             obs1,
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum"),
-            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(cast(cluster_id as decimal(38,0))) as label_sum"),
+            F.expr("count(1) as n"),
         )
         .localCheckpoint(eager=True)
     )

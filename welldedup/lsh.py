@@ -123,6 +123,65 @@ def simhash_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     ).withColumn("band_id", F.col("band_id") + F.lit(1000))
 
 
+def _window_capped_lists(
+    stream: DataFrame,
+    keys: list,
+    cfg: DedupConfig,
+    obs_specs: list | None = None,
+    observations: list | None = None,
+) -> DataFrame:
+    """The single-exchange bounded emit shared by every bucket/
+    fingerprint pair path: ONE window over the group key (ordered by
+    doc_id) yields group size `n` + bottom-cap rank `rn`, the filter
+    drops singleton/degenerate groups BEFORE any list is built
+    (`rn <= max_bucket` IS the bottom-cap of the sorted group, so no
+    list ever exceeds cap elements), and the same-key aggregation
+    reuses the window's partitioning — no second exchange, no counts
+    join, no broadcast of a mostly-singleton counts table (guide §2.4).
+
+    Skew metrics ride the window stream as conditional observe()
+    aggregates over each group's first row — unchanged semantics, zero
+    extra passes.  `obs_specs` is [(name, range_condition_sql)] — one
+    Observation per entry, counting only groups whose first row
+    satisfies the condition (candidate_pairs_multi scopes per method
+    via band_id ranges; single-method callers pass "true").
+
+    Built from parsed SQL strings end to end: the Column-API form of
+    this plan cost ~0.1-0.2s of driver py4j round-trips per invocation
+    — comparable to its executor time at bench scale (guide §1)."""
+    key_sql = ", ".join(keys)
+    over = f"(partition by {key_sql} order by doc_id"
+    bw = stream.selectExpr(
+        *keys,
+        "doc_id",
+        f"count(1) over {over} rows between unbounded preceding"
+        " and unbounded following) as n",
+        f"row_number() over {over}) as rn",
+    )
+    if obs_specs:
+        for name, rng in obs_specs:
+            obs = Observation(name)
+            first = f"(rn = 1 AND ({rng}))"
+            dropped = f"({first} AND n > {cfg.drop_bucket_over})"
+            bw = bw.observe(
+                obs,
+                F.expr(f"sum(cast({first} as long)) as buckets_total"),
+                F.expr(f"sum(cast({dropped} as long)) as buckets_dropped"),
+                F.expr(
+                    f"sum(case when {dropped} then n else 0 end)"
+                    " as docs_in_dropped"
+                ),
+            )
+            observations.append((name, obs))
+    return (
+        bw.filter(
+            f"n >= 2 AND n <= {cfg.drop_bucket_over} AND rn <= {cfg.max_bucket}"
+        )
+        .groupBy(*keys)
+        .agg(F.expr("sort_array(collect_list(doc_id)) as ids"))
+    )
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame,
     cfg: DedupConfig,
@@ -162,43 +221,11 @@ def candidate_pairs_from_buckets(
         # guide §2.4).  Skew metrics ride the window stream as
         # conditional observe() aggregates over the per-bucket first
         # row — unchanged semantics, zero extra passes.
-        w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-        bw = buckets.select(
-            "band_id",
-            "band_hash",
-            "doc_id",
-            F.count(F.lit(1))
-            .over(
-                w.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .alias("n"),
-            F.row_number().over(w).alias("rn"),
-        )
-        if observations is not None:
-            obs = Observation(f"buckets_{src}")
-            first = F.col("rn") == 1
-            dropped = first & (F.col("n") > cfg.drop_bucket_over)
-            bw = bw.observe(
-                obs,
-                F.sum(first.cast("long")).alias("buckets_total"),
-                F.sum(dropped.cast("long")).alias("buckets_dropped"),
-                F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias(
-                    "docs_in_dropped"
-                ),
-            )
-            observations.append((f"buckets_{src}", obs))
-        # rn <= cap IS the bottom-cap-by-doc_id of the sorted bucket, so
-        # no list ever exceeds cap elements even before the slice
-        kept = (
-            bw.filter(
-                (F.col("n") >= 2)
-                & (F.col("n") <= cfg.drop_bucket_over)
-                & (F.col("rn") <= cap)
-            )
-            .groupBy("band_id", "band_hash")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        kept = _window_capped_lists(
+            buckets, ["band_id", "band_hash"], cfg,
+            obs_specs=[(f"buckets_{src}", "true")] if observations is not None
+            else None,
+            observations=observations,
         )
         return _explode_id_pairs(kept, src)
 
@@ -279,58 +306,32 @@ def candidate_pairs_multi(
     buckets = bucket_streams[0][1]
     for _, b in bucket_streams[1:]:
         buckets = buckets.unionByName(b)
-    cap = cfg.max_bucket
-    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-    bw = buckets.select(
-        "band_id",
-        "band_hash",
-        "doc_id",
-        F.count(F.lit(1))
-        .over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
-        .alias("n"),
-        F.row_number().over(w).alias("rn"),
-    )
+    obs_specs = None
     if observations is not None:
-        for src in srcs:
-            lo, hi = _BAND_RANGES[src]
-            in_rng = (F.col("band_id") >= lo) & (F.col("band_id") < hi)
-            first = (F.col("rn") == 1) & in_rng
-            dropped = first & (F.col("n") > cfg.drop_bucket_over)
-            obs = Observation(f"buckets_{src}")
-            bw = bw.observe(
-                obs,
-                F.sum(first.cast("long")).alias("buckets_total"),
-                F.sum(dropped.cast("long")).alias("buckets_dropped"),
-                F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias(
-                    "docs_in_dropped"
-                ),
+        obs_specs = [
+            (
+                f"buckets_{src}",
+                f"band_id >= {_BAND_RANGES[src][0]}"
+                f" AND band_id < {_BAND_RANGES[src][1]}",
             )
-            observations.append((f"buckets_{src}", obs))
-    kept = (
-        bw.filter(
-            (F.col("n") >= 2)
-            & (F.col("n") <= cfg.drop_bucket_over)
-            & (F.col("rn") <= cap)
-        )
-        .groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            for src in srcs
+        ]
+    kept = _window_capped_lists(
+        buckets, ["band_id", "band_hash"], cfg,
+        obs_specs=obs_specs, observations=observations,
     )
-    src_expr = F.when(
-        F.col("band_id") < _BAND_RANGES["simhash"][0], F.lit("minhash")
-    ).when(
-        F.col("band_id") < _BAND_RANGES["weighted"][0], F.lit("simhash")
-    ).otherwise(F.lit("weighted"))
+    src_sql = (
+        f"case when band_id < {_BAND_RANGES['simhash'][0]} then 'minhash' "
+        f"when band_id < {_BAND_RANGES['weighted'][0]} then 'simhash' "
+        "else 'weighted' end as src"
+    )
     return (
-        kept.select(F.col("ids"), src_expr.alias("src"))
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids", "src")
-        .select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
-            "src",
+        kept.selectExpr("ids", src_sql)
+        .selectExpr("posexplode(ids) as (i, id_a)", "ids", "src")
+        .selectExpr(
+            "id_a", "explode(slice(ids, i + 2, size(ids))) as id_b", "src"
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
     )
 
 
@@ -342,14 +343,10 @@ def _explode_id_pairs(kept: DataFrame, src: str) -> DataFrame:
     of the pair set for nothing.  Callers that use a single method's
     pairs directly should dropDuplicates() themselves."""
     return (
-        kept.select(F.col("ids"))
-        .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
-        .select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("src", F.lit(src))
+        kept.selectExpr("posexplode(ids) as (i, id_a)", "ids")
+        .selectExpr("id_a", "explode(slice(ids, i + 2, size(ids))) as id_b")
+        .filter("id_a < id_b")
+        .selectExpr("id_a", "id_b", f"'{src}' as src")
     )
 
 

@@ -253,47 +253,19 @@ def fingerprint_pairs(
     built, and the same-key aggregation reuses the window partitioning
     — the input is scanned ONCE (the old two-phase count+join scanned
     it twice and broadcast the counts table)."""
-    from pyspark.sql import Window
+    from .lsh import _window_capped_lists
 
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    bw = fps.select(
-        "fp",
-        "doc_id",
-        F.count(F.lit(1))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n"),
-        F.row_number().over(w).alias("rn"),
-    )
-    if observations is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation("buckets_substr")
-        first = F.col("rn") == 1
-        dropped = first & (F.col("n") > cfg.drop_bucket_over)
-        bw = bw.observe(
-            obs,
-            F.sum(first.cast("long")).alias("buckets_total"),
-            F.sum(dropped.cast("long")).alias("buckets_dropped"),
-            F.sum(F.when(dropped, F.col("n")).otherwise(0)).alias("docs_in_dropped"),
-        )
-        observations.append(("buckets_substr", obs))
-    grouped = (
-        bw.filter(
-            (F.col("n") >= 2)
-            & (F.col("n") <= cfg.drop_bucket_over)
-            & (F.col("rn") <= cfg.max_bucket)
-        )
-        .groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    grouped = _window_capped_lists(
+        fps, ["fp"], cfg,
+        obs_specs=[("buckets_substr", "true")] if observations is not None
+        else None,
+        observations=observations,
     )
     pair_counts = (
-        grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
-        .select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
-        )
+        grouped.selectExpr("posexplode(ids) as (i, id_a)", "ids")
+        .selectExpr("id_a", "explode(slice(ids, i + 2, size(ids))) as id_b")
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_fp"))
+        .agg(F.expr("count(1) as shared_fp"))
     )
     return (
         pair_counts.filter(F.col("shared_fp") >= fp_shared_threshold(cfg))

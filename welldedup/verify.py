@@ -222,72 +222,105 @@ def verify_all_pairs_fused(
     two-stage shape for it)."""
     est_cols = list(est_cols_for(cfg))
     keep_shingles = cfg.verify_exact_jaccard and est_cols[0] == "minhash"
+    # Built from parsed SQL strings: the Column-API form of this plan
+    # cost ~0.16s of driver py4j round-trips per invocation (the
+    # zip_with/aggregate lambdas are the worst offenders) — the SQL
+    # parses in one JVM call per select.  Expressions are kept
+    # term-for-term identical to the Column forms above (double
+    # literals D-suffixed so nothing lands as DECIMAL).
     sig_cols = ["doc_id", *est_cols, "line_sig", "edit_prefix"] + (
         ["shingles"] if keep_shingles else []
     )
     sig = sigs.select(*sig_cols)
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(c).alias(f"e{i}_a") for i, c in enumerate(est_cols)],
-        F.col("line_sig").alias("lsig_a"),
-        F.col("edit_prefix").alias("c_a"),
-        *([F.col("shingles").alias("sh_a")] if keep_shingles else []),
+    sa = sig.selectExpr(
+        "doc_id as id_a",
+        *[f"{c} as e{i}_a" for i, c in enumerate(est_cols)],
+        "line_sig as lsig_a",
+        "edit_prefix as c_a",
+        *(["shingles as sh_a"] if keep_shingles else []),
     )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(c).alias(f"e{i}_b") for i, c in enumerate(est_cols)],
-        F.col("line_sig").alias("lsig_b"),
-        F.col("edit_prefix").alias("c_b"),
-        *([F.col("shingles").alias("sh_b")] if keep_shingles else []),
+    sb = sig.selectExpr(
+        "doc_id as id_b",
+        *[f"{c} as e{i}_b" for i, c in enumerate(est_cols)],
+        "line_sig as lsig_b",
+        "edit_prefix as c_b",
+        *(["shingles as sh_b"] if keep_shingles else []),
     )
     # every pair id exists in sigs (exact pairs come from the docs
     # projection of the same checkpoint, substr pairs from its fps),
     # so the inner join drops nothing
     j = pairs.join(sa, "id_a").join(sb, "id_b")
-    ests = [
-        jaccard_est_expr(f"e{i}_a", f"e{i}_b", cfg.n_hashes)
-        for i in range(len(est_cols))
-    ]
-    est_expr = ests[0] if len(ests) == 1 else F.greatest(*ests)
-    is_bc = F.col("src").isin("exact", "substr")
-    j = j.withColumn("_est", est_expr).filter(
-        is_bc | (F.col("_est") >= cfg.est_prefilter)
+
+    def est_sql(i: int) -> str:
+        return (
+            f"cast(aggregate(zip_with(e{i}_a, e{i}_b,"
+            " (x, y) -> cast((x = y) as int)), 0, (acc, v) -> acc + v)"
+            f" as double) / {cfg.n_hashes}"
+        )
+
+    ests = [est_sql(i) for i in range(len(est_cols))]
+    est = ests[0] if len(ests) == 1 else f"greatest({', '.join(ests)})"
+    is_bc = "src in ('exact', 'substr')"
+    j = j.selectExpr("*", f"{est} as _est").filter(
+        f"({is_bc}) OR _est >= {cfg.est_prefilter!r}D"
     )
     if keep_shingles:
-        exact = exact_jaccard_expr("sh_a", "sh_b")
-        jac_near = exact if len(ests) == 1 else F.greatest(exact, *ests[1:])
+        exact = (
+            "case when cast(size(array_union(sh_a, sh_b)) as double) > 0"
+            " then cast(size(array_intersect(sh_a, sh_b)) as double)"
+            " / cast(size(array_union(sh_a, sh_b)) as double)"
+            " else 1.0D end"
+        )
+        jac = (
+            exact if len(ests) == 1
+            else f"greatest({', '.join([exact, *ests[1:]])})"
+        )
     else:
-        jac_near = F.col("_est")
-    j = j.withColumn("_jac", jac_near)
-    few_lines = (F.length("lsig_a") <= 3) & (F.length("lsig_b") <= 3)
-    edit = F.when(few_lines, edit_sim_expr("c_a", "c_b", cfg)).otherwise(
-        line_edit_sim_expr(F.col("lsig_a"), F.col("lsig_b"), cfg)
+        jac = "_est"
+    j = j.selectExpr("*", f"{jac} as _jac")
+    char_bound = int(cfg.edit_max_chars * (1.0 - cfg.edit_sim_threshold)) + 1
+    line_bound = int(cfg.edit_max_lines * (1.0 - cfg.edit_sim_threshold)) + 1
+    pa = f"substring(c_a, 1, {cfg.edit_max_chars})"
+    pb = f"substring(c_b, 1, {cfg.edit_max_chars})"
+    char_max = f"greatest(length({pa}), length({pb}))"
+    char_d = f"levenshtein({pa}, {pb}, {char_bound})"
+    char_edit = (
+        f"case when {char_max} = 0 then 1.0D"
+        f" when {char_d} < 0 then 0.0D"
+        f" else 1.0D - cast({char_d} as double) / {char_max} end"
     )
-    bc_null = F.lit(None).cast("double")
-    out = j.select(
+    line_max = "greatest(length(lsig_a), length(lsig_b))"
+    line_d = f"levenshtein(lsig_a, lsig_b, {line_bound})"
+    line_edit = (
+        f"case when {line_max} = 0 then 1.0D"
+        f" when {line_d} < 0 then 0.0D"
+        f" else 1.0D - cast({line_d} as double) / {line_max} end"
+    )
+    edit = (
+        "case when length(lsig_a) <= 3 and length(lsig_b) <= 3"
+        f" then {char_edit} else {line_edit} end"
+    )
+    theta = f"{cfg.jaccard_threshold!r}D"
+    out = j.selectExpr(
         "id_a",
         "id_b",
         "src",
-        F.when(F.col("src") == "exact", 1.0)
-        .when(F.col("src") == "substr", bc_null)
-        .otherwise(F.col("_est"))
-        .alias("jaccard_est"),
-        F.when(F.col("src") == "exact", 1.0)
-        .when(F.col("src") == "substr", bc_null)
-        .otherwise(F.col("_jac"))
-        .alias("jaccard"),
-        F.when(
-            ~is_bc & (F.col("_jac") < cfg.jaccard_threshold), edit
-        ).alias("edit_sim"),
-        is_bc.alias("_bc"),
-        (F.col("_jac") >= cfg.jaccard_threshold).alias("_jac_ok"),
+        "case when src = 'exact' then 1.0D"
+        " when src = 'substr' then cast(null as double)"
+        " else _est end as jaccard_est",
+        "case when src = 'exact' then 1.0D"
+        " when src = 'substr' then cast(null as double)"
+        " else _jac end as jaccard",
+        f"case when not ({is_bc}) and _jac < {theta} then {edit} end"
+        " as edit_sim",
+        f"({is_bc}) as _bc",
+        f"(_jac >= {theta}) as _jac_ok",
     )
-    return out.withColumn(
-        "dup",
-        F.col("_bc")
-        | F.col("_jac_ok")
-        | (F.coalesce(F.col("edit_sim"), F.lit(0.0)) >= cfg.edit_sim_threshold),
-    ).drop("_bc", "_jac_ok")
+    return out.selectExpr(
+        "id_a", "id_b", "src", "jaccard_est", "jaccard", "edit_sim",
+        "_bc or _jac_ok or coalesce(edit_sim, 0.0D)"
+        f" >= {cfg.edit_sim_threshold!r}D as dup",
+    )
 
 
 def verify_pairs(
