@@ -29,8 +29,24 @@ from .similarity import cosine_topk, lsh_bucketed_pairs
 CFG = DedupConfig(methods=("minhash", "simhash", "substr"))
 
 
+# Memoized parquet scan PLANS (not results): spark.read.parquet costs
+# ~80ms of file-listing + footer reads per call, and the query surface
+# makes ~100 such calls per bench pass over the same ten files.  The
+# cached object is a lazy DataFrame — every action still scans the
+# parquet data itself fresh (nothing is persisted or collected); this
+# only reuses the resolved relation, exactly what a catalog/metastore
+# table reference would give.  Keyed per Spark application so a new
+# session re-lists.
+_SCAN_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(key[1])
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def docs_as_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
