@@ -36,18 +36,20 @@ def observe_stage(df: DataFrame, stage: str) -> tuple[DataFrame, Observation]:
 
 
 def partition_stats(df: DataFrame, stage: str, run_id: str) -> DataFrame:
-    """Row-count per physical partition for the lineage table."""
+    """Row-count per physical partition for the lineage table.
+    selectExpr-built: this plan is constructed on every pipeline run
+    but only executed when the metrics table is actually read."""
     return (
-        df.withColumn("part_id", F.spark_partition_id())
+        df.selectExpr("spark_partition_id() as part_id")
         .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("rows_out"))
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col("part_id"),
-            F.lit(None).cast("long").alias("rows_in"),
-            F.col("rows_out"),
-            F.lit(None).cast("long").alias("wall_ms"),
-            F.lit(run_id).alias("run_id"),
+        .agg(F.expr("count(1) as rows_out"))
+        .selectExpr(
+            f"'{stage}' as stage",
+            "part_id",
+            "cast(null as long) as rows_in",
+            "rows_out",
+            "cast(null as long) as wall_ms",
+            f"'{run_id}' as run_id",
         )
     )
 

@@ -15,7 +15,6 @@ Can also run fully in-memory (store=None) for tests and entry().
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -32,15 +31,37 @@ DOCS_COLS = [
 ]
 
 
-@dataclass
 class PipelineResult:
-    docs: DataFrame
-    signatures: DataFrame
-    candidate_pairs: DataFrame
-    verified_pairs: DataFrame
-    clusters: DataFrame
-    metrics: DataFrame
-    stage_seconds: dict = field(default_factory=dict)
+    """Stage outputs of one pipeline run.  `metrics` accepts either the
+    built DataFrame or a zero-arg thunk — the in-memory pipeline passes
+    a thunk so the ~0.1s of driver-side metric-plan construction
+    (createDataFrame + per-stage partition profiles) is only paid by
+    callers that actually read the table; store mode stays eager (the
+    table is part of the checkpoint contract)."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        signatures: DataFrame,
+        candidate_pairs: DataFrame,
+        verified_pairs: DataFrame,
+        clusters: DataFrame,
+        metrics,
+        stage_seconds: dict | None = None,
+    ):
+        self.docs = docs
+        self.signatures = signatures
+        self.candidate_pairs = candidate_pairs
+        self.verified_pairs = verified_pairs
+        self.clusters = clusters
+        self._metrics = metrics
+        self.stage_seconds = stage_seconds if stage_seconds is not None else {}
+
+    @property
+    def metrics(self) -> DataFrame:
+        if callable(self._metrics):
+            self._metrics = self._metrics()
+        return self._metrics
 
 
 def run_pipeline(
@@ -82,7 +103,6 @@ def _run_pipeline_inner(
 ) -> PipelineResult:
     timer = StageTimer()
     seconds: dict[str, float] = {}
-    metrics_parts: list[DataFrame] = []
     stage_rows: dict[str, int | None] = {}
 
     def stage(name: str, build, partition_by=None, rows_in_from: str | None = None) -> DataFrame:
@@ -305,14 +325,18 @@ def _run_pipeline_inner(
 
     clusters = stage("clusters", build_clusters, rows_in_from="verified_pairs")
 
-    # --- metrics table (stage wall-times + per-partition lineage)
-    for name, df in [("docs", docs), ("candidate_pairs", pairs), ("clusters", clusters)]:
-        metrics_parts.append(partition_stats(df, name, timer.run_id))
-    metrics = timer.to_df(spark)
-    for mp in metrics_parts:
-        metrics = metrics.unionByName(mp)
-    if store is not None:
-        metrics = store.write("metrics", metrics)
+    # --- metrics table (stage wall-times + per-partition lineage);
+    # plan built lazily in memory mode (PipelineResult docstring)
+    def build_metrics() -> DataFrame:
+        m = timer.to_df(spark)
+        for name, df in [
+            ("docs", docs), ("candidate_pairs", pairs), ("clusters", clusters)
+        ]:
+            m = m.unionByName(partition_stats(df, name, timer.run_id))
+        return m
+
+    metrics = store.write("metrics", build_metrics()) if store is not None \
+        else build_metrics
 
     return PipelineResult(
         docs=docs,
