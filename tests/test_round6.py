@@ -410,3 +410,27 @@ def test_verify_all_pairs_fused_equals_union_form(spark, methods):
 
     assert fused.columns == union.columns
     assert rows_of(fused) == rows_of(union)
+
+
+def test_dedup_pairs_by_priority_int_min_matches_struct_min(spark):
+    """Round 6: the int-min + decode priority dedup must pick exactly
+    the src the old min(struct(prio, src)) picked, for every method
+    the engine emits (prio ↔ src is bijective over them)."""
+    from welldedup.pipeline import dedup_pairs_by_priority
+
+    srcs = ["exact", "substr", "minhash", "weighted", "simhash"]
+    rng = random.Random(21)
+    rows = []
+    for a in range(30):
+        for s in rng.sample(srcs, rng.randint(1, 5)):
+            rows.append((a, a + 100, s))
+    allp = spark.createDataFrame(rows, "id_a long, id_b long, src string")
+    got = {(r.id_a, r.id_b): r.src for r in dedup_pairs_by_priority(allp).collect()}
+    prio = {"exact": 0, "substr": 1, "minhash": 2, "weighted": 3, "simhash": 4}
+    exp = {}
+    for a, b, s in rows:
+        if (a, b) not in exp or (prio[s], s) < (prio[exp[(a, b)]], exp[(a, b)]):
+            exp[(a, b)] = s
+    assert got == exp
+    plan = dedup_pairs_by_priority(allp)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan

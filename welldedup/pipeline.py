@@ -393,19 +393,28 @@ def dedup_pairs_by_priority(allp: DataFrame) -> DataFrame:
     strongest evidence (exact and substr are verified by construction;
     minhash/simhash must pass the verify stage) — deterministic
     regardless of union order.  Shared by the batch pair stage and the
-    incremental update (incremental.py)."""
+    incremental update (incremental.py).
+
+    The winner is picked by an integer `min(prio)` and decoded back to
+    its src — prio ↔ src is a bijection over the five methods the
+    engine emits (DedupConfig.__post_init__ rejects anything else), and
+    an int min is hash-aggregable where the previous
+    `min(struct(prio, src))` forced a SortAggregate with a partial- and
+    final-side sort of the whole pair multiset."""
     prio = (
-        F.when(F.col("src") == "exact", 0)
-        .when(F.col("src") == "substr", 1)
-        .when(F.col("src") == "minhash", 2)
-        .when(F.col("src") == "weighted", 3)
-        .otherwise(4)
+        "case src when 'exact' then 0 when 'substr' then 1"
+        " when 'minhash' then 2 when 'weighted' then 3 else 4 end"
+    )
+    decode = (
+        "case p when 0 then 'exact' when 1 then 'substr'"
+        " when 2 then 'minhash' when 3 then 'weighted'"
+        " else 'simhash' end as src"
     )
     return (
-        allp.withColumn("prio", prio)
+        allp.selectExpr("id_a", "id_b", f"{prio} as prio")
         .groupBy("id_a", "id_b")
-        .agg(F.min(F.struct("prio", "src")).alias("best"))
-        .select("id_a", "id_b", F.col("best.src").alias("src"))
+        .agg(F.expr("min(prio) as p"))
+        .selectExpr("id_a", "id_b", decode)
     )
 
 
