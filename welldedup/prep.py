@@ -110,6 +110,19 @@ def prepare_docs(code_files: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def token_hashes_sql(content_col: str, cfg: DedupConfig) -> str:
+    """SQL-string twin of token_hashes_expr(tokenize_expr(col, cfg)) —
+    one parsed expression instead of ~30 py4j Column calls; used by the
+    signature scan projections (the Column helpers below remain the
+    reference forms for other callers and tests)."""
+    pat = TOKEN_PATTERN if cfg.lowercase else TOKEN_PATTERN_CASED
+    src = f"lower({content_col})" if cfg.lowercase else content_col
+    return (
+        f"transform(regexp_extract_all({src}, '{pat}', 0),"
+        " t -> xxhash64(t))"
+    )
+
+
 def token_hashes_expr(tokens):
     """Per-token 64-bit hashes — O(n) JVM work, no string building.
     `tokens` is a column name or array<string> Column.  The k-shingle

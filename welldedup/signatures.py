@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
-from .prep import token_hashes_expr
+
 
 _B = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15, odd
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -380,8 +380,8 @@ def add_signatures_fused(
     if with_shingles is None:
         with_shingles = cfg.verify_exact_jaccard
     with_icws = "weighted" in cfg.methods
-    from .prep import tokenize_expr
-    from .verify import edit_prefix_expr, line_sig_expr
+    from .prep import token_hashes_sql
+    from .verify import edit_prefix_sql, line_sig_sql
 
     fn = make_fused_arrow_fn(
         cfg, with_fps, with_shingles, with_lsig, with_icws=with_icws
@@ -397,11 +397,11 @@ def add_signatures_fused(
         schema += ", line_sig string, edit_prefix string"
     cols = [
         *FUSED_META_COLS,
-        token_hashes_expr(tokenize_expr("content", cfg)).alias("token_hashes"),
+        F.expr(token_hashes_sql("content", cfg)).alias("token_hashes"),
     ]
     if with_lsig:  # verify-stage columns, computed JVM-side in this scan
-        cols.append(line_sig_expr("content", cfg).alias("line_sig"))
-        cols.append(edit_prefix_expr("content", cfg).alias("edit_prefix"))
+        cols.append(F.expr(line_sig_sql("content", cfg)).alias("line_sig"))
+        cols.append(F.expr(edit_prefix_sql("content", cfg)).alias("edit_prefix"))
     if with_fps:  # content bytes ride Arrow only when the CDC kernel runs
         cols.append("content")
     return prepared.select(*cols).mapInArrow(fn, schema)
@@ -418,14 +418,14 @@ def add_signatures(
     OPH MinHash + SimHash happen in ONE vectorized Arrow UDF per batch.
     `shingles` (~20KB/doc) is emitted only when exact Jaccard
     verification (V2) consumes it (cfg.verify_exact_jaccard)."""
-    from .prep import tokenize_expr
+    from .prep import token_hashes_sql
 
     if with_shingles is None:
         with_shingles = cfg.verify_exact_jaccard
     fn = make_signature_arrow_fn(cfg, with_shingles)
     narrow = docs.select(
         "doc_id",
-        token_hashes_expr(tokenize_expr("content", cfg)).alias("token_hashes"),
+        F.expr(token_hashes_sql("content", cfg)).alias("token_hashes"),
     )
     return narrow.mapInArrow(
         fn, SIG_SCHEMA_FULL if with_shingles else SIG_SCHEMA_NARROW

@@ -88,6 +88,26 @@ def edit_prefix_expr(content_col: str, cfg: DedupConfig):
     )
 
 
+def line_sig_sql(content_col: str, cfg: DedupConfig) -> str:
+    """SQL-string twin of line_sig_expr (one parsed expression; the
+    Column form above stays the reference —
+    tests/test_round4.py::test_fused_line_sig_matches_verify_exprs
+    pins the fused pass, which uses this, against it)."""
+    return (
+        "concat_ws('', transform("
+        f"slice(split({content_col}, '\\n'), 1, {cfg.edit_max_lines}),"
+        f" l -> char(pmod(xxhash64(l), {_LINE_ALPHABET}) + {_LINE_BASE})))"
+    )
+
+
+def edit_prefix_sql(content_col: str, cfg: DedupConfig) -> str:
+    """SQL-string twin of edit_prefix_expr (same reference test)."""
+    return (
+        f"case when size(split({content_col}, '\\n')) <= 3"
+        f" then substring({content_col}, 1, {cfg.edit_max_chars}) end"
+    )
+
+
 def line_edit_sim_expr(sig_a, sig_b, cfg: DedupConfig):
     """Normalized line-level Levenshtein similarity over line-hash
     strings produced by line_sig_expr."""
