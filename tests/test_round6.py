@@ -434,3 +434,33 @@ def test_dedup_pairs_by_priority_int_min_matches_struct_min(spark):
     assert got == exp
     plan = dedup_pairs_by_priority(allp)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan
+
+
+def test_cc_endpoints_hint_identical_labels(spark):
+    """Round 6: connected_components with an n_endpoints_hint (lazy
+    contraction labels, no init checkpoint) must label identically to
+    the unhinted operator — including chains that need loop rounds,
+    and the empty-edge case."""
+    from welldedup.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    chain = [(i, i + 1) for i in range(0, 30)]
+    extra = [(35, 38), (36, 38)]
+    edges = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    base = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    hinted = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            nodes, edges, n_endpoints_hint=2 * len(chain + extra)
+        ).collect()
+    }
+    assert hinted == base
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    lbl = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, empty, n_endpoints_hint=0).collect()
+    }
+    assert lbl == {i: i for i in range(40)}

@@ -63,6 +63,7 @@ def connected_components(
     cfg: DedupConfig | None = None,
     max_rounds: int | None = None,
     edges_cheap: bool = False,
+    n_endpoints_hint: int | None = None,
 ) -> DataFrame:
     """nodes(doc_id) + edges(id_a, id_b) → clusters(doc_id, cluster_id).
 
@@ -72,6 +73,16 @@ def connected_components(
     (a stage checkpoint) — the contraction's two passes then re-read it
     directly instead of paying a localCheckpoint of the symmetrized
     stream (one job + one cache write saved per invocation).
+
+    `n_endpoints_hint` is an UPPER BOUND on the endpoint count known to
+    the caller for free (the pipeline knows its verified-pair row count
+    — endpoints ≤ 2·pairs).  When the bound already fits the broadcast
+    threshold, the contraction-label table skips its eager checkpoint:
+    the broadcast decision needs no exact count, the empty-edge early
+    exit is subsumed by the contracted-stream observation, and the
+    (small, ≤bound-row) label aggregation is re-evaluated lazily inside
+    the two jobs that read it instead of paying a third job + cache
+    round-trip up front.  Labels are identical either way.
     """
     max_rounds = max_rounds or (cfg.cc_max_rounds if cfg else 50)
 
@@ -107,22 +118,26 @@ def connected_components(
     # labels itself (m < all its neighbors) and contraction preserves
     # connectivity, so min-propagation over the contracted graph still
     # reaches the same global min for every member.
-    obs0 = Observation(f"cc_init_{id(sym)}")
+    threshold0 = cfg.cc_broadcast_max_labels if cfg else 2_000_000
     lab0 = (
         sym.groupBy("src")
         .agg(F.expr("min(dst) as mn"))
         .selectExpr("src as doc_id", "least(src, mn) as cluster_id")
-        .observe(
+    )
+    if n_endpoints_hint is not None and n_endpoints_hint <= threshold0:
+        # bound fits the broadcast threshold: keep lab0 lazy (see
+        # docstring); empty-edge exit happens at the csym observation
+        n_endpoints = n_endpoints_hint
+    else:
+        obs0 = Observation(f"cc_init_{id(sym)}")
+        lab0 = lab0.observe(
             obs0,
             F.expr("sum(cast(cluster_id as decimal(38,0))) as label_sum"),
             F.expr("count(1) as n"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_endpoints = int(obs0.get["n"])
-    if n_endpoints == 0:
-        return self_labels
-    threshold0 = cfg.cc_broadcast_max_labels if cfg else 2_000_000
+        ).localCheckpoint(eager=True)
+        n_endpoints = int(obs0.get["n"])
+        if n_endpoints == 0:
+            return self_labels
     l0 = F.broadcast(lab0) if n_endpoints <= threshold0 else lab0
     la = l0.selectExpr("doc_id as src", "cluster_id as _la")
     lb = l0.selectExpr("doc_id as dst", "cluster_id as _lb")

@@ -319,8 +319,13 @@ def _run_pipeline_inner(
     # redundant symmetrized-edge materialization)
     def build_clusters():
         edges = verified.filter("dup").select("id_a", "id_b")
+        vrows = stage_rows.get("verified_pairs")
         return cc.connected_components(
-            docs.select("doc_id"), edges, cfg, edges_cheap=True
+            docs.select("doc_id"), edges, cfg, edges_cheap=True,
+            # endpoints ≤ 2·pairs, known for free from the stage row
+            # count — lets CC skip its contraction-label checkpoint job
+            # whenever the bound already fits the broadcast threshold
+            n_endpoints_hint=2 * vrows if vrows is not None else None,
         )
 
     clusters = stage("clusters", build_clusters, rows_in_from="verified_pairs")
