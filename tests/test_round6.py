@@ -464,3 +464,34 @@ def test_cc_endpoints_hint_identical_labels(spark):
         for r in connected_components(nodes, empty, n_endpoints_hint=0).collect()
     }
     assert lbl == {i: i for i in range(40)}
+
+
+def test_pair_queries_filter_null_sources(spark):
+    """Round 6 review fix: the kernel pair/cc queries must drop
+    NULL-source rows before grouping — the pre-kernel Catalyst form
+    joined ON source (NULL ≠ NULL) and so does the DuckDB oracle,
+    while groupBy would hand the kernel one NULL group."""
+    from welldedup.queries import QUERIES
+
+    for name in ("word_jaccard_pairs", "containment_pairs", "cc_clusters"):
+        plan = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "isnotnull(source" in plan, name
+
+
+def test_star_kernel_gray_band_no_int32_overflow():
+    """Round 6 review fix: the star kernel's gray-band product
+    acc * 20000 must be computed in int64 — with ~110k shared words the
+    int32 product wraps negative and a round-to-0.5 edge was dropped."""
+    inter = 109_994
+    size = 165_000  # sa = sb
+    a = [f"s{i}" for i in range(inter)] + [f"a{i}" for i in range(size - inter)]
+    b = [f"s{i}" for i in range(inter)] + [f"b{i}" for i in range(size - inter)]
+    jac = inter / (2 * size - inter)
+    assert 0.49995 <= jac < 0.5  # rounds to 0.5 -> must be kept
+    assert inter * 20000 > 2**31  # int32 product would wrap
+    pdf = _pdf([(1, a), (2, b)])
+    out = _wj_star_edges_kernel(pdf)
+    assert sorted(map(tuple, out[["id_a", "id_b"]].itertuples(index=False))) == [(1, 2)]

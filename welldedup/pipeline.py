@@ -333,10 +333,15 @@ def _run_pipeline_inner(
     # --- metrics table (stage wall-times + per-partition lineage);
     # plan built lazily in memory mode (PipelineResult docstring)
     def build_metrics() -> DataFrame:
+        # fused memory mode never materializes the pair stage — profile
+        # the verified checkpoint instead of re-executing the whole
+        # pair emit just to count partition rows
+        pair_profile = (
+            ("verified_pairs", verified) if fuse_pairs
+            else ("candidate_pairs", pairs)
+        )
         m = timer.to_df(spark)
-        for name, df in [
-            ("docs", docs), ("candidate_pairs", pairs), ("clusters", clusters)
-        ]:
+        for name, df in [("docs", docs), pair_profile, ("clusters", clusters)]:
             m = m.unionByName(partition_stats(df, name, timer.run_id))
         return m
 

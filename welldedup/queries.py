@@ -41,9 +41,14 @@ _SCAN_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    key = (app, f"{sf_dir}/{name}.parquet")
     df = _SCAN_CACHE.get(key)
     if df is None:
+        # entries of stopped applications are dead weight (py4j handles
+        # into terminated contexts) — evict them as new apps appear
+        for k in [k for k in _SCAN_CACHE if k[0] != app]:
+            del _SCAN_CACHE[k]
         df = spark.read.parquet(key[1])
         _SCAN_CACHE[key] = df
     return df
@@ -378,8 +383,8 @@ def _wj_star_edges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # integer form above already keeps everything at i/d >= 0.5
         if int(lengths.max()) * 2 >= 10000:
             near = (~cand) & (
-                acc * 20000 >= (lengths[s:e][:, None] + lengths[None, :] - acc)
-                * 9998
+                acc.astype(np.int64) * 20000
+                >= (lengths[s:e][:, None] + lengths[None, :] - acc) * 9998
             )
             bi, bj = np.nonzero(near)
             if bi.size:
@@ -435,7 +440,10 @@ def _wj_star_edges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def q_word_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select(
+    # NULL-source rows never pair: the pre-kernel Catalyst form joined
+    # a⋈b ON a.source = b.source (NULL ≠ NULL), and so does the DuckDB
+    # oracle — groupBy would instead hand the kernel one NULL group
+    d = _t(spark, sf_dir, "documents").filter("source is not null").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     # group-size guard semantics preserved: the kernel raises the same
@@ -573,7 +581,9 @@ def q_containment_pairs(spark, sf_dir):
     FULL group; the floor drops rows inside the kernel before pairing),
     and the authoritative containment arithmetic + round + threshold
     stays in Catalyst over the kernel's integer evidence."""
-    d = _t(spark, sf_dir, "documents").select(
+    # NULL-source rows never pair (same join-vs-groupBy rule as
+    # q_word_jaccard_pairs)
+    d = _t(spark, sf_dir, "documents").filter("source is not null").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     cand = d.groupBy("source").applyInPandas(
@@ -643,7 +653,10 @@ def q_cc_clusters(spark, sf_dir):
     keeps the full operator — its edges span methods and are not
     group-local."""
     d = _t(spark, sf_dir, "documents")
-    w = d.select(
+    # NULL-source rows never pair (join-vs-groupBy rule, see
+    # q_word_jaccard_pairs) — they stay in the node set below and
+    # label themselves, exactly as under the old null-rejecting join
+    w = d.filter("source is not null").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     edges = w.groupBy("source").applyInPandas(

@@ -212,7 +212,6 @@ def substr_candidate_pairs(
     docs: DataFrame,
     cfg: DedupConfig,
     observations: list | None = None,
-    persisted: list | None = None,
 ) -> DataFrame:
     """docs(doc_id, content) → pairs(id_a, id_b, src='substr') whose
     shared-fingerprint count clears `fp_shared_threshold` — i.e. the
@@ -227,8 +226,7 @@ def substr_candidate_pairs(
     The single-exchange window shape in fingerprint_pairs scans the
     fingerprint stream exactly ONCE, so the standalone path no longer
     persists it (the old two-phase shape had two consumers and cached
-    the stream between them; `persisted` is kept in the signature for
-    callers that still pass a scope list — it stays empty).
+    the stream between them).
     """
     fn = make_fingerprint_arrow_fn(cfg)
     fps = docs.select("doc_id", "content").mapInArrow(

@@ -139,16 +139,7 @@ def verify_near_pairs(
     fallback pairs under a weighted-only config keep set-est
     verification only if a set method is enabled; otherwise the
     enabled weighted estimator judges them."""
-    est_cols = []
-    if (
-        "minhash" in cfg.methods
-        or "simhash" in cfg.methods
-        or "weighted" not in cfg.methods
-    ):
-        est_cols.append("minhash")
-    if "weighted" in cfg.methods:
-        est_cols.append("icws")
-    return verify_pairs(near, sigs, sigs, cfg, est_cols=tuple(est_cols))
+    return verify_pairs(near, sigs, sigs, cfg, est_cols=est_cols_for(cfg))
 
 
 def _verify_pairs_fused(
